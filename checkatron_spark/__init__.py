@@ -1,0 +1,40 @@
+"""checkatron_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of simbo1905/checkatron, rebuilt Spark-first.
+
+The reference (/root/reference) is a template-driven SQL diff *generator*
+(checkatron/diffgen.py, templates/full_compare.sql.j2); execution happens in an
+external warehouse. This engine implements the diff semantics natively as
+DataFrame transformations optimized by Catalyst, plus the large-scale
+training-data-pipeline operators (dedup, similarity search, text analysis,
+multimodal columns) the reference mandate requires at 100 TB scale.
+
+Public API
+----------
+diff(before, after, keys, ...)      -> DataFrame   core table-diff operator
+diff_summary(diff_df)               -> DataFrame   row-level match/miss counts
+decode_status(diff_df, column)      -> DataFrame   status int -> label
+DiffSpec                                           declarative spec object
+get_spark()                                        tuned local SparkSession
+"""
+
+from checkatron_spark.operators.diff import DiffSpec, diff, diff_from_spec
+from checkatron_spark.operators.summary import (
+    decode_status,
+    diff_drilldown,
+    diff_summary,
+    labeled_counts,
+)
+from checkatron_spark.session import get_spark
+
+__all__ = [
+    "DiffSpec",
+    "decode_status",
+    "diff",
+    "diff_drilldown",
+    "diff_from_spec",
+    "diff_summary",
+    "get_spark",
+    "labeled_counts",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,217 @@
+"""Core table-diff operator, implemented as a native DataFrame transformation.
+
+Semantics match the reference's generated SQL (see
+/root/reference/checkatron/templates/full_compare.sql.j2:10-86 and the pinned
+behavior in /root/reference/tests/test_diffgen.py):
+
+Per-column status codes (full_compare.sql.j2:1-9):
+    0 = match (including both NULL)
+    1 = both non-null but different
+    2 = NULL in BEFORE only
+    3 = NULL in AFTER only
+Row-level ``_row_status`` (full_compare.sql.j2:68-72):
+    4 = row missing in BEFORE, 5 = row missing in AFTER, NULL = present in both
+
+Output column order (full_compare.sql.j2:67-86): ``_row_status`` first, then the
+raw key values as ``K_<key>``, then one INT status column per column in the
+order-preserving union of before-columns + after-only columns
+(diffgen.py:76-80). Key columns are themselves status-coded too.
+
+Spark-first design (NOT a translation of the reference's 3-CTE plan):
+the reference plan is ``all_keys = keys(before) UNION keys(after)`` followed by
+two null-safe LEFT JOINs (full_compare.sql.j2:23-66) — it scans each input
+twice and shuffles three times. Here the default plan is a single
+``full_outer`` join on ``eqNullSafe`` keys: identical output semantics
+(including the m-by-n duplicate-key fanout and the NULL-first-key quirk,
+SURVEY.md section 2.3), one shuffle, each input scanned once. Spark's
+``ExtractEquiJoinKeys`` treats EqualNullSafe as a first-class equi-join key, so
+this stays a sort-merge/shuffled-hash join (broadcast when one side is small,
+via AQE). ``faithful=True`` keeps the literal 3-operator shape for
+cross-checking the rewrite.
+
+At 100 TB: the diff is exactly one key-hash shuffle of each side; status
+columns are computed post-join, embarrassingly parallel inside whole-stage
+codegen. For repeated diffs of the same tables, bucket both sides by the key
+columns (``writer.bucketBy(n, *keys).sortBy(*keys)``) and the join becomes
+shuffle-free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+__all__ = ["DiffSpec", "diff", "diff_from_spec"]
+
+_B = "b_"  # prefix for before-side columns inside the joined frame
+_A = "a_"  # prefix for after-side columns
+
+
+def _norm(name: str, column_case: str) -> str:
+    if column_case == "upper":
+        return name.upper()
+    if column_case == "lower":
+        return name.lower()
+    return name
+
+
+@dataclass
+class DiffSpec:
+    """Declarative description of a diff, mirroring the reference CLI surface
+    (diffgen.py:50-66): two tables, key columns, optional per-side filters."""
+
+    keys: list[str]
+    before_where: str | None = None
+    after_where: str | None = None
+    faithful: bool = False
+    presence_fix: bool = False
+    column_case: str = "upper"
+    extra: dict = field(default_factory=dict)
+
+
+def _prepare_side(
+    df: DataFrame, where: str | None, prefix: str, all_cols: list[str],
+    own_cols: set[str], other_types: dict, column_case: str,
+) -> DataFrame:
+    """Filter then project one side to prefixed columns, injecting typed NULLs
+    for columns the side lacks (schema drift, full_compare.sql.j2:44-45,51-52)."""
+    if where:
+        df = df.filter(F.expr(where))
+    rename = {_norm(c, column_case): c for c in df.columns}
+    proj: list[Column] = []
+    for c in all_cols:
+        if c in own_cols:
+            proj.append(F.col(f"`{rename[c]}`").alias(prefix + c))
+        else:
+            proj.append(F.lit(None).cast(other_types[c]).alias(prefix + c))
+    # presence marker: lets presence_fix mode distinguish "row absent" from
+    # "first key legitimately NULL" (reference quirk, SURVEY.md section 2.3)
+    proj.append(F.lit(True).alias(prefix + "__present__"))
+    return df.select(*proj)
+
+
+def _status_col(b: Column, a: Column) -> Column:
+    """5-branch per-column status CASE (full_compare.sql.j2:77-85)."""
+    return (
+        F.when(b.isNull() & a.isNull(), F.lit(0))
+        .when(b.isNull() & a.isNotNull(), F.lit(2))
+        .when(b.isNotNull() & a.isNull(), F.lit(3))
+        .when(b == a, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast(IntegerType())
+    )
+
+
+def diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    *,
+    before_where: str | None = None,
+    after_where: str | None = None,
+    faithful: bool = False,
+    presence_fix: bool = False,
+    column_case: str = "upper",
+) -> DataFrame:
+    """Full-outer, null-safe, multi-key table diff.
+
+    Parameters mirror the reference CLI (diffgen.py:50-66). ``faithful=True``
+    uses the reference's literal 3-op plan (key-UNION + two left joins);
+    the default is the single full-outer join rewrite (same semantics, one
+    shuffle). ``presence_fix=True`` derives ``_row_status`` from a join
+    presence marker instead of first-key NULL-ness, fixing the reference's
+    NULL-first-key misclassification quirk.
+    """
+    if not keys:
+        raise ValueError("diff() requires at least one key column")
+
+    keys = [_norm(k, column_case) for k in keys]
+    before_names = [_norm(c, column_case) for c in before.columns]
+    after_names = [_norm(c, column_case) for c in after.columns]
+    # order-preserving union: before columns, then after-only (diffgen.py:76-80)
+    all_cols = before_names + [c for c in after_names if c not in set(before_names)]
+    for k in keys:
+        if k not in set(before_names) or k not in set(after_names):
+            raise ValueError(f"key column {k!r} must exist on both sides")
+
+    b_types = {
+        _norm(f.name, column_case): f.dataType for f in before.schema.fields
+    }
+    a_types = {_norm(f.name, column_case): f.dataType for f in after.schema.fields}
+
+    b = _prepare_side(before, before_where, _B, all_cols, set(before_names),
+                      a_types, column_case)
+    a = _prepare_side(after, after_where, _A, all_cols, set(after_names),
+                      b_types, column_case)
+
+    if faithful:
+        joined = _join_faithful(b, a, keys)
+    else:
+        cond = reduce(
+            lambda x, y: x & y,
+            [b[_B + k].eqNullSafe(a[_A + k]) for k in keys],
+        )
+        joined = b.join(a, cond, "full_outer")
+
+    if presence_fix:
+        missing_before = F.col(_B + "__present__").isNull()
+        missing_after = F.col(_A + "__present__").isNull()
+    else:
+        # reference semantics: first-key NULL-ness (full_compare.sql.j2:69-70)
+        missing_before = F.col(_B + keys[0]).isNull()
+        missing_after = F.col(_A + keys[0]).isNull()
+
+    row_status = (
+        F.when(missing_before, F.lit(4))
+        .when(missing_after, F.lit(5))
+        .otherwise(F.lit(None))
+        .cast(IntegerType())
+        .alias("_row_status")
+    )
+    # K_<key> passthrough: the all_keys CTE's key value (full_compare.sql.j2:73-75).
+    # coalesce(b,a) reproduces it exactly: NULL only when the key matched as
+    # NULL<=>NULL (or is absent on the present side), which is what the
+    # key-union produces.
+    key_cols = [F.coalesce(F.col(_B + k), F.col(_A + k)).alias(f"K_{k}") for k in keys]
+    status_cols = [
+        _status_col(F.col(_B + c), F.col(_A + c)).alias(c) for c in all_cols
+    ]
+    return joined.select(row_status, *key_cols, *status_cols)
+
+
+def _join_faithful(b: DataFrame, a: DataFrame, keys: list[str]) -> DataFrame:
+    """The reference's literal plan: dedup key-union + two null-safe left
+    joins (full_compare.sql.j2:23-66). Kept for oracle cross-checks of the
+    full-outer rewrite; ~2-3x the default plan's cost (extra scan + shuffles).
+    """
+    k_b = b.select(*[F.col(_B + k).alias(f"K_{k}__j") for k in keys])
+    k_a = a.select(*[F.col(_A + k).alias(f"K_{k}__j") for k in keys])
+    all_keys = k_b.union(k_a).distinct()  # SQL UNION = union + dedup (U1)
+    cond_b = reduce(
+        lambda x, y: x & y,
+        [all_keys[f"K_{k}__j"].eqNullSafe(b[_B + k]) for k in keys],
+    )
+    cond_a = reduce(
+        lambda x, y: x & y,
+        [all_keys[f"K_{k}__j"].eqNullSafe(a[_A + k]) for k in keys],
+    )
+    return all_keys.join(b, cond_b, "left").join(a, cond_a, "left").drop(
+        *[f"K_{k}__j" for k in keys]
+    )
+
+
+def diff_from_spec(before: DataFrame, after: DataFrame, spec: DiffSpec) -> DataFrame:
+    return diff(
+        before,
+        after,
+        spec.keys,
+        before_where=spec.before_where,
+        after_where=spec.after_where,
+        faithful=spec.faithful,
+        presence_fix=spec.presence_fix,
+        column_case=spec.column_case,
+    )

@@ -1,0 +1,38 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the configs below are chosen so the same
+logical plans scale to a multi-executor cluster at ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast) — the
+  diff operator's full-outer join inherits skew handling for free.
+- shuffle.partitions sized for the local harness; on a real cluster this is
+  overridden (or left to AQE's coalescing with a high initial value).
+- Arrow enabled for the Pandas-UDF extension operators (similarity search,
+  multimodal decode) so Python exchange is columnar-batched, not per-row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "checkatron_spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults."""
+    master = f"local[{cpus or DEFAULT_CPUS}]"
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

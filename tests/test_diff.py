@@ -1,0 +1,189 @@
+"""Core diff operator tests — the reference's six pytest scenarios
+(/root/reference/tests/test_diffgen.py:22-249) re-expressed against the native
+Spark ``diff()``, with the rendered reference-shape SQL executed in DuckDB as
+the independent oracle, plus engine-specific extensions (faithful-mode
+equivalence, NULL keys, duplicate-key fanout, presence_fix)."""
+
+from __future__ import annotations
+
+import pytest
+
+from checkatron_spark import diff, diff_summary
+from checkatron_spark.plans.sqlgen import render_diff_sql
+from tests.conftest import assert_same_rows, run_oracle
+
+
+def _mk(spark, duck, name, schema, rows):
+    df = spark.createDataFrame(rows, schema=schema)
+    duck.execute(f"DROP TABLE IF EXISTS {name}")
+    cols = ", ".join(
+        f"{f.name} {'INTEGER' if f.dataType.simpleString() in ('int',) else 'BIGINT' if f.dataType.simpleString() == 'bigint' else 'VARCHAR'}"
+        for f in df.schema.fields
+    )
+    duck.execute(f"CREATE TABLE {name} ({cols})")
+    if rows:
+        ph = ", ".join(["?"] * len(df.schema.fields))
+        duck.executemany(f"INSERT INTO {name} VALUES ({ph})", rows)
+    return df
+
+
+def _oracle_diff(duck, before_df, after_df, keys, **kw):
+    sql = render_diff_sql(
+        "before_t", "after_t", keys,
+        before_df.columns, after_df.columns, **kw,
+    )
+    return run_oracle(duck, sql)
+
+
+def _check(spark, duck, before, after, keys, **kw):
+    got = diff(before, after, keys, **{k: v for k, v in kw.items()
+                                       if k in ("before_where", "after_where",
+                                                "faithful", "presence_fix")})
+    oracle_kw = {k: v for k, v in kw.items()
+                 if k in ("before_where", "after_where")}
+    rows, cols = _oracle_diff(duck, before, after, keys, **oracle_kw)
+    assert_same_rows(got, rows, cols)
+    return got
+
+
+# ---- the six reference scenarios (tests/test_diffgen.py) -------------------
+
+def test_simple_same_table(spark, duck):
+    """Identical single row -> val status 0, _row_status NULL (ref :22-56)."""
+    b = _mk(spark, duck, "before_t", "k1 int, val string", [(1, "a")])
+    a = _mk(spark, duck, "after_t", "k1 int, val string", [(1, "a")])
+    got = _check(spark, duck, b, a, ["k1"])
+    row = got.collect()[0]
+    assert row["_row_status"] is None
+    assert row["VAL"] == 0 and row["K1"] == 0 and row["K_K1"] == 1
+
+
+def test_missing_column(spark, duck):
+    """After has extra new_col -> status 2, row matched (ref :59-94)."""
+    b = _mk(spark, duck, "before_t", "k1 int, val string", [(1, "a")])
+    a = _mk(spark, duck, "after_t", "k1 int, val string, new_col int",
+            [(1, "a", 99)])
+    got = _check(spark, duck, b, a, ["k1"])
+    row = got.collect()[0]
+    assert row["_row_status"] is None and row["NEW_COL"] == 2
+
+
+def test_different_values(spark, duck):
+    """Same key, 'a' vs 'b' -> val status 1 (ref :97-126)."""
+    b = _mk(spark, duck, "before_t", "k1 int, val string", [(1, "a")])
+    a = _mk(spark, duck, "after_t", "k1 int, val string", [(1, "b")])
+    got = _check(spark, duck, b, a, ["k1"])
+    assert got.collect()[0]["VAL"] == 1
+
+
+def test_missing_row_before(spark, duck):
+    """Row only in after -> _row_status 4, val status 2 (ref :129-157)."""
+    b = _mk(spark, duck, "before_t", "k1 int, val string", [(1, "a")])
+    a = _mk(spark, duck, "after_t", "k1 int, val string", [(1, "a"), (2, "x")])
+    got = _check(spark, duck, b, a, ["k1"])
+    missing = [r for r in got.collect() if r["K_K1"] == 2][0]
+    assert missing["_row_status"] == 4 and missing["VAL"] == 2
+
+
+def test_missing_row_after(spark, duck):
+    """Row only in before -> _row_status 5, val status 3."""
+    b = _mk(spark, duck, "before_t", "k1 int, val string", [(1, "a"), (2, "x")])
+    a = _mk(spark, duck, "after_t", "k1 int, val string", [(1, "a")])
+    got = _check(spark, duck, b, a, ["k1"])
+    missing = [r for r in got.collect() if r["K_K1"] == 2][0]
+    assert missing["_row_status"] == 5 and missing["VAL"] == 3
+
+
+def test_multiple_key_columns(spark, duck):
+    """2-column key, identical row -> all 0, _row_status NULL (ref :160-194)."""
+    b = _mk(spark, duck, "before_t", "k1 int, k2 string, val int",
+            [(1, "x", 7)])
+    a = _mk(spark, duck, "after_t", "k1 int, k2 string, val int",
+            [(1, "x", 7)])
+    got = _check(spark, duck, b, a, ["k1", "k2"])
+    row = got.collect()[0]
+    assert row["_row_status"] is None
+    assert (row["K_K1"], row["K_K2"], row["VAL"]) == (1, "x", 0)
+
+
+# ---- engine extensions ------------------------------------------------------
+
+def test_where_filters(spark, duck):
+    """Per-side WHERE filters (P1, full_compare.sql.j2:12-21)."""
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    b = _mk(spark, duck, "before_t", "k1 int, val string", rows)
+    a = _mk(spark, duck, "after_t", "k1 int, val string", rows)
+    got = _check(spark, duck, b, a, ["k1"],
+                 before_where="k1 < 3", after_where="k1 > 1")
+    by_key = {r["K_K1"]: r for r in got.collect()}
+    assert by_key[1]["_row_status"] == 5  # filtered out of after
+    assert by_key[3]["_row_status"] == 4  # filtered out of before
+    assert by_key[2]["_row_status"] is None
+
+
+def test_null_key_matches_null_safely(spark, duck):
+    """NULL keys pair via null-safe join — but the reference's first-key
+    NULL-ness rule then misreports presence (SURVEY.md 2.3 quirk): oracle and
+    engine must agree on the quirky output."""
+    b = _mk(spark, duck, "before_t", "k1 int, val string", [(None, "a")])
+    a = _mk(spark, duck, "after_t", "k1 int, val string", [(None, "a")])
+    got = _check(spark, duck, b, a, ["k1"])
+    row = got.collect()[0]
+    assert row["_row_status"] == 4  # quirk: matched row looks "missing"
+    assert row["VAL"] == 0  # but values still compared
+
+
+def test_presence_fix_mode(spark, duck):
+    """presence_fix=True derives _row_status from join presence markers."""
+    b = spark.createDataFrame([(None, "a")], "k1 int, val string")
+    a = spark.createDataFrame([(None, "a")], "k1 int, val string")
+    row = diff(b, a, ["k1"], presence_fix=True).collect()[0]
+    assert row["_row_status"] is None and row["VAL"] == 0
+
+
+def test_duplicate_key_fanout(spark, duck):
+    """Non-unique keys fan out m*n per key group, same as the reference's
+    key-union + two left joins (SURVEY.md 2.3 duplicate-key semantics)."""
+    b = _mk(spark, duck, "before_t", "k1 int, val string",
+            [(1, "a"), (1, "b")])
+    a = _mk(spark, duck, "after_t", "k1 int, val string",
+            [(1, "a"), (1, "b"), (1, "c")])
+    got = _check(spark, duck, b, a, ["k1"])
+    assert got.count() == 6  # 2 x 3
+
+
+def test_faithful_mode_equivalence(spark, duck):
+    """faithful=True (literal 3-op plan) == default full-outer rewrite."""
+    b = _mk(spark, duck, "before_t", "k1 int, val string",
+            [(1, "a"), (2, "b"), (None, "n")])
+    a = _mk(spark, duck, "after_t", "k1 int, val string, new_col int",
+            [(1, "a", 9), (3, "z", 8), (None, "n", 7)])
+    from collections import Counter
+
+    d_default = diff(b, a, ["k1"])
+    d_faithful = diff(b, a, ["k1"], faithful=True)
+    assert Counter(map(tuple, d_default.collect())) == Counter(
+        map(tuple, d_faithful.collect())
+    )
+    rows, cols = _oracle_diff(duck, b, a, ["k1"])
+    assert_same_rows(d_faithful, rows, cols)
+
+
+def test_diff_summary(spark, duck):
+    b = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k1 int, val string")
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k1 int, val string")
+    row = diff_summary(diff(b, a, ["k1"])).collect()[0]
+    assert row["total_rows"] == 4
+    assert row["matched_rows"] == 2
+    assert row["missing_in_before"] == 1
+    assert row["missing_in_after"] == 1
+    assert row["changed_rows"] == 1
+
+
+def test_key_missing_raises(spark):
+    b = spark.createDataFrame([(1, "a")], "k1 int, val string")
+    a = spark.createDataFrame([("a",)], "val string")
+    with pytest.raises(ValueError):
+        diff(b, a, ["k1"])
