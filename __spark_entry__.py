@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship diff at sf0.001; ``queries()`` maps every
+implemented operator from SURVEY.md §2 to a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` provides the DuckDB-equivalent ANSI SQL the driver
+cross-checks against at sf0.01.
 """
 
 from __future__ import annotations
@@ -12,27 +11,157 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from checkatron_spark import workloads as W
+from checkatron_spark.operators.summary import (
+    ROW_STATUS_LABELS,
+    STATUS_LABELS,
+    diff_drilldown,
+    diff_summary,
+    labeled_counts,
+)
+from checkatron_spark.plans.sqlgen import render_summary_sql
+from checkatron_spark.sources.tables import load_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return W.diff_orders(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# diff family (SURVEY.md §2.1-2.7: core parity surface)
+# --------------------------------------------------------------------------
+
+def _q_diff_orders(spark, sf_dir):
+    return W.diff_orders(spark, sf_dir)
+
+
+def _q_diff_orders_faithful(spark, sf_dir):
+    # literal reference plan shape (key-UNION + two left joins, J1/J2/U1)
+    return W.diff_orders(spark, sf_dir, faithful=True)
+
+
+def _q_diff_orders_summary(spark, sf_dir):
+    return diff_summary(W.diff_orders(spark, sf_dir))
+
+
+def _q_diff_orders_drilldown(spark, sf_dir):
+    # P7: WHERE _row_status > 0 (README.md:196)
+    return diff_drilldown(W.diff_orders(spark, sf_dir))
+
+
+def _q_diff_orders_decode(spark, sf_dir):
+    # C3 decode CASE + labeled rollup over one column's status codes
+    d = W.diff_orders(spark, sf_dir)
+    row_label = (
+        F.when(F.col("_row_status") == 4, ROW_STATUS_LABELS[4])
+        .when(F.col("_row_status") == 5, ROW_STATUS_LABELS[5])
+        .otherwise(F.lit("PRESENT_BOTH"))
+    )
+    status_label = (
+        F.when(F.col("O_ORDERSTATUS") == 0, STATUS_LABELS[0])
+        .when(F.col("O_ORDERSTATUS") == 1, STATUS_LABELS[1])
+        .when(F.col("O_ORDERSTATUS") == 2, STATUS_LABELS[2])
+        .when(F.col("O_ORDERSTATUS") == 3, STATUS_LABELS[3])
+        .otherwise(F.lit("UNKNOWN"))
+    )
+    return (
+        d.select(row_label.alias("row_label"), status_label.alias("status_label"))
+        .groupBy("row_label", "status_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_diff_lineitem_multikey(spark, sf_dir):
+    return W.diff_lineitem(spark, sf_dir)
+
+
+def _q_keys_union(spark, sf_dir):
+    # U1: SQL UNION (distinct) of key tuples from both sides
+    b = W.orders_before(spark, sf_dir).select("o_orderkey")
+    a = W.orders_after(spark, sf_dir).select("o_orderkey")
+    return b.union(a).distinct()
+
+
+def _q_labeled_counts(spark, sf_dir):
+    # A3/U2: per-table labeled counts stacked with UNION ALL
+    return labeled_counts(
+        {
+            "BEFORE": W.orders_before(spark, sf_dir),
+            "AFTER": W.orders_after(spark, sf_dir),
+        }
+    )
+
+
+def _q_orders_filtered(spark, sf_dir):
+    # P1/P6/O1: free-form filter + projection + order (order-insensitive check)
+    return (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.expr("o_totalprice > 100000 AND o_orderstatus = 'O'"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "diff_orders": _q_diff_orders,
+        "diff_orders_faithful": _q_diff_orders_faithful,
+        "diff_orders_summary": _q_diff_orders_summary,
+        "diff_orders_drilldown": _q_diff_orders_drilldown,
+        "diff_orders_decode": _q_diff_orders_decode,
+        "diff_lineitem_multikey": _q_diff_lineitem_multikey,
+        "keys_union": _q_keys_union,
+        "labeled_counts": _q_labeled_counts,
+        "orders_filtered": _q_orders_filtered,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _decode_oracle() -> str:
+    rs = '"_row_status"'
+    st = '"O_ORDERSTATUS"'
+    return (
+        f"WITH diff_result AS (\n{W.diff_orders_oracle_sql()}\n)\n"
+        f"SELECT\n"
+        f"  CASE WHEN {rs} = 4 THEN 'MISSING_IN_BEFORE'"
+        f" WHEN {rs} = 5 THEN 'MISSING_IN_AFTER'"
+        f" ELSE 'PRESENT_BOTH' END AS \"row_label\",\n"
+        f"  CASE WHEN {st} = 0 THEN 'MATCH' WHEN {st} = 1 THEN 'DIFFERENT'"
+        f" WHEN {st} = 2 THEN 'NULL_IN_BEFORE' WHEN {st} = 3 THEN 'NULL_IN_AFTER'"
+        f" ELSE 'UNKNOWN' END AS \"status_label\",\n"
+        f"  COUNT(*) AS \"n\"\n"
+        f"FROM diff_result GROUP BY 1, 2"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    diff_sql = W.diff_orders_oracle_sql()
+    return {
+        "diff_orders": diff_sql,
+        "diff_orders_faithful": diff_sql,
+        "diff_orders_summary": render_summary_sql(
+            diff_sql, [c.upper() for c in W.AFTER_COLS]
+        ),
+        "diff_orders_drilldown": (
+            f'WITH diff_result AS (\n{diff_sql}\n)\n'
+            f'SELECT * FROM diff_result WHERE "_row_status" > 0'
+        ),
+        "diff_orders_decode": _decode_oracle(),
+        "diff_lineitem_multikey": W.diff_lineitem_oracle_sql(),
+        "keys_union": (
+            f"SELECT o_orderkey FROM {W.BEFORE_SRC_SQL} "
+            f"UNION SELECT o_orderkey FROM {W.AFTER_SRC_SQL}"
+        ),
+        "labeled_counts": (
+            f"SELECT 'BEFORE' AS source, COUNT(*) AS row_count FROM {W.BEFORE_SRC_SQL} "
+            f"UNION ALL "
+            f"SELECT 'AFTER' AS source, COUNT(*) AS row_count FROM {W.AFTER_SRC_SQL}"
+        ),
+        "orders_filtered": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_totalprice > 100000 AND o_orderstatus = 'O' "
+            "ORDER BY o_orderkey"
+        ),
+    }

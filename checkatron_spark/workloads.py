@@ -1,0 +1,122 @@
+"""Driver-facing workloads: the flagship diff scenario and its SQL oracles.
+
+The flagship diffs two snapshots of ``orders``: "before" drops some keys,
+"after" drops different keys, flips ``o_orderstatus``, NULLs ``o_totalprice``
+on a deterministic subset, and adds an after-only ``o_channel`` column — so
+every status code (0/1/2/3) and row status (4/5/NULL) appears. Perturbations
+use integer modulus only, so the Spark DataFrame build and the DuckDB oracle
+SQL compute bit-identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from checkatron_spark.operators.diff import diff
+from checkatron_spark.plans.sqlgen import render_diff_sql, render_summary_sql
+from checkatron_spark.sources.tables import load_table
+
+ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+AFTER_COLS = ORDERS_COLS + ["o_channel"]
+
+# SQL fragments mirrored 1:1 by the DataFrame builders below
+BEFORE_SRC_SQL = "(SELECT * FROM orders WHERE o_orderkey % 19 <> 3) b_src"
+AFTER_SRC_SQL = (
+    "(SELECT o_orderkey, o_custkey, "
+    "CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus, "
+    "CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice, "
+    "o_orderdate, o_orderpriority, 'web' AS o_channel "
+    "FROM orders WHERE o_orderkey % 23 <> 7) a_src"
+)
+
+
+def orders_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") % 19 != 3
+    )
+
+
+def orders_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.filter(F.col("o_orderkey") % 23 != 7)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.lit(None).cast("double")
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn("o_channel", F.lit("web"))
+    )
+
+
+def diff_orders(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    return diff(
+        orders_before(spark, sf_dir), orders_after(spark, sf_dir),
+        ["o_orderkey"], **kw,
+    )
+
+
+def diff_orders_oracle_sql() -> str:
+    return render_diff_sql(
+        BEFORE_SRC_SQL, AFTER_SRC_SQL, ["o_orderkey"], ORDERS_COLS, AFTER_COLS
+    )
+
+
+def diff_orders_summary_oracle_sql() -> str:
+    up = [c.upper() for c in AFTER_COLS]
+    return render_summary_sql(diff_orders_oracle_sql(), up)
+
+
+def diff_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key diff with per-side WHERE filters (P1 + composite key):
+    before/after are overlapping shipdate slices of lineitem."""
+    li = load_table(spark, "lineitem", sf_dir)
+    before = li.filter(F.col("l_suppkey") % 7 != 2)
+    after = li.withColumn(
+        "l_quantity",
+        F.when(F.col("l_partkey") % 17 == 0, F.col("l_quantity") + F.lit(1.0))
+        .otherwise(F.col("l_quantity")),
+    )
+    return diff(
+        before, after, ["l_orderkey", "l_linenumber"],
+        before_where="l_orderkey % 5 <> 4",
+        after_where="l_orderkey % 5 <> 4 AND l_orderkey % 31 <> 6",
+    )
+
+
+LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+]
+
+
+def diff_lineitem_oracle_sql() -> str:
+    before_src = "(SELECT * FROM lineitem WHERE l_suppkey % 7 <> 2) b_src"
+    after_src = (
+        "(SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+        "CASE WHEN l_partkey % 17 = 0 THEN l_quantity + 1.0 ELSE l_quantity END AS l_quantity, "
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
+        "FROM lineitem) a_src"
+    )
+    return render_diff_sql(
+        before_src, after_src, ["l_orderkey", "l_linenumber"],
+        LINEITEM_COLS, LINEITEM_COLS,
+        before_where="l_orderkey % 5 <> 4",
+        after_where="l_orderkey % 5 <> 4 AND l_orderkey % 31 <> 6",
+    )

@@ -1,0 +1,87 @@
+"""Replicates the driver's correctness gate: run every ``queries()`` entry on
+Spark and its ``oracle_sql()`` in DuckDB (parquet views pre-registered), then
+compare row count, column names, and order-insensitive values — at sf0.001 in
+CI for speed (the driver uses sf0.01)."""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import Counter
+from datetime import datetime
+from decimal import Decimal
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from checkatron_spark.sources.tables import TABLES
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck_views():
+    con = duckdb.connect(":memory:")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, Decimal):
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None)
+    return v
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "_row_status" in df.columns
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, duck_views, name):
+    q = entrymod.queries()[name]
+    spark_df = q(spark, SF_DIR)
+    oracle = entrymod.oracle_sql().get(name)
+    if oracle is None:
+        assert spark_df.count() >= 0  # rows-only check (driver's weak mode)
+        return
+    cur = duck_views.execute(oracle)
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = cur.fetchall()
+
+    assert sorted(spark_df.columns) == sorted(duck_cols), (
+        f"{name}: columns differ spark={sorted(spark_df.columns)} "
+        f"duck={sorted(duck_cols)}"
+    )
+    # driver compares values with columns sorted by name
+    order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s_idx = {c: i for i, c in enumerate(spark_df.columns)}
+    s_order = [s_idx[duck_cols[i]] for i in order]
+
+    s_rows = Counter(
+        tuple(_canon(r[i]) for i in s_order) for r in spark_df.collect()
+    )
+    d_rows = Counter(
+        tuple(_canon(r[i]) for i in order) for r in duck_rows
+    )
+    assert sum(s_rows.values()) == sum(d_rows.values()), (
+        f"{name}: row count spark={sum(s_rows.values())} duck={sum(d_rows.values())}"
+    )
+    diff_s = s_rows - d_rows
+    diff_d = d_rows - s_rows
+    assert not diff_s and not diff_d, (
+        f"{name}: value mismatch\n spark-only={list(diff_s.items())[:5]}\n"
+        f" duck-only={list(diff_d.items())[:5]}"
+    )
