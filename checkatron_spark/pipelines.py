@@ -1,0 +1,391 @@
+"""Training-data pipeline workloads (dedup / similarity / text analysis /
+events) with their DuckDB oracle SQL.
+
+Every Spark query here has a paired ``*_SQL`` oracle whose arithmetic mirrors
+the DataFrame expression **operation-for-operation** (same fold order, same
+parenthesization) so double-precision results are bit-identical across
+engines. Probabilistic operators (MinHash LSH, SimHash, LSH ANN) have no SQL
+oracle — the driver records a rows-only check; their exact counterparts
+(ngram_jaccard, bruteforce ANN) are the oracle-checked ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from checkatron_spark.functions import text as T
+from checkatron_spark.operators import dedup as D
+from checkatron_spark.operators import similarity as S
+from checkatron_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        T.word_token_count(t).alias("n_units"),
+        T.stopword_ratio(t).alias("stop_ratio"),
+        T.punct_ratio(t).alias("punct_ratio"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+_STOPS = ", ".join(f"''{w}''" for w in T.STOPWORDS).replace("''", "'")
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+TEXT_STATS_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_units,
+        CASE WHEN len({_TOKS}) = 0 THEN 0.0
+             ELSE CAST(len(list_filter({_TOKS}, t -> t IN ({_STOPS}))) AS DOUBLE)
+                  / CAST(len({_TOKS}) AS DOUBLE) END AS stop_ratio,
+        CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+        length(text) AS n_len
+    FROM documents
+)
+SELECT doc_id, n_tokens, n_units, stop_ratio, punct_ratio,
+    greatest(least(
+        least(CAST(n_len AS DOUBLE) / 500.0, 1.0) * 0.5
+        + least(stop_ratio * 4.0, 1.0) * 0.5
+        - least(punct_ratio * 2.0, 1.0) * 0.25,
+    1.0), 0.0) AS quality
+FROM base
+"""
+
+
+def q_lang_id_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _lang_id_sql_expr() -> str:
+    """Reverse-order CASE equivalent of the lang_id fold: the fold keeps the
+    LAST language (in LANG_MARKERS order) whose hits strictly exceed the max
+    of all earlier languages' hits (and 0)."""
+    langs = list(T.LANG_MARKERS)
+    hit_cols = {}
+    for lang, markers in T.LANG_MARKERS.items():
+        mlist = ", ".join(f"'{m}'" for m in markers)
+        hit_cols[lang] = (
+            f"len(list_filter({_TOKS}, t -> t IN ({mlist})))"
+        )
+    cases = []
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        earlier = [hit_cols[langs[j]] for j in range(i)] + ["0"]
+        cases.append(
+            f"WHEN {hit_cols[lang]} > greatest({', '.join(earlier)}) "
+            f"THEN '{lang}'"
+        )
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+def lang_id_hist_sql() -> str:
+    return (
+        f"SELECT {_lang_id_sql_expr()} AS lang_pred, COUNT(*) AS n "
+        f"FROM documents GROUP BY 1"
+    )
+
+
+_FP = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+)
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+FINGERPRINTS_SQL = f"SELECT doc_id, {_FP} AS fp FROM documents"
+
+
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies: explode tokens -> count per token (classic
+    map-side-combined aggregation; at scale the shuffle key is the token)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+TOKEN_FREQ_SQL = (
+    f"SELECT token, COUNT(*) AS freq FROM "
+    f"(SELECT unnest({_TOKS}) AS token FROM documents) GROUP BY 1"
+)
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(load_table(spark, "documents", sf_dir), "text", "doc_id")
+
+
+DEDUP_EXACT_SQL = (
+    f"SELECT {_FP} AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups "
+    f"FROM documents GROUP BY 1"
+)
+
+
+def q_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_keyed(
+        load_table(spark, "documents", sf_dir), ["source"], "doc_id"
+    )
+
+
+DEDUP_KEYED_SQL = (
+    "SELECT doc_id, text, lang, source, n_chars FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn "
+    "FROM documents) WHERE rn = 1"
+)
+
+
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.neardup_ngram_jaccard(
+        load_table(spark, "documents", sf_dir), "text", "doc_id",
+        n=3, threshold=0.8,
+    )
+
+
+NEARDUP_JACCARD_SQL = r"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+docs AS (
+    SELECT doc_id,
+        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(w) - 2 + 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        END AS sh
+    FROM w
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS n FROM docs)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.8
+"""
+
+
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic MinHash-LSH near-dup (no SQL oracle: hash family is
+    Spark-side). Exact ground truth = q_neardup_jaccard."""
+    return D.neardup_minhash_lsh(
+        load_table(spark, "documents", sf_dir), "text", "doc_id",
+        threshold=0.7,
+    ).select("id_a", "id_b")
+
+
+def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup (no SQL oracle: xxhash64 is Spark-side)."""
+    return D.neardup_simhash(
+        load_table(spark, "documents", sf_dir), "text", "doc_id",
+        max_hamming=3,
+    )
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ann_bruteforce_topk(emb, queries, k=3)
+
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = "sqrt(" + _DOT.format(a=a, b=a) + ")"
+    nb = "sqrt(" + _DOT.format(a=b, b=b) + ")"
+    return f"{dot} / ({na} * {nb})"
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+    FROM q JOIN c ON query_id <> neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cos, 6) AS cosine_sim
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.neardup_embedding_cosine(
+        load_table(spark, "embeddings", sf_dir), threshold=0.45
+    )
+
+
+NEARDUP_EMBEDDING_SQL = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.45
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH ANN (no SQL oracle — probabilistic)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ann_lsh_topk(emb, queries, k=3)
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregation, JSON extraction, sessionization
+# ---------------------------------------------------------------------------
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.to_date(F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_WINDOWED_SQL = (
+    "SELECT CAST(ts AS DATE) AS day, event_type, "
+    "COUNT(*) AS n_events, "
+    "SUM(CAST(value AS DECIMAL(18,6))) AS sum_value "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select(
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+EVENTS_JSON_SQL = (
+    "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, "
+    "COUNT(*) AS n FROM events GROUP BY 1"
+)
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a new session starts after a >30 min gap per user.
+    Timestamp-interval arithmetic only (exact microseconds, FP-free).
+    Output: per-user session count + event count."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    return (
+        ev.withColumn("_new", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("_new").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH lagged AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+FROM lagged GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_id_hist": q_lang_id_hist,
+    "doc_fingerprints": q_fingerprints,
+    "token_freq": q_token_freq,
+    "dedup_exact": q_dedup_exact,
+    "dedup_keyed": q_dedup_keyed,
+    "neardup_ngram_jaccard": q_neardup_jaccard,
+    "neardup_minhash_lsh": q_neardup_minhash,
+    "neardup_simhash": q_neardup_simhash,
+    "ann_bruteforce_topk": q_ann_bruteforce,
+    "neardup_embedding_cosine": q_neardup_embedding,
+    "ann_lsh_topk": q_ann_lsh,
+    "events_windowed": q_events_windowed,
+    "events_json_extract": q_events_json,
+    "events_sessionize": q_events_sessionize,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "text_stats": TEXT_STATS_SQL,
+        "lang_id_hist": lang_id_hist_sql(),
+        "doc_fingerprints": FINGERPRINTS_SQL,
+        "token_freq": TOKEN_FREQ_SQL,
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "dedup_keyed": DEDUP_KEYED_SQL,
+        "neardup_ngram_jaccard": NEARDUP_JACCARD_SQL,
+        # neardup_minhash_lsh / neardup_simhash / ann_lsh_topk: probabilistic,
+        # rows-only driver check (exact twins are oracle-checked above)
+        "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+        "neardup_embedding_cosine": NEARDUP_EMBEDDING_SQL,
+        "events_windowed": EVENTS_WINDOWED_SQL,
+        "events_json_extract": EVENTS_JSON_SQL,
+        "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    }

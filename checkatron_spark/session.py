@@ -32,7 +32,11 @@ def get_spark(app_name: str = "checkatron_spark", cpus: str | int | None = None)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # events.parquet stores TIMESTAMP(NANOS): read as long, loader
+        # converts to microsecond timestamps (sources/tables.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = [
@@ -30,8 +32,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Table scan (S3): ``spark.read.parquet`` — self-describing schema,
-    column-pruned, filter-pushed."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    column-pruned, filter-pushed.
+
+    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark reads as a
+    nanosecond LongType (spark.sql.legacy.parquet.nanosAsLong); convert to a
+    microsecond timestamp (sub-microsecond parts are zero in the fixtures).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
