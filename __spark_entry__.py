@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from checkatron_spark import analytics as A
 from checkatron_spark import pipelines as P
 from checkatron_spark import workloads as W
 from checkatron_spark.operators.summary import (
@@ -118,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labeled_counts": _q_labeled_counts,
         "orders_filtered": _q_orders_filtered,
         **P.QUERIES,
+        **A.QUERIES,
     }
 
 
@@ -167,4 +169,5 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_orderkey"
         ),
         **P.oracles(),
+        **A.oracles(),
     }

@@ -1,0 +1,306 @@
+"""General analytics workloads: multi-way joins, grouped aggregation, window
+functions — the query surface a warehouse user of the reference would run on
+the diff results and source tables (README.md:186-196 summary/drilldown
+generalized), expressed TPC-H-style over the shared fixtures.
+
+Determinism rules for the DuckDB oracles:
+- SUMs of money doubles go through floor(x*100+0.5) integer cents per row
+  (pure IEEE ops, bit-identical on both engines) -> exact, order-independent
+  BIGINT aggregation; one final /100.0 for presentation.
+- AVGs are a single FP division of the exact sum, rounded — bit-portable.
+- top-k uses row_number() with a unique-id tiebreak — no LIMIT ambiguity.
+
+Scale notes: every join below keys on the natural equi-key, so Catalyst picks
+shuffle joins for fact-fact and broadcast-hash for the dims (region/nation/
+supplier fit any broadcast threshold at 100 TB; AQE re-plans if not).
+Aggregations are partial+final (map-side combine) — check .explain for
+HashAggregate pairs and BroadcastHashJoin on the dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from checkatron_spark.sources.tables import load_table
+
+# Money math determinism: Spark's double->decimal cast rounds the exact
+# binary expansion (BigDecimal HALF_UP) while DuckDB converts via double
+# multiplication — they disagree on edge values. So currency amounts are
+# converted to integer cents with pure IEEE double ops (mul, add, floor),
+# which are bit-identical on both engines; sums are exact BIGINT adds; the
+# single final /100.0 division is deterministic.
+
+
+def _cents(col: F.Column, scale: float = 100.0) -> F.Column:
+    return F.floor(col * F.lit(scale) + F.lit(0.5)).cast("bigint")
+
+
+def _revenue_cents() -> F.Column:
+    return _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+
+
+_REV_SQL = "CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)"
+
+
+def _dollars(col: F.Column) -> F.Column:
+    return col.cast("double") / F.lit(100.0)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with decimal sums."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP '1998-09-02'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("_qty_c"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("_base_c"),
+            F.sum(_revenue_cents()).alias("_disc_c"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            _dollars(F.col("_qty_c")).alias("sum_qty"),
+            _dollars(F.col("_base_c")).alias("sum_base_price"),
+            _dollars(F.col("_disc_c")).alias("sum_disc_price"),
+            "count_order",
+            F.round(
+                (F.col("_qty_c").cast("double") / F.lit(100.0))
+                / F.col("count_order"),
+                6,
+            ).alias("avg_qty"),
+        )
+    )
+
+
+_QTY_C = "CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)"
+_BASE_C = "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(_qty_c AS DOUBLE) / 100.0 AS sum_qty,
+       CAST(_base_c AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(_disc_c AS DOUBLE) / 100.0 AS sum_disc_price,
+       count_order,
+       round((CAST(_qty_c AS DOUBLE) / 100.0) / count_order, 6) AS avg_qty
+FROM (
+    SELECT l_returnflag, l_linestatus,
+           SUM({_QTY_C}) AS _qty_c,
+           SUM({_BASE_C}) AS _base_c,
+           SUM({_REV_SQL}) AS _disc_c,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+)
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-10
+    (row_number over revenue desc, orderkey asc — decimal compare, no FP
+    ties)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    grouped = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-03-15'"))
+            & (F.col("l_shipdate") > F.expr("TIMESTAMP '1998-03-15'"))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue_cents()).alias("_rev_c"))
+    )
+    w = Window.orderBy(F.col("_rev_c").desc(), F.col("l_orderkey").asc())
+    return (
+        grouped.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("l_orderkey", "o_orderdate", "o_orderpriority",
+                _dollars(F.col("_rev_c")).alias("revenue"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+TOP_REVENUE_ORDERS_SQL = f"""
+WITH grouped AS (
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           SUM({_REV_SQL}) AS _rev_c
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(_rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY _rev_c DESC, l_orderkey) AS rnk
+    FROM grouped
+)
+WHERE rnk <= 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join through region->nation->supplier/customer.
+    The dims (region/nation/supplier) broadcast; the fact-fact join
+    (orders-lineitem) shuffles on orderkey."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dollars(F.sum(_revenue_cents())).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+REGION_REVENUE_SQL = f"""
+SELECT r_name, n_name,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) / 100.0 AS revenue,
+       COUNT(*) AS n_items
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer by total price (per-group window top-k)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders
+)
+WHERE rnk <= 2
+"""
+
+
+def q_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) decimal revenue per customer over order date —
+    frame-based window aggregation, exact decimal arithmetic."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _dollars(
+            F.sum(_cents(F.col("o_totalprice"))).over(w)
+        ).alias("running_total"),
+    )
+
+
+CUSTOMER_RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) / 100.0 AS running_total
+FROM orders
+"""
+
+
+def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped stats with min/max/avg over part attributes."""
+    part = load_table(spark, "part", sf_dir)
+    return (
+        part.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+            F.sum(_cents(F.col("p_retailprice"))).alias("_price_c"),
+        )
+        .select(
+            "p_type",
+            "n_parts",
+            "min_size",
+            "max_size",
+            _dollars(F.col("_price_c")).alias("sum_price"),
+            F.round(
+                (F.col("_price_c").cast("double") / F.lit(100.0))
+                / F.col("n_parts"),
+                6,
+            ).alias("avg_price"),
+        )
+    )
+
+
+PART_TYPE_STATS_SQL = """
+SELECT p_type, n_parts, min_size, max_size,
+       CAST(_price_c AS DOUBLE) / 100.0 AS sum_price,
+       round((CAST(_price_c AS DOUBLE) / 100.0) / n_parts, 6) AS avg_price
+FROM (
+    SELECT p_type, COUNT(*) AS n_parts, MIN(p_size) AS min_size,
+           MAX(p_size) AS max_size,
+           SUM(CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS _price_c
+    FROM part GROUP BY p_type
+)
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q_pricing_summary,
+    "q3_top_revenue_orders": q_top_revenue_orders,
+    "q5_region_revenue": q_region_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "customer_running_total": q_customer_running_total,
+    "part_type_stats": q_part_type_stats,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "q1_pricing_summary": PRICING_SUMMARY_SQL,
+        "q3_top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
+        "q5_region_revenue": REGION_REVENUE_SQL,
+        "top_orders_per_customer": TOP_ORDERS_PER_CUSTOMER_SQL,
+        "customer_running_total": CUSTOMER_RUNNING_TOTAL_SQL,
+        "part_type_stats": PART_TYPE_STATS_SQL,
+    }

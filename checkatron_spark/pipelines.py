@@ -286,7 +286,15 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+            # micros-integer sum: floor(v*1e6+0.5) is pure IEEE ops (bit-
+            # identical across engines); BIGINT sum is exact and order-free
+            (
+                F.sum(
+                    F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+                    .cast("bigint")
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_value"),
         )
     )
 
@@ -294,7 +302,8 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_WINDOWED_SQL = (
     "SELECT CAST(ts AS DATE) AS day, event_type, "
     "COUNT(*) AS n_events, "
-    "SUM(CAST(value AS DECIMAL(18,6))) AS sum_value "
+    "CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "
+    "/ 1000000.0 AS sum_value "
     "FROM events GROUP BY 1, 2"
 )
 
