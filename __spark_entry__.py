@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from checkatron_spark import analytics as A
+from checkatron_spark import multimodal as M
 from checkatron_spark import pipelines as P
 from checkatron_spark import workloads as W
 from checkatron_spark.operators.summary import (
@@ -120,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_filtered": _q_orders_filtered,
         **P.QUERIES,
         **A.QUERIES,
+        **M.QUERIES,
     }
 
 
@@ -170,4 +172,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         **P.oracles(),
         **A.oracles(),
+        **M.oracles(),
     }
