@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from checkatron_spark import analytics as A
 from checkatron_spark import multimodal as M
 from checkatron_spark import pipelines as P
+from checkatron_spark import streaming as ST
 from checkatron_spark import workloads as W
 from checkatron_spark.operators.summary import (
     ROW_STATUS_LABELS,
@@ -122,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **P.QUERIES,
         **A.QUERIES,
         **M.QUERIES,
+        **ST.QUERIES,
     }
 
 
@@ -173,4 +175,5 @@ def oracle_sql() -> dict[str, str]:
         **P.oracles(),
         **A.oracles(),
         **M.oracles(),
+        **ST.oracles(),
     }

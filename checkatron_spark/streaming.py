@@ -1,0 +1,231 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming surface (SURVEY.md §2.9); this module covers
+the stream-shaped extension mandate with idiomatic Structured Streaming:
+
+- file-source ``readStream`` over the parquet fixtures (schema declared up
+  front — streaming sources never infer),
+- event-time tumbling-window aggregation with a watermark bounding state,
+- a custom stateful operator via ``applyInPandasWithState`` (incremental
+  per-user sessionization — the shape Spark's built-ins can't express),
+- ``Trigger.AvailableNow`` + memory sink to drain a bounded stream to a batch
+  DataFrame, which is how the driver contract oracle-checks streaming results
+  against DuckDB running the equivalent batch SQL.
+
+At scale: the same plans run unmodified against a Kafka/file-stream source on
+a cluster — watermark state is bounded per window x key, the sessionizer's
+state is one row per live user, and both shuffle only on their group keys.
+Checkpointing is a sink option away (not set for the in-memory test drains).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = [
+    "read_events_stream",
+    "windowed_event_counts",
+    "sessionize_stateful",
+    "drain_to_batch",
+]
+
+_SESSION_GAP_SECONDS = 30 * 60
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events fixture. Schema comes from a
+    driver-side batch peek (streaming sources require a declared schema);
+    the TIMESTAMP(NANOS) column arrives as bigint nanos (see
+    sources/tables.py) and is converted to a microsecond timestamp."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a watermark. The watermark
+    bounds state (windows older than max(ts) - watermark are finalized and
+    dropped); late rows beyond it are discarded — the standard late-data
+    policy for unbounded streams."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # micros-integer sum: exact + order-independent (pipelines.py)
+            (
+                F.sum(
+                    F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+                    .cast("bigint")
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+# state = (last event timestamp micros, sessions so far, events so far)
+_SESSION_STATE = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental sessionization: a new session starts after a >30 min gap.
+    State carries (last_ts, n_sessions, n_events) per user — O(1) per key,
+    so total state is one tiny row per live user regardless of stream
+    length."""
+    last_ts, n_sessions, n_events = (
+        state.get if state.exists else (None, 0, 0)
+    )
+    chunks = [pdf["ts"] for pdf in pdfs]
+    if chunks:
+        ts = pd.concat(chunks).sort_values()
+        # unit-safe conversion: datetime64[any] -> ns int -> micros
+        micros = (ts.astype("datetime64[ns]").astype("int64") // 1000).to_numpy()
+        for t in micros:
+            if last_ts is None or t - last_ts > _SESSION_GAP_SECONDS * 1_000_000:
+                n_sessions += 1
+            last_ts = int(t)
+            n_events += 1
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+        }
+    )
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-user session/event counts, updated per micro-batch."""
+    return events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESSION_OUTPUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def drain_to_batch(
+    sdf: DataFrame, *, output_mode: str = "complete", timeout_s: int = 300
+) -> DataFrame:
+    """Run a bounded stream to completion (Trigger.AvailableNow) into a
+    memory sink and return the resulting batch DataFrame. For 'update' mode
+    the sink holds the latest emission per key (single-batch drains emit
+    final values)."""
+    name = f"drain_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return sdf.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------------------
+# driver-contract queries: streams drained with AvailableNow, oracle-checked
+# against DuckDB batch SQL over the same parquet
+# ---------------------------------------------------------------------------
+
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return drain_to_batch(
+        windowed_event_counts(ev), output_mode="complete"
+    )
+
+
+STREAM_WINDOWED_SQL = (
+    "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+    "COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) "
+    "/ 1000000.0 AS sum_value "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return drain_to_batch(sessionize_stateful(ev), output_mode="update")
+
+
+STREAM_SESSIONIZE_SQL = """
+WITH lagged AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+FROM lagged GROUP BY user_id
+"""
+
+
+QUERIES = {
+    "stream_windowed_counts": q_stream_windowed,
+    "stream_sessionize_stateful": q_stream_sessionize,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "stream_windowed_counts": STREAM_WINDOWED_SQL,
+        "stream_sessionize_stateful": STREAM_SESSIONIZE_SQL,
+    }
