@@ -94,16 +94,38 @@ def _prepare_side(
     return df.select(*proj)
 
 
-def _status_col(b: Column, a: Column) -> Column:
-    """5-branch per-column status CASE (full_compare.sql.j2:77-85)."""
+def _status_col(b: Column, a: Column, equal: Column | None = None) -> Column:
+    """5-branch per-column status CASE (full_compare.sql.j2:77-85).
+    ``equal`` overrides the match predicate (tolerance modes); default is
+    the reference's plain ``=``."""
     return (
         F.when(b.isNull() & a.isNull(), F.lit(0))
         .when(b.isNull() & a.isNotNull(), F.lit(2))
         .when(b.isNotNull() & a.isNull(), F.lit(3))
-        .when(b == a, F.lit(0))
+        .when(equal if equal is not None else (b == a), F.lit(0))
         .otherwise(F.lit(1))
         .cast(IntegerType())
     )
+
+
+def _equal_pred(
+    b: Column, a: Column, col: str,
+    tolerances: dict[str, float] | None, ts_trunc: str | None,
+    b_type, a_type,
+) -> Column | None:
+    """Optional type-aware match predicate (flag-gated; reference semantics
+    are plain ``=`` and stay the default). ``tolerances[col]`` compares
+    numerics with |b-a| <= tol; ``ts_trunc`` compares timestamps truncated
+    to that unit ('second', 'minute', ...)."""
+    if tolerances and col in tolerances:
+        return F.abs(b.cast("double") - a.cast("double")) <= F.lit(
+            float(tolerances[col])
+        )
+    if ts_trunc and "timestamp" in (
+        b_type.simpleString(), a_type.simpleString()
+    ):
+        return F.date_trunc(ts_trunc, b) == F.date_trunc(ts_trunc, a)
+    return None
 
 
 def diff(
@@ -116,6 +138,9 @@ def diff(
     faithful: bool = False,
     presence_fix: bool = False,
     column_case: str = "upper",
+    tolerances: dict[str, float] | None = None,
+    ts_trunc: str | None = None,
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """Full-outer, null-safe, multi-key table diff.
 
@@ -124,7 +149,16 @@ def diff(
     the default is the single full-outer join rewrite (same semantics, one
     shuffle). ``presence_fix=True`` derives ``_row_status`` from a join
     presence marker instead of first-key NULL-ness, fixing the reference's
-    NULL-first-key misclassification quirk.
+    NULL-first-key misclassification quirk. ``tolerances``/``ts_trunc``
+    relax per-column equality (numeric epsilon / timestamp truncation) —
+    off by default, matching the reference's plain ``=``.
+
+    ``null_safe_keys=False`` joins with plain ``=`` instead of ``<=>``:
+    identical results whenever key columns contain no NULLs (the usual
+    business-key contract) and REQUIRED for the zero-shuffle bucketed-diff
+    path — Spark compiles ``<=>`` to composite ``(coalesce(k, 0),
+    isnull(k))`` join keys, which can never match a bucket spec on ``k``,
+    so bucketed scans are rejected by the planner under null-safe joins.
     """
     if not keys:
         raise ValueError("diff() requires at least one key column")
@@ -153,7 +187,12 @@ def diff(
     else:
         cond = reduce(
             lambda x, y: x & y,
-            [b[_B + k].eqNullSafe(a[_A + k]) for k in keys],
+            [
+                b[_B + k].eqNullSafe(a[_A + k])
+                if null_safe_keys
+                else b[_B + k] == a[_A + k]
+                for k in keys
+            ],
         )
         joined = b.join(a, cond, "full_outer")
 
@@ -177,8 +216,18 @@ def diff(
     # NULL<=>NULL (or is absent on the present side), which is what the
     # key-union produces.
     key_cols = [F.coalesce(F.col(_B + k), F.col(_A + k)).alias(f"K_{k}") for k in keys]
+    if tolerances:
+        tolerances = {_norm(c, column_case): v for c, v in tolerances.items()}
     status_cols = [
-        _status_col(F.col(_B + c), F.col(_A + c)).alias(c) for c in all_cols
+        _status_col(
+            F.col(_B + c),
+            F.col(_A + c),
+            _equal_pred(
+                F.col(_B + c), F.col(_A + c), c, tolerances, ts_trunc,
+                b_types.get(c, a_types.get(c)), a_types.get(c, b_types.get(c)),
+            ),
+        ).alias(c)
+        for c in all_cols
     ]
     return joined.select(row_status, *key_cols, *status_cols)
 
