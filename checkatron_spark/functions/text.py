@@ -101,16 +101,28 @@ def _marker_hits(toks: Column, markers: list[str]) -> Column:
 def lang_id(col: Column) -> Column:
     """Keyword-marker language ID: argmax of per-language marker-token hits,
     'und' (undetermined) when no marker fires. Ties break in the fixed
-    iteration order of LANG_MARKERS (first language wins)."""
+    iteration order of LANG_MARKERS (first language wins).
+
+    Built as ONE ``aggregate`` fold over an array of (hits, lang) structs so
+    every per-language hit count is evaluated exactly once per row — a
+    nested ``when``-chain formulation duplicates each (interpreted,
+    higher-order) hits expression exponentially and was measured ~10x
+    slower at sf0.1."""
     toks = tokens(col)
-    result = F.lit("und")
-    best = F.lit(0)
-    # build argmax as a fold: strictly-greater keeps first-seen on ties
-    for lang, markers in LANG_MARKERS.items():
-        hits = _marker_hits(toks, markers)
-        result = F.when(hits > best, F.lit(lang)).otherwise(result)
-        best = F.when(hits > best, hits).otherwise(best)
-    return result
+    entries = F.array(
+        *[
+            F.struct(
+                _marker_hits(toks, markers).alias("h"), F.lit(lang).alias("lang")
+            )
+            for lang, markers in LANG_MARKERS.items()
+        ]
+    )
+    init = F.struct(F.lit(0).alias("h"), F.lit("und").alias("lang"))
+    # strictly-greater keeps the first-seen language on ties; hits must
+    # beat 0 to displace 'und'
+    return F.aggregate(
+        entries, init, lambda acc, x: F.when(x["h"] > acc["h"], x).otherwise(acc)
+    )["lang"]
 
 
 def normalize_text(col: Column) -> Column:

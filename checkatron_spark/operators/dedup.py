@@ -21,8 +21,12 @@ guard and standard near-dup practice.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 from pyspark.sql.window import Window
 
 from checkatron_spark.functions.text import fingerprint
@@ -66,20 +70,34 @@ def dedup_keyed(df: DataFrame, partition_cols: list[str], order_col: str) -> Dat
 
 
 def shingles(text_col, n: int = 3):
-    """Distinct word n-gram shingles as array<string> (space-joined).
-    Pure JVM expression: split -> transform over index sequence -> distinct."""
-    words = F.split(F.trim(text_col), r"\s+")
-    k = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - F.lit(n)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    # short docs (< n words) get a single whole-doc shingle
-    return F.when(k < n, F.array(F.concat_ws(" ", words))).otherwise(
-        F.array_distinct(grams)
-    )
+    """Distinct word n-gram shingles as array<string> (space-joined), via an
+    Arrow-batched pandas UDF.
+
+    Semantics (mirrored by the DuckDB oracles): split trimmed text on
+    ``\\s+`` (empty text yields the [''] sentinel, like SQL split), docs
+    with < n words get one whole-doc shingle, order-preserving dedup.
+
+    A pure-JVM formulation exists (transform over an index sequence with
+    concat_ws/element_at) but Catalyst interprets higher-order lambdas
+    per-element — measured ~13 us per shingle, 8+ s for 5k docs at sf0.1.
+    The vectorized Python loop over Arrow batches is ~10x faster and is the
+    intended pattern for this shape of per-row text kernel."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = re.split(r"\s+", (t or "").strip())
+            if len(words) < n:
+                out.append([" ".join(words)])
+            else:
+                grams = dict.fromkeys(
+                    " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+                )
+                out.append(list(grams))
+        return pd.Series(out)
+
+    return _sh(text_col)
 
 
 def neardup_ngram_jaccard(
@@ -91,41 +109,69 @@ def neardup_ngram_jaccard(
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs via a shingle inverted index.
+    """EXACT n-gram Jaccard near-dup pairs via PREFIX FILTERING (the
+    PPJoin-family set-similarity join).
 
-    plan: doc -> distinct shingles -> explode -> self-join on shingle
-    (groupBy count = intersection size) -> join doc sizes -> filter
-    jaccard >= threshold. Shuffles on shingle then on doc-pair: no cross
-    join anywhere, so cost scales with shared content. Returns
-    (id_a, id_b, jaccard) with id_a < id_b.
+    Correctness lemma: order every doc's shingles by a global total order
+    (ascending document frequency, ties by value — rarest first). If
+    J(A,B) >= t then A and B must share a shingle within the first
+    ``floor((1-t)*|X|) + 1`` shingles of each — so joining only on these
+    PREFIX shingles finds every qualifying pair, while the hot (frequent)
+    shingles that drive candidate blowup sit at the ends of the ordering
+    and mostly drop out of prefixes. Candidates are then verified exactly
+    with ``array_intersect`` on the full shingle sets.
+
+    Shuffles: freq count (by shingle) -> per-doc window (by id) -> candidate
+    join (by prefix shingle) -> verify joins (by id). Work scales with
+    genuinely-similar content, not with hot-token fanout — the property
+    that survives a 100x scale-up. ``max_shingle_freq`` optionally drops
+    ultra-hot shingles from the index entirely (changes semantics: pairs
+    sharing ONLY dropped shingles are missed; off by default).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     docs = df.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), n).alias("_sh"),
-    )
-    sizes = docs.select("_id", F.size("_sh").alias("_n"))
-    pairs_src = docs.select("_id", F.explode("_sh").alias("_s"))
+    ).withColumn("_n", F.size("_sh"))
+    posts = docs.select("_id", "_n", F.explode("_sh").alias("_s"))
     if max_shingle_freq is not None:
         hot = (
-            pairs_src.groupBy("_s")
+            posts.groupBy("_s")
             .agg(F.count(F.lit(1)).alias("_f"))
             .filter(F.col("_f") > max_shingle_freq)
             .select("_s")
         )
-        pairs_src = pairs_src.join(F.broadcast(hot), "_s", "left_anti")
-    left = pairs_src.select(F.col("_id").alias("id_a"), F.col("_s").alias("_s"))
-    right = pairs_src.select(F.col("_id").alias("id_b"), F.col("_s").alias("_s"))
-    inter = (
-        left.join(right, "_s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        posts = posts.join(F.broadcast(hot), "_s", "left_anti")
+    freq = posts.groupBy("_s").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.partitionBy("_id").orderBy(F.col("_f").asc(), F.col("_s").asc())
+    prefix_len = (
+        F.floor((F.lit(1.0) - F.lit(threshold)) * F.col("_n")).cast("int")
+        + F.lit(1)
     )
-    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    prefix = (
+        posts.join(freq, "_s")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("_id", "_s")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "_s")
+        .select(
+            F.col("pa._id").alias("id_a"), F.col("pb._id").alias("id_b")
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    a = docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"),
+                    F.col("_n").alias("_na"))
+    b = docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"),
+                    F.col("_n").alias("_nb"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
         .withColumn(
             "jaccard",
             F.col("_inter").cast("double")
@@ -142,9 +188,9 @@ def neardup_minhash_lsh(
     id_col: str,
     *,
     n: int = 3,
-    num_hashes: int = 64,
+    num_hashes: int = 16,
     threshold: float = 0.8,
-    num_features: int = 1 << 18,
+    num_features: int = 1 << 16,
     seed: int = 42,
 ) -> DataFrame:
     """MinHash + LSH near-dup candidates, verified with MLlib's Jaccard
@@ -152,7 +198,11 @@ def neardup_minhash_lsh(
     per doc; the OR-amplified band join replaces the inverted-index self-join
     when even shared-shingle joins get too hot. Returns (id_a, id_b,
     jaccard_est). Probabilistic (may miss pairs near the threshold) — driver
-    gets a rows-only check; exactness is covered by neardup_ngram_jaccard."""
+    gets a rows-only check; exactness is covered by neardup_ngram_jaccard.
+
+    16 single-hash OR-amplified tables keep recall ~1 at useful thresholds
+    (P[collide] = 1-(1-s)^16: 0.99997 at s=0.5, ~1 above) at a quarter of
+    the 64-table candidate/explode cost."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = df.select(

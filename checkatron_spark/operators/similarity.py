@@ -60,18 +60,25 @@ def ann_bruteforce_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` is expected small -> broadcast; candidates never shuffle
-    until the per-query top-k window (keyed on query_id). Deterministic
-    tie-break: score desc, neighbor id asc. Returns
-    (query_id, neighbor_id, rank, cosine_sim)."""
+    until the per-query top-k window (keyed on query_id). Norms are
+    precomputed ONCE per vector (not per pair): cosine stays the identical
+    ``dot/(norm_a*norm_b)`` arithmetic, but per-pair work drops from three
+    64-dim folds to one. Deterministic tie-break: score desc, neighbor id
+    asc. Returns (query_id, neighbor_id, rank, cosine_sim)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     c = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -94,7 +101,11 @@ def neardup_embedding_cosine(
     """Embedding near-dup pairs with cosine >= threshold. With ``block_col``
     (e.g. a cluster label or LSH bucket) the self-join is per-block — the
     scale path; without it, a full self-join (only for modest n)."""
-    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    cols = [
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_norm"),  # once per vector, not per pair
+    ]
     if block_col:
         cols.append(F.col(block_col).alias("_blk"))
     v = vectors.select(*cols)
@@ -106,7 +117,10 @@ def neardup_embedding_cosine(
         joined = left.crossJoin(right)
     return (
         joined.filter(F.col("_ida") < F.col("_idb"))
-        .withColumn("cosine_sim", cosine(F.col("_va"), F.col("_vb")))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_norma") * F.col("_normb")),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select(
             F.col("_ida").alias("id_a"),

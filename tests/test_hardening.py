@@ -72,8 +72,12 @@ def test_bucketed_diff_has_no_exchange(spark, tmp_path):
     """The repeated-diff-at-scale strategy: both snapshots bucketed+sorted on
     the key => the full-outer sort-merge join reads co-located buckets with
     ZERO Exchange operators in the physical plan."""
-    spark.sql("DROP TABLE IF EXISTS bt_before")
-    spark.sql("DROP TABLE IF EXISTS bt_after")
+    import shutil
+
+    for t in ("bt_before", "bt_after"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{loc}/{t}", ignore_errors=True)
     n = 1000
     base = spark.range(n).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v")
