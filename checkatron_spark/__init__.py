@@ -17,7 +17,14 @@ DiffSpec                                           declarative spec object
 get_spark()                                        tuned local SparkSession
 """
 
+from checkatron_spark.cli import build_sql, parse_args
+from checkatron_spark.operators.asof import asof_join
 from checkatron_spark.operators.diff import DiffSpec, diff, diff_from_spec
+from checkatron_spark.operators.guard import (
+    DuplicateKeyError,
+    assert_unique_keys,
+    duplicate_keys,
+)
 from checkatron_spark.operators.summary import (
     decode_status,
     diff_drilldown,
@@ -28,13 +35,19 @@ from checkatron_spark.session import get_spark
 
 __all__ = [
     "DiffSpec",
+    "DuplicateKeyError",
+    "asof_join",
+    "assert_unique_keys",
+    "build_sql",
     "decode_status",
     "diff",
     "diff_drilldown",
     "diff_from_spec",
     "diff_summary",
+    "duplicate_keys",
     "get_spark",
     "labeled_counts",
+    "parse_args",
 ]
 
 __version__ = "0.1.0"

@@ -285,6 +285,117 @@ FROM (
 """
 
 
+def q_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style left-semi join: customers holding at least one urgent
+    order. Semi joins shuffle only the keys and short-circuit per match —
+    at scale, prefer them over join+distinct (no fanout, smaller shuffle)."""
+    cust = load_table(spark, "customer", sf_dir)
+    urgent = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+CUSTOMERS_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-EXISTS-style left-anti join (TPC-H Q22 flavor): customers who
+    placed no urgent order (every fixture customer has SOME order, so the
+    priority filter keeps the result non-empty and the check meaningful)."""
+    cust = load_table(spark, "customer", sf_dir)
+    urgent = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+CUSTOMERS_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: order counts + exact revenue at (status,
+    priority), per-status subtotals, and the grand total. One hash
+    aggregate pass with grouping sets — Spark expands the sets map-side,
+    so it's still a single shuffle."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dollars(F.sum(_cents(F.col("o_totalprice")))).alias("sum_price"),
+        )
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       / 100.0 AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_supplier_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (nation, supplier account-balance sign): all grouping-set
+    combinations in one pass."""
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("bal_sign", F.when(F.col("s_acctbal") >= 0, "pos").otherwise("neg"))
+        .cube("n_name", "bal_sign")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+SUPPLIER_CUBE_SQL = """
+SELECT n_name, bal_sign, COUNT(*) AS n_suppliers
+FROM (
+    SELECT n_name,
+           CASE WHEN s_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS bal_sign
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+) GROUP BY CUBE (n_name, bal_sign)
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation: customers and distinct order dates per
+    market segment (expands to a partial-distinct two-phase aggregate)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("o_orderdate").alias("n_order_dates"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+DISTINCT_COUNTS_SQL = """
+SELECT c_mktsegment, COUNT(DISTINCT c_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderdate) AS n_order_dates, COUNT(*) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_top_revenue_orders": q_top_revenue_orders,
@@ -292,11 +403,21 @@ QUERIES = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "customer_running_total": q_customer_running_total,
     "part_type_stats": q_part_type_stats,
+    "customers_semi_join": q_customers_semi,
+    "customers_anti_join": q_customers_anti,
+    "orders_rollup": q_orders_rollup,
+    "supplier_cube": q_supplier_cube,
+    "distinct_counts": q_distinct_counts,
 }
 
 
 def oracles() -> dict[str, str]:
     return {
+        "customers_semi_join": CUSTOMERS_SEMI_SQL,
+        "customers_anti_join": CUSTOMERS_ANTI_SQL,
+        "orders_rollup": ORDERS_ROLLUP_SQL,
+        "supplier_cube": SUPPLIER_CUBE_SQL,
+        "distinct_counts": DISTINCT_COUNTS_SQL,
         "q1_pricing_summary": PRICING_SUMMARY_SQL,
         "q3_top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
         "q5_region_revenue": REGION_REVENUE_SQL,

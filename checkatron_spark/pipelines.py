@@ -362,6 +362,47 @@ FROM lagged GROUP BY user_id
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the value of the latest
+    click by the same user at or before the purchase timestamp. Right side
+    deduped to one row per (user, ts) — max event_id wins — so the match
+    is deterministic (and DuckDB's native ASOF JOIN agrees)."""
+    from checkatron_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    return asof_join(
+        purchases, clicks, on="ts", by=["user_id"], value_cols=["value"]
+    ).select("event_id", "user_id", "asof_value")
+
+
+EVENTS_ASOF_SQL = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id, c.value AS asof_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_hist": q_lang_id_hist,
@@ -378,6 +419,7 @@ QUERIES = {
     "events_windowed": q_events_windowed,
     "events_json_extract": q_events_json,
     "events_sessionize": q_events_sessionize,
+    "events_asof_join": q_events_asof,
 }
 
 
@@ -397,4 +439,5 @@ def oracles() -> dict[str, str]:
         "events_windowed": EVENTS_WINDOWED_SQL,
         "events_json_extract": EVENTS_JSON_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "events_asof_join": EVENTS_ASOF_SQL,
     }
