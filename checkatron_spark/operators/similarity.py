@@ -12,8 +12,10 @@ Two paths:
   angular distance): the approximate scale path when the candidate set is
   too large for per-query full scans.
 
-An IVF-style variant is sketched by ``ivf_assign``: k-means-ish coarse cells
-via sign-of-projection bucketing; probe only matching cells.
+- IVF top-k (``ivf_topk``): a KMeans coarse quantizer assigns every vector
+  to a cell; each query probes only its ``n_probe`` nearest cells. The
+  probe join shuffles on cell id, so per-query work is bounded by cell
+  population instead of corpus size — the classic inverted-file ANN layout.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ __all__ = [
     "ann_bruteforce_topk",
     "neardup_embedding_cosine",
     "ann_lsh_topk",
+    "ivf_topk",
 ]
 
 
@@ -127,6 +130,85 @@ def neardup_embedding_cosine(
             F.col("_idb").alias("id_b"),
             F.round("cosine_sim", 6).alias("cosine_sim"),
         )
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search.
+
+    Index: KMeans over the corpus -> every vector gets a cell id (the
+    coarse quantizer; at 100 TB, fit on a sample and ``transform`` the
+    rest map-side). Search: each query scores the (tiny, driver-collected)
+    centroid table, probes its ``n_probe`` closest cells, and scores only
+    vectors in those cells — the probe join shuffles on cell id, so query
+    cost tracks cell population, not corpus size. Recall is tunable via
+    ``n_probe``/``n_cells``. Probabilistic -> rows-only driver check.
+    Returns (query_id, neighbor_id, rank, cosine_sim)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = vectors.sparkSession
+    feats = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    assigned = model.transform(feats).select(
+        "neighbor_id", "_cv", F.col("prediction").alias("_cell")
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["_cell", "_centroid"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("_cdist").asc(), F.col("_cell").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_cdist",
+            F.aggregate(
+                F.zip_with(
+                    "_qv", "_centroid",
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .withColumn("_crank", F.row_number().over(wc))
+        .filter(F.col("_crank") <= n_probe)
+        .select("query_id", "_qv", "_cell")
+    )
+    scored = (
+        probed.join(assigned, "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cosine_sim", 6).alias("cosine_sim"))
     )
 
 

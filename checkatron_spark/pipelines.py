@@ -273,6 +273,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.ann_lsh_topk(emb, queries, k=3)
 
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (no SQL oracle — probabilistic; recall vs brute force
+    is pinned in tests)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ivf_topk(emb, queries, k=3)
+
 # ---------------------------------------------------------------------------
 # events: windowed aggregation, JSON extraction, sessionization
 # ---------------------------------------------------------------------------
@@ -416,6 +424,7 @@ QUERIES = {
     "ann_bruteforce_topk": q_ann_bruteforce,
     "neardup_embedding_cosine": q_neardup_embedding,
     "ann_lsh_topk": q_ann_lsh,
+    "ann_ivf_topk": q_ann_ivf,
     "events_windowed": q_events_windowed,
     "events_json_extract": q_events_json,
     "events_sessionize": q_events_sessionize,

@@ -1,0 +1,106 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correctness says a query returns the right rows; these tests pin that it
+returns them with the right PLAN: filters reaching the parquet scan,
+small dims broadcast, no accidental cartesian products, partial (map-side)
+aggregation, and the diff staying a single equi-join. A plan regression at
+sf0.001 is a cluster regression at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from checkatron_spark import diff
+from checkatron_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = (
+        load_table(spark, "orders", SF_DIR)
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+    # column pruning: only the two referenced columns in ReadSchema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_custkey" not in read_schema
+
+
+def test_diff_is_single_equijoin(spark):
+    orders = load_table(spark, "orders", SF_DIR)
+    d = diff(orders, orders.limit(10), ["o_orderkey"])
+    plan = _plan(d)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one join operator total
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = entrymod.queries()["q5_region_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    # supplier, nation, region ride broadcast joins; no cartesian anywhere
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_aggregation_is_partial_final(spark):
+    df = entrymod.queries()["q1_pricing_summary"](spark, SF_DIR)
+    plan = _plan(df)
+    # map-side combine: a partial & a final HashAggregate pair
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_no_cartesian_in_any_query(spark):
+    """Every declared query must avoid CartesianProduct — the one-way door
+    at scale. (BroadcastNestedLoop is tolerated only for the deliberately
+    brute-force small-side scorers.)"""
+    allowed_bnl = {"ann_bruteforce_topk", "neardup_embedding_cosine", "ann_ivf_topk"}
+    for name, q in entrymod.queries().items():
+        if name.startswith("stream_"):
+            continue  # streaming drains run eagerly; plan asserted elsewhere
+        df = q(spark, SF_DIR)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, f"{name} has a CartesianProduct"
+        if name not in allowed_bnl:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} has a BroadcastNestedLoopJoin"
+            )
+
+
+def test_wide_table_diff_300_cols(spark):
+    """Per-column CASE projection on a 300-column table: stays within (or
+    gracefully falls back from) codegen limits (SURVEY.md §7.5)."""
+    n_cols = 300
+    base = spark.range(50).select(
+        F.col("id").alias("k"),
+        *[(F.col("id") + i).alias(f"c{i}") for i in range(n_cols)],
+    )
+    changed = spark.range(50).select(
+        F.col("id").alias("k"),
+        *[
+            ((F.col("id") + i) + F.when(F.lit(i == 7), 1).otherwise(0)).alias(
+                f"c{i}"
+            )
+            for i in range(n_cols)
+        ],
+    )
+    d = diff(base, changed, ["k"])
+    assert len(d.columns) == 1 + 1 + 1 + n_cols  # _row_status, K_K, K, c*
+    agg = d.agg(
+        F.sum("C7").alias("c7"), F.sum("C8").alias("c8")
+    ).collect()[0]
+    assert agg.c7 == 50 and agg.c8 == 0  # only c7 differs, every row
