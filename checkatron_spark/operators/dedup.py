@@ -238,19 +238,23 @@ def simhash64(text_col_sql: str):
     naming the text column. Returns BIGINT.
 
     (Written with F.expr because the Python shiftleft/shiftright wrappers
-    only accept literal shift amounts; SQL-side `>>`/shiftleft take columns.)
+    only accept literal shift amounts; SQL-side `>>`/shiftleft take columns.
+    The inner ``transform`` hashes each token ONCE before the bit fold —
+    inlining xxhash64 into the per-bit lambda would recompute it 64x per
+    token in the interpreted evaluator.)
     """
     return F.expr(
         f"""
         aggregate(
             zip_with(
                 aggregate(
-                    array_distinct(split(trim({text_col_sql}), '\\\\s+')),
+                    transform(array_distinct(split(trim({text_col_sql}), '\\\\s+')),
+                              w -> xxhash64(w)),
                     array_repeat(0, 64),
-                    (acc, w) -> zip_with(
+                    (acc, h) -> zip_with(
                         acc,
                         transform(sequence(0, 63),
-                                  j -> IF(shiftright(xxhash64(w), j) & 1 = 1, 1, -1)),
+                                  j -> IF(shiftright(h, j) & 1 = 1, 1, -1)),
                         (s, d) -> s + d
                     )
                 ),
