@@ -43,7 +43,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import IntegerType, MapType
 
 __all__ = ["DiffSpec", "diff", "diff_from_spec"]
 
@@ -125,6 +125,11 @@ def _equal_pred(
         b_type.simpleString(), a_type.simpleString()
     ):
         return F.date_trunc(ts_trunc, b) == F.date_trunc(ts_trunc, a)
+    if isinstance(b_type, MapType) or isinstance(a_type, MapType):
+        # whole-value equality for multimodal/nested columns: arrays and
+        # structs compare natively, but Spark forbids `=` on maps —
+        # canonicalize to key-sorted entry arrays first
+        return F.array_sort(F.map_entries(b)) == F.array_sort(F.map_entries(a))
     return None
 
 

@@ -68,12 +68,13 @@ def ann_bruteforce_topk(
     ``dot/(norm_a*norm_b)`` arithmetic, but per-pair work drops from three
     64-dim folds to one. Deterministic tie-break: score desc, neighbor id
     asc. Returns (query_id, neighbor_id, rank, cosine_sim)."""
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.col(id_col).alias("query_id"), dv.alias("_qv"),
         l2_norm(F.col(vec_col)).alias("_qn"),
     )
     c = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        F.col(id_col).alias("neighbor_id"), dv.alias("_cv"),
         l2_norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
@@ -104,10 +105,14 @@ def neardup_embedding_cosine(
     """Embedding near-dup pairs with cosine >= threshold. With ``block_col``
     (e.g. a cluster label or LSH bucket) the self-join is per-block — the
     scale path; without it, a full self-join (only for modest n)."""
+    # precast to array<double> and precompute the norm ONCE per vector —
+    # per-pair work is then a single fold with no element casts
+    # (float -> double is exact, so values are unchanged)
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cols = [
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        l2_norm(F.col(vec_col)).alias("_norm"),  # once per vector, not per pair
+        dv.alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_norm"),
     ]
     if block_col:
         cols.append(F.col(block_col).alias("_blk"))

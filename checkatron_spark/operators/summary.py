@@ -42,10 +42,22 @@ def _count_if(cond: Column, alias: str) -> Column:
     return F.count_if(cond).alias(alias)
 
 
-def diff_summary(diff_df: DataFrame) -> DataFrame:
+def diff_summary(
+    diff_df: DataFrame, *, exclude: list[str] | None = None
+) -> DataFrame:
     """One-row summary: totals + row-presence + any-value-difference counts
-    (conditional-sum aggregation A2, tools/step_ledger.py:254-258)."""
+    (conditional-sum aggregation A2, tools/step_ledger.py:254-258).
+
+    ``exclude`` drops columns from the changed-row predicate — schema-drift
+    columns (present on one side only) are status 2/3 on EVERY row by
+    construction, so counting them as "changed" would mark the whole table;
+    the reference's published sample expectation ("2 rows with differences",
+    README.md:201, with drift column NEW_COLUMN=2 everywhere) only holds
+    with the drift column excluded."""
     vcols = _value_cols(diff_df)
+    if exclude:
+        dropped = {c.upper() for c in exclude}
+        vcols = [c for c in vcols if c.upper() not in dropped]
     any_diff = reduce(
         lambda x, y: x | y, [F.col(f"`{c}`") > 0 for c in vcols], F.lit(False)
     )
@@ -82,9 +94,11 @@ def decode_status(diff_df: DataFrame, column: str) -> DataFrame:
         .when(F.col("_row_status") == 5, ROW_STATUS_LABELS[5])
         .otherwise(F.lit("PRESENT_BOTH"))
     )
+    keys = [c for c in diff_df.columns if c.startswith("K_")]
     return diff_df.select(
         F.col("_row_status"),
         row_label.alias("row_label"),
+        *keys,
         col.alias(column),
         label.alias(f"{column}_label"),
     )
