@@ -370,6 +370,49 @@ FROM lagged GROUP BY user_id
 """
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session windows: per-user sessions merged under a 30-minute
+    gap, via F.session_window (Spark's native session aggregation — state
+    merges adjacent windows instead of keeping per-event rows).
+
+    Boundary semantics: Spark merges an event into a session iff
+    ts < session_end (= last_ts + gap), i.e. a gap of EXACTLY 30 minutes
+    starts a new session — the oracle's island computation uses `>=` to
+    match."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+EVENTS_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM islands GROUP BY user_id, sess_id
+"""
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event picks up the value of the latest
     click by the same user at or before the purchase timestamp. Right side
@@ -428,6 +471,7 @@ QUERIES = {
     "events_windowed": q_events_windowed,
     "events_json_extract": q_events_json,
     "events_sessionize": q_events_sessionize,
+    "events_session_window": q_events_session_window,
     "events_asof_join": q_events_asof,
 }
 
@@ -448,5 +492,6 @@ def oracles() -> dict[str, str]:
         "events_windowed": EVENTS_WINDOWED_SQL,
         "events_json_extract": EVENTS_JSON_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "events_session_window": EVENTS_SESSION_WINDOW_SQL,
         "events_asof_join": EVENTS_ASOF_SQL,
     }

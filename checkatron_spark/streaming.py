@@ -178,6 +178,56 @@ def drain_to_batch(
     return sdf.sparkSession.table(name)
 
 
+def stream_diff(
+    stream: DataFrame,
+    baseline: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Streaming diff: score every incoming row against a static baseline
+    snapshot — the reference's per-column status semantics
+    (/root/reference/checkatron/templates/full_compare.sql.j2:77-85) in
+    continuous form.
+
+    Stream-static left join (Spark broadcasts/rescans the static side per
+    micro-batch; no state is kept, so this runs forever at constant
+    memory). Per shared column: 0 match (incl. both NULL), 1 different,
+    2 NULL-in-stream-only, 3 NULL-in-baseline-only; ``_row_status`` = 4
+    when the key is absent from the baseline (a "new" row, mirroring
+    missing-in-before). Missing-in-stream (5) is undefined while the
+    stream is unbounded — absence isn't observable until a watermark
+    closes, which is the windowed-agg operators' job."""
+    b = baseline.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in keys],
+        *[F.col(c).alias(f"_bv_{c}") for c in compare_cols],
+        F.lit(True).alias("_b_present"),
+    )
+    cond = None
+    for k in keys:
+        c = stream[k].eqNullSafe(b[f"_bk_{k}"])
+        cond = c if cond is None else cond & c
+    joined = stream.join(b, cond, "left")
+    status_cols = []
+    for c in compare_cols:
+        s, bl = F.col(c), F.col(f"_bv_{c}")
+        status_cols.append(
+            F.when(bl.isNull() & s.isNull(), F.lit(0))
+            .when(bl.isNull() & s.isNotNull(), F.lit(2))
+            .when(bl.isNotNull() & s.isNull(), F.lit(3))
+            .when(bl == s, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias(f"status_{c}")
+        )
+    row_status = (
+        F.when(F.col("_b_present").isNull(), F.lit(4))
+        .otherwise(F.lit(None))
+        .cast("int")
+        .alias("_row_status")
+    )
+    return joined.select(*keys, row_status, *status_cols)
+
+
 # ---------------------------------------------------------------------------
 # driver-contract queries: streams drained with AvailableNow, oracle-checked
 # against DuckDB batch SQL over the same parquet
@@ -204,6 +254,55 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_batch(sessionize_stateful(ev), output_mode="update")
 
 
+def q_stream_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming diff of the events stream against a deterministically
+    perturbed baseline: events with id % 7 == 0 are absent from the
+    baseline (-> _row_status 4) and values at id % 5 == 0 are shifted by
+    +1.0 (-> status_value 1)."""
+    from checkatron_spark.sources.tables import load_table
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    baseline = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 7 != 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.when(F.col("event_id") % 5 == 0, F.col("value") + F.lit(1.0))
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+    )
+    return drain_to_batch(
+        stream_diff(stream, baseline, ["event_id"], ["event_type", "value"]),
+        output_mode="append",
+    )
+
+
+STREAM_DIFF_SQL = """
+WITH baseline AS (
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS value
+    FROM events WHERE event_id % 7 <> 0
+)
+SELECT e.event_id,
+       CAST(CASE WHEN b.event_id IS NULL THEN 4 END AS INTEGER) AS "_row_status",
+       CAST(CASE WHEN b.event_type IS NULL AND e.event_type IS NULL THEN 0
+                 WHEN b.event_type IS NULL AND e.event_type IS NOT NULL THEN 2
+                 WHEN b.event_type IS NOT NULL AND e.event_type IS NULL THEN 3
+                 WHEN b.event_type = e.event_type THEN 0 ELSE 1 END
+            AS INTEGER) AS status_event_type,
+       CAST(CASE WHEN b.value IS NULL AND e.value IS NULL THEN 0
+                 WHEN b.value IS NULL AND e.value IS NOT NULL THEN 2
+                 WHEN b.value IS NOT NULL AND e.value IS NULL THEN 3
+                 WHEN b.value = e.value THEN 0 ELSE 1 END
+            AS INTEGER) AS status_value
+FROM events e LEFT JOIN baseline b ON e.event_id = b.event_id
+"""
+
+
 STREAM_SESSIONIZE_SQL = """
 WITH lagged AS (
     SELECT user_id,
@@ -221,6 +320,7 @@ FROM lagged GROUP BY user_id
 QUERIES = {
     "stream_windowed_counts": q_stream_windowed,
     "stream_sessionize_stateful": q_stream_sessionize,
+    "stream_diff_vs_baseline": q_stream_diff,
 }
 
 
@@ -228,4 +328,5 @@ def oracles() -> dict[str, str]:
     return {
         "stream_windowed_counts": STREAM_WINDOWED_SQL,
         "stream_sessionize_stateful": STREAM_SESSIONIZE_SQL,
+        "stream_diff_vs_baseline": STREAM_DIFF_SQL,
     }
