@@ -1,13 +1,27 @@
 """Shared test fixtures: one SparkSession per test run, plus a DuckDB-oracle
-comparison helper."""
+comparison helper.
+
+Modules that read the driver-generated fixtures set a module-level
+``REQUIRES_TESTDATA = True``; those tests auto-skip where /root/testdata is
+absent (e.g. plain CI runners) so the pure-unit suite still runs."""
 
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
 from pyspark.sql import SparkSession
+
+TESTDATA_DIR = "/root/testdata"
+
+
+def pytest_runtest_setup(item):
+    if getattr(item.module, "REQUIRES_TESTDATA", False) and not os.path.isdir(
+        TESTDATA_DIR
+    ):
+        pytest.skip("driver parquet fixtures not available on this machine")
 
 
 @pytest.fixture(scope="session")

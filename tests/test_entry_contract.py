@@ -17,6 +17,8 @@ import pytest
 import __spark_entry__ as entrymod
 from checkatron_spark.sources.tables import TABLES
 
+REQUIRES_TESTDATA = True  # auto-skip without driver fixtures (conftest)
+
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

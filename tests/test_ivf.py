@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from checkatron_spark.operators.similarity import ann_bruteforce_topk, ivf_topk
 from checkatron_spark.sources.tables import load_table
 
+REQUIRES_TESTDATA = True  # auto-skip without driver fixtures (conftest)
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from checkatron_spark import diff
 
+REQUIRES_TESTDATA = True  # auto-skip without driver fixtures (conftest)
+
 SCHEMA = (
     "k int, arr array<int>, st struct<x:int,y:string>, "
     "mp map<string,int>, bin binary"

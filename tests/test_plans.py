@@ -15,6 +15,8 @@ import __spark_entry__ as entrymod
 from checkatron_spark import diff
 from checkatron_spark.sources.tables import load_table
 
+REQUIRES_TESTDATA = True  # auto-skip without driver fixtures (conftest)
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from checkatron_spark import streaming as ST
 from checkatron_spark.sources.tables import load_table
 
+REQUIRES_TESTDATA = True  # auto-skip without driver fixtures (conftest)
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
