@@ -136,6 +136,39 @@ TOKEN_FREQ_SQL = (
 # dedup
 # ---------------------------------------------------------------------------
 
+def q_doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregation (sort-based, not approximate): corpus
+    length distribution per language — the profiling query every data
+    pipeline runs before setting filter thresholds. Values rounded to 4
+    decimals: Spark and DuckDB interpolate quantiles with the same
+    definition but different FP op order (~1e-13 apart)."""
+    docs = load_table(spark, "documents", sf_dir)
+    p = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    return (
+        docs.groupBy("lang")
+        .agg(p.alias("_p"), F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "lang",
+            F.round(F.element_at("_p", 1), 4).alias("p50"),
+            F.round(F.element_at("_p", 2), 4).alias("p90"),
+            F.round(F.element_at("_p", 3), 4).alias("p99"),
+            "n_docs",
+        )
+    )
+
+
+DOC_LENGTH_PERCENTILES_SQL = """
+SELECT lang,
+       round(q[1], 4) AS p50, round(q[2], 4) AS p90, round(q[3], 4) AS p99,
+       n_docs
+FROM (
+    SELECT lang, quantile_cont(n_chars, [0.5, 0.9, 0.99]) AS q,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_exact(load_table(spark, "documents", sf_dir), "text", "doc_id")
 
@@ -459,6 +492,7 @@ QUERIES = {
     "lang_id_hist": q_lang_id_hist,
     "doc_fingerprints": q_fingerprints,
     "token_freq": q_token_freq,
+    "doc_length_percentiles": q_doc_length_percentiles,
     "dedup_exact": q_dedup_exact,
     "dedup_keyed": q_dedup_keyed,
     "neardup_ngram_jaccard": q_neardup_jaccard,
@@ -482,6 +516,7 @@ def oracles() -> dict[str, str]:
         "lang_id_hist": lang_id_hist_sql(),
         "doc_fingerprints": FINGERPRINTS_SQL,
         "token_freq": TOKEN_FREQ_SQL,
+        "doc_length_percentiles": DOC_LENGTH_PERCENTILES_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_keyed": DEDUP_KEYED_SQL,
         "neardup_ngram_jaccard": NEARDUP_JACCARD_SQL,
