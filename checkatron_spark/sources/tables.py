@@ -89,6 +89,27 @@ def write_differences_only(
     w.parquet(path)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    *,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Hive-partitioned parquet layout — the 100 TB table organization.
+
+    Partition columns become directories, so a filter on them prunes whole
+    directories BEFORE any IO (static partition pruning; joins prune
+    dynamically). ``sort_by`` sorts within files so parquet row-group
+    min/max stats also skip pages for range filters on those columns.
+    Date-sliced diffs (reference README.md:288-291 recommends date-bounded
+    comparisons) become partition-pruned scans under this layout."""
+    w = df
+    if sort_by:
+        w = w.sortWithinPartitions(*sort_by)
+    w.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
 def save_bucketed(
     df: DataFrame, table: str, keys: list[str], buckets: int = 32
 ) -> None:

@@ -8,7 +8,6 @@ sf0.001 is a cluster regression at 100 TB."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
@@ -81,6 +80,27 @@ def test_no_cartesian_in_any_query(spark):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name} has a BroadcastNestedLoopJoin"
             )
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Date-partitioned layout: a day filter must prune partitions at plan
+    time (PartitionFilters on the scan), not read-then-filter."""
+    from checkatron_spark.sources.tables import write_partitioned
+
+    ev = load_table(spark, "events", SF_DIR).withColumn(
+        "day", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_partitioned(ev, out, ["day"], sort_by=["ts"])
+
+    one_day = spark.read.parquet(out).filter(
+        F.col("day") == F.lit("2024-01-03").cast("date")
+    )
+    plan = _plan(one_day)
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "day" in pf and "2024-01-03" in pf
+    # the pruned scan reads a strict subset of the data
+    assert 0 < one_day.count() < spark.read.parquet(out).count()
 
 
 def test_wide_table_diff_300_cols(spark):

@@ -5,7 +5,6 @@ plans), and the stateful sessionizer must carry state across micro-batches.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from checkatron_spark import streaming as ST
