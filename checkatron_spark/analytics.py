@@ -396,6 +396,97 @@ GROUP BY c_mktsegment
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — the query whose entire
+    cost is how little of the file the scan reads (predicate pushdown +
+    column pruning; see tests/test_plans.py)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1997-01-01'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1998-01-01'"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dollars(
+                F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_quantity < 24
+"""
+
+
+def q_parts_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape: parts priced above their own
+    type's average. Decorrelated Spark-side as a window average — one
+    shuffle on p_type instead of a per-row subquery. Average in exact
+    integer cents so the threshold compare is FP-free."""
+    part = load_table(spark, "part", sf_dir)
+    w = Window.partitionBy("p_type")
+    price_c = _cents(F.col("p_retailprice"))
+    return (
+        part.withColumn("_sum_c", F.sum(price_c).over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        # exact compare: price*n > sum  <=>  price > avg, all in BIGINT
+        .filter(price_c * F.col("_n") > F.col("_sum_c"))
+        .select("p_partkey", "p_type", "p_retailprice")
+    )
+
+
+PARTS_ABOVE_TYPE_AVG_SQL = """
+SELECT p_partkey, p_type, p_retailprice
+FROM part p
+WHERE CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+      * (SELECT COUNT(*) FROM part p2 WHERE p2.p_type = p.p_type)
+    > (SELECT SUM(CAST(floor(p2.p_retailprice * 100.0 + 0.5) AS BIGINT))
+       FROM part p2 WHERE p2.p_type = p.p_type)
+"""
+
+
+def q_repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both 1996 and 1997 (set-op coverage
+    beyond the reference's UNION/UNION ALL)."""
+    orders = load_table(spark, "orders", sf_dir)
+    y96 = orders.filter(F.expr("year(o_orderdate) = 1996")).select("o_custkey")
+    y97 = orders.filter(F.expr("year(o_orderdate) = 1997")).select("o_custkey")
+    return y96.intersect(y97)
+
+
+REPEAT_CUSTOMERS_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+def q_churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers active in 1996 but not in 1997."""
+    orders = load_table(spark, "orders", sf_dir)
+    y96 = orders.filter(F.expr("year(o_orderdate) = 1996")).select("o_custkey")
+    y97 = orders.filter(F.expr("year(o_orderdate) = 1997")).select("o_custkey")
+    # subtract = SQL EXCEPT (set semantics): a 1996 customer with ANY 1997
+    # order is excluded, regardless of multiplicities on either side
+    return y96.subtract(y97)
+
+
+CHURNED_CUSTOMERS_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_top_revenue_orders": q_top_revenue_orders,
@@ -408,6 +499,10 @@ QUERIES = {
     "orders_rollup": q_orders_rollup,
     "supplier_cube": q_supplier_cube,
     "distinct_counts": q_distinct_counts,
+    "q6_forecast_revenue": q_forecast_revenue,
+    "parts_above_type_avg": q_parts_above_type_avg,
+    "repeat_customers_intersect": q_repeat_customers_intersect,
+    "churned_customers_except": q_churned_customers_except,
 }
 
 
@@ -415,6 +510,10 @@ def oracles() -> dict[str, str]:
     return {
         "customers_semi_join": CUSTOMERS_SEMI_SQL,
         "customers_anti_join": CUSTOMERS_ANTI_SQL,
+        "q6_forecast_revenue": FORECAST_REVENUE_SQL,
+        "parts_above_type_avg": PARTS_ABOVE_TYPE_AVG_SQL,
+        "repeat_customers_intersect": REPEAT_CUSTOMERS_INTERSECT_SQL,
+        "churned_customers_except": CHURNED_CUSTOMERS_EXCEPT_SQL,
         "orders_rollup": ORDERS_ROLLUP_SQL,
         "supplier_cube": SUPPLIER_CUBE_SQL,
         "distinct_counts": DISTINCT_COUNTS_SQL,
