@@ -132,6 +132,68 @@ TOKEN_FREQ_SQL = (
     f"(SELECT unnest({_TOKS}) AS token FROM documents) GROUP BY 1"
 )
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf: top-3 terms per document. The classic three-shuffle text
+    pipeline — tf by (doc, token), document frequency by token, idf join
+    back, per-doc top-k window.
+
+    Determinism: scores are rounded to 6 decimals BEFORE ranking, so the
+    sub-ulp differences between JVM and libm ln() can neither change a
+    printed score nor flip an ordering (ties then break on the token
+    string identically in both engines)."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.select(F.count(F.lit(1)).alias("_N"))
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("_N").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH tf AS (
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+    GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, tf.token,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+    FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+)
+SELECT doc_id, token, tfidf, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token) AS rnk
+    FROM scored
+)
+WHERE rnk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -493,6 +555,7 @@ QUERIES = {
     "doc_fingerprints": q_fingerprints,
     "token_freq": q_token_freq,
     "doc_length_percentiles": q_doc_length_percentiles,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_exact": q_dedup_exact,
     "dedup_keyed": q_dedup_keyed,
     "neardup_ngram_jaccard": q_neardup_jaccard,
@@ -517,6 +580,7 @@ def oracles() -> dict[str, str]:
         "doc_fingerprints": FINGERPRINTS_SQL,
         "token_freq": TOKEN_FREQ_SQL,
         "doc_length_percentiles": DOC_LENGTH_PERCENTILES_SQL,
+        "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_keyed": DEDUP_KEYED_SQL,
         "neardup_ngram_jaccard": NEARDUP_JACCARD_SQL,

@@ -49,6 +49,19 @@ def test_diff_is_single_equijoin(spark):
     ) == 1
 
 
+def test_faithful_mode_costs_more_exchanges(spark):
+    """The faithful 3-CTE plan (key-UNION + two left joins) is kept only
+    for oracle cross-checks: it must show strictly more shuffles than the
+    default single full-outer rewrite — the measurable reason the rewrite
+    exists."""
+    orders = load_table(spark, "orders", SF_DIR)
+    d_fast = diff(orders, orders.limit(10), ["o_orderkey"])
+    d_faith = diff(orders, orders.limit(10), ["o_orderkey"], faithful=True)
+    fast_x = _plan(d_fast).count("Exchange")
+    faith_x = _plan(d_faith).count("Exchange")
+    assert faith_x > fast_x, (fast_x, faith_x)
+
+
 def test_q5_broadcasts_dimensions(spark):
     df = entrymod.queries()["q5_region_revenue"](spark, SF_DIR)
     plan = _plan(df)
@@ -69,7 +82,11 @@ def test_no_cartesian_in_any_query(spark):
     """Every declared query must avoid CartesianProduct — the one-way door
     at scale. (BroadcastNestedLoop is tolerated only for the deliberately
     brute-force small-side scorers.)"""
-    allowed_bnl = {"ann_bruteforce_topk", "neardup_embedding_cosine", "ann_ivf_topk"}
+    # brute-force small-side scorers + scalar (1-row) broadcast crossJoins
+    allowed_bnl = {
+        "ann_bruteforce_topk", "neardup_embedding_cosine", "ann_ivf_topk",
+        "tfidf_top_terms",
+    }
     for name, q in entrymod.queries().items():
         if name.startswith("stream_"):
             continue  # streaming drains run eagerly; plan asserted elsewhere
