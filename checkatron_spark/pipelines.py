@@ -132,6 +132,53 @@ TOKEN_FREQ_SQL = (
     f"(SELECT unnest({_TOKS}) AS token FROM documents) GROUP BY 1"
 )
 
+def q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation gate a training pipeline runs: keep documents
+    passing quality >= 0.5, stopword ratio <= 0.6, and a predicted-language
+    allowlist; report kept docs with their scores. Pure projection+filter —
+    embarrassingly parallel, fully pushed down."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        T.quality_score(t).alias("quality"),
+        T.stopword_ratio(t).alias("stop_ratio"),
+        T.lang_id(t).alias("lang_pred"),
+    )
+    return scored.filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("stop_ratio") <= 0.6)
+        & F.col("lang_pred").isin("en", "es", "de")
+    )
+
+
+def curation_filter_sql() -> str:
+    quality = """
+    greatest(least(
+        least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+        + least((CASE WHEN len({toks}) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter({toks}, t -> t IN ({stops}))) AS DOUBLE)
+                      / CAST(len({toks}) AS DOUBLE) END) * 4.0, 1.0) * 0.5
+        - least((CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                      / CAST(length(text) AS DOUBLE) END) * 2.0, 1.0) * 0.25,
+    1.0), 0.0)
+    """.format(toks=_TOKS, stops=_STOPS)
+    stop_ratio = (
+        f"CASE WHEN len({_TOKS}) = 0 THEN 0.0 "
+        f"ELSE CAST(len(list_filter({_TOKS}, t -> t IN ({_STOPS}))) AS DOUBLE)"
+        f" / CAST(len({_TOKS}) AS DOUBLE) END"
+    )
+    return (
+        f"SELECT doc_id, source, {quality} AS quality, "
+        f"{stop_ratio} AS stop_ratio, {_lang_id_sql_expr()} AS lang_pred "
+        f"FROM documents "
+        f"WHERE {quality} >= 0.5 AND ({stop_ratio}) <= 0.6 "
+        f"AND {_lang_id_sql_expr()} IN ('en', 'es', 'de')"
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf: top-3 terms per document. The classic three-shuffle text
     pipeline — tf by (doc, token), document frequency by token, idf join
@@ -556,6 +603,7 @@ QUERIES = {
     "token_freq": q_token_freq,
     "doc_length_percentiles": q_doc_length_percentiles,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "curation_filter": q_curation_filter,
     "dedup_exact": q_dedup_exact,
     "dedup_keyed": q_dedup_keyed,
     "neardup_ngram_jaccard": q_neardup_jaccard,
@@ -581,6 +629,7 @@ def oracles() -> dict[str, str]:
         "token_freq": TOKEN_FREQ_SQL,
         "doc_length_percentiles": DOC_LENGTH_PERCENTILES_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
+        "curation_filter": curation_filter_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_keyed": DEDUP_KEYED_SQL,
         "neardup_ngram_jaccard": NEARDUP_JACCARD_SQL,

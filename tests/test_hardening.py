@@ -103,3 +103,22 @@ def test_bucketed_diff_has_no_exchange(spark, tmp_path):
     counts = {r.V: r["cnt"] for r in d.groupBy("V").agg(F.count("*").alias("cnt")).collect()}
     # id=0 is "changed" to 0*3 == 0*2, so it still matches
     assert counts == {0: n - n // 10 + 1, 1: n // 10 - 1}
+
+
+def test_diff_empty_sides(spark):
+    """Empty before, empty after, and both-empty diffs must be well-formed
+    (every row 4/5, or zero rows) — the degenerate cases a scheduler can
+    feed a diff job."""
+    full = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    empty = spark.createDataFrame([], "k int, v string")
+
+    d1 = diff(empty, full, ["k"])
+    assert d1.count() == 2
+    assert d1.filter("_row_status = 4").count() == 2
+
+    d2 = diff(full, empty, ["k"])
+    assert d2.filter("_row_status = 5").count() == 2
+
+    d3 = diff(empty, empty, ["k"])
+    assert d3.count() == 0
+    assert d3.columns == ["_row_status", "K_K", "K", "V"]
