@@ -555,6 +555,36 @@ FROM islands GROUP BY user_id, sess_id
 """
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: attribute every event to the 2-hour maintenance windows
+    that contain it. Windows are synthesized deterministically (one per
+    event_id % 97 == 0, [ts, ts + 2h)); the binned equi-join formulation
+    keeps the plan a hash join, never a nested loop."""
+    from checkatron_spark.operators.rangejoin import range_join_binned
+
+    ev = load_table(spark, "events", sf_dir)
+    windows = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    points = ev.select("event_id", "ts")
+    return range_join_binned(
+        points, windows, point_ts="ts", start_ts="w_start", end_ts="w_end",
+        bin_seconds=3600,
+    ).select("event_id", "window_id")
+
+
+EVENTS_RANGE_JOIN_SQL = """
+WITH windows AS (
+    SELECT event_id AS window_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+    FROM events WHERE event_id % 97 = 0
+)
+SELECT e.event_id, w.window_id
+FROM events e JOIN windows w ON e.ts >= w.w_start AND e.ts < w.w_end
+"""
+
+
 def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event picks up the value of the latest
     click by the same user at or before the purchase timestamp. Right side
@@ -618,6 +648,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
     "events_asof_join": q_events_asof,
+    "events_range_join": q_events_range_join,
 }
 
 
@@ -642,4 +673,5 @@ def oracles() -> dict[str, str]:
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "events_session_window": EVENTS_SESSION_WINDOW_SQL,
         "events_asof_join": EVENTS_ASOF_SQL,
+        "events_range_join": EVENTS_RANGE_JOIN_SQL,
     }
