@@ -487,6 +487,23 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
 """
 
 
+def q_approx_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregation: HyperLogLog++ distinct counts and a
+    t-digest-style approximate quantile per segment — the constant-memory
+    versions of distinct_counts/percentiles for 100 TB cardinalities.
+    No SQL oracle (sketches are engine-specific); accuracy vs the exact
+    answers is pinned in tests/test_approx.py."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q_pricing_summary,
     "q3_top_revenue_orders": q_top_revenue_orders,
@@ -503,6 +520,7 @@ QUERIES = {
     "parts_above_type_avg": q_parts_above_type_avg,
     "repeat_customers_intersect": q_repeat_customers_intersect,
     "churned_customers_except": q_churned_customers_except,
+    "approx_distincts": q_approx_distincts,
 }
 
 
