@@ -11,8 +11,10 @@ no state, pushdown-friendly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 __all__ = [
     "tokens",
@@ -23,6 +25,8 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "rolling_hash",
+    "winnow_min_hash",
     "normalize_text",
     "STOPWORDS",
     "LANG_MARKERS",
@@ -123,6 +127,66 @@ def lang_id(col: Column) -> Column:
     return F.aggregate(
         entries, init, lambda acc, x: F.when(x["h"] > acc["h"], x).otherwise(acc)
     )["lang"]
+
+
+ROLL_BASE = 31
+ROLL_MOD = (1 << 31) - 1  # Mersenne prime: products stay well under 2^63
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial rolling hash of the whole document (Rabin-Karp family):
+    ``h = fold(chars, (acc, c) -> (acc*31 + code(c)) mod (2^31-1))``.
+
+    Pure integer arithmetic -> exactly reproducible in any engine (the
+    DuckDB oracle folds ascii codes with the same recurrence). Arrow-
+    batched pandas UDF: O(n) per document, no Catalyst HOF interpretation.
+    """
+    @F.pandas_udf(LongType())
+    def _rh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            acc = 0
+            for ch in (t or ""):
+                acc = (acc * ROLL_BASE + ord(ch)) % ROLL_MOD
+            out.append(acc)
+        return pd.Series(out, dtype="int64")
+
+    return _rh(col)
+
+
+def winnow_min_hash(col: Column, k: int = 16) -> Column:
+    """Winnowing-style fingerprint: the MINIMUM rolling hash over all
+    k-character grams (the degenerate single-window case of the winnowing
+    scheme — enough to detect shared k-grams across documents). True
+    O(n) rolling update per gram; documents shorter than k fall back to
+    the whole-text hash."""
+    pow_k = pow(ROLL_BASE, k - 1, ROLL_MOD)
+
+    @F.pandas_udf(LongType())
+    def _wmh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            s = t or ""
+            if len(s) < k:
+                acc = 0
+                for ch in s:
+                    acc = (acc * ROLL_BASE + ord(ch)) % ROLL_MOD
+                out.append(acc)
+                continue
+            h = 0
+            for ch in s[:k]:
+                h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
+            best = h
+            for i in range(1, len(s) - k + 1):
+                h = (
+                    (h - ord(s[i - 1]) * pow_k) * ROLL_BASE + ord(s[i + k - 1])
+                ) % ROLL_MOD
+                if h < best:
+                    best = h
+            out.append(best)
+        return pd.Series(out, dtype="int64")
+
+    return _wmh(col)
 
 
 def normalize_text(col: Column) -> Column:

@@ -116,6 +116,37 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 FINGERPRINTS_SQL = f"SELECT doc_id, {_FP} AS fp FROM documents"
 
 
+def q_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints: whole-doc polynomial hash +
+    winnowing-style minimum 16-gram hash. Integer-exact across engines."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        T.rolling_hash(F.col("text")).alias("full_hash"),
+        T.winnow_min_hash(F.col("text"), k=16).alias("min16_hash"),
+    )
+
+
+_CODES = "list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1)))"
+_FOLD = "(a, b) -> (CAST(a AS BIGINT) * 31 + b) % 2147483647"
+
+ROLLING_FINGERPRINTS_SQL = f"""
+SELECT doc_id,
+    CASE WHEN length(text) = 0 THEN 0
+         ELSE list_reduce({_CODES}, {_FOLD}) END AS full_hash,
+    CASE WHEN length(text) = 0 THEN 0
+         WHEN length(text) < 16 THEN list_reduce({_CODES}, {_FOLD})
+         ELSE list_min(list_transform(
+              range(1, length(text) - 16 + 2),
+              i -> list_reduce(
+                   list_transform(range(i, i + 16),
+                                  j -> ascii(substr(text, j, 1))),
+                   {_FOLD})))
+    END AS min16_hash
+FROM documents
+"""
+
+
 def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term frequencies: explode tokens -> count per token (classic
     map-side-combined aggregation; at scale the shuffle key is the token)."""
@@ -630,6 +661,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_hist": q_lang_id_hist,
     "doc_fingerprints": q_fingerprints,
+    "doc_rolling_fingerprints": q_rolling_fingerprints,
     "token_freq": q_token_freq,
     "doc_length_percentiles": q_doc_length_percentiles,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -657,6 +689,7 @@ def oracles() -> dict[str, str]:
         "text_stats": TEXT_STATS_SQL,
         "lang_id_hist": lang_id_hist_sql(),
         "doc_fingerprints": FINGERPRINTS_SQL,
+        "doc_rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
         "token_freq": TOKEN_FREQ_SQL,
         "doc_length_percentiles": DOC_LENGTH_PERCENTILES_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
