@@ -39,6 +39,7 @@ __all__ = [
     "neardup_minhash_lsh",
     "simhash64",
     "neardup_simhash",
+    "connected_components",
 ]
 
 
@@ -306,3 +307,65 @@ def neardup_simhash(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into groups: connected components by
+    min-label propagation. Returns (``id_col``, ``cluster_id``) where
+    cluster_id = the smallest member id of the component (singletons
+    label themselves) — downstream dedup keeps one row per cluster_id.
+
+    The iterative-DataFrame pattern: each round joins current labels
+    across the (symmetrized) edge set and takes the per-node min; the
+    label of the smallest member floods outward one hop per round, so
+    rounds needed = component diameter (tiny for duplicate clusters).
+    ``localCheckpoint`` truncates the lineage each round — without it the
+    plan doubles every iteration and the job dies on plan size long
+    before data size matters. Genuinely iterative -> no single-query SQL
+    oracle; the driver entry uses DuckDB's recursive CTE as ground truth.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(prop, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))

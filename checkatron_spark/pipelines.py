@@ -367,6 +367,35 @@ WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.8
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the exact near-dup pair
+    graph — every doc labeled with the smallest doc_id reachable through
+    jaccard >= 0.8 pairs (itself when unique). Iterative label
+    propagation on Spark; DuckDB's recursive CTE is the oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.neardup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.8)
+    return D.connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({NEARDUP_JACCARD_SQL}) t),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic MinHash-LSH near-dup (no SQL oracle: hash family is
     Spark-side). Exact ground truth = q_neardup_jaccard."""
@@ -669,6 +698,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keyed": q_dedup_keyed,
     "neardup_ngram_jaccard": q_neardup_jaccard,
+    "neardup_clusters": q_neardup_clusters,
     "neardup_minhash_lsh": q_neardup_minhash,
     "neardup_simhash": q_neardup_simhash,
     "ann_bruteforce_topk": q_ann_bruteforce,
@@ -697,6 +727,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "dedup_keyed": DEDUP_KEYED_SQL,
         "neardup_ngram_jaccard": NEARDUP_JACCARD_SQL,
+        "neardup_clusters": NEARDUP_CLUSTERS_SQL,
         # neardup_minhash_lsh / neardup_simhash / ann_lsh_topk: probabilistic,
         # rows-only driver check (exact twins are oracle-checked above)
         "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
