@@ -572,6 +572,99 @@ FROM lagged GROUP BY user_id
 """
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: hourly event counts per
+    event_type, densified so silent hours appear as zero rows. The hour
+    spine is ``sequence`` + ``explode`` over each type's [min, max] hour
+    range — generated distributed, never collected — then a left join
+    fills observed counts. At 100 TB the spine is trivially small next to
+    the fact table and broadcast-joins against the aggregated counts."""
+    ev = load_table(spark, "events", sf_dir)
+    counts = (
+        ev.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    spine = (
+        counts.groupBy("event_type")
+        .agg(F.min("hour").alias("_lo"), F.max("hour").alias("_hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    return spine.join(counts, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )
+
+
+EVENTS_RESAMPLE_SQL = """
+WITH counts AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+spine AS (
+    SELECT event_type,
+           unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+    FROM counts GROUP BY event_type
+)
+SELECT s.event_type, s.hour, COALESCE(c.n_events, 0) AS n_events
+FROM spine s LEFT JOIN counts c
+  ON s.event_type = c.event_type AND s.hour = c.hour
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids: element-wise mean via posexplode +
+    exact integer-nano sums (order-independent, engine-portable), one
+    output row per (label, dimension). The posexplode shape is the
+    scalable array aggregation — the shuffle key is (label, pos), so wide
+    vectors parallelize across dimensions instead of serializing per
+    group."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("val").cast("double") * F.lit(1e9) + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1))
+            ).alias("_mean")
+        )
+        .select(
+            "label",
+            F.col("pos").cast("int").alias("pos"),
+            F.round("_mean", 6).alias("centroid_val"),
+        )
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
+       round(CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1e9 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1e9 / COUNT(*), 6) AS centroid_val
+FROM (
+    SELECT label, unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in session windows: per-user sessions merged under a 30-minute
     gap, via F.session_window (Spark's native session aggregation — state
@@ -709,6 +802,8 @@ QUERIES = {
     "events_json_extract": q_events_json,
     "events_sessionize": q_events_sessionize,
     "events_session_window": q_events_session_window,
+    "events_resample_gapfill": q_events_resample,
+    "label_centroids": q_label_centroids,
     "events_asof_join": q_events_asof,
     "events_range_join": q_events_range_join,
 }
@@ -736,6 +831,8 @@ def oracles() -> dict[str, str]:
         "events_json_extract": EVENTS_JSON_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "events_session_window": EVENTS_SESSION_WINDOW_SQL,
+        "events_resample_gapfill": EVENTS_RESAMPLE_SQL,
+        "label_centroids": LABEL_CENTROIDS_SQL,
         "events_asof_join": EVENTS_ASOF_SQL,
         "events_range_join": EVENTS_RANGE_JOIN_SQL,
     }
