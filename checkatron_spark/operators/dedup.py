@@ -332,12 +332,15 @@ def connected_components(
     before data size matters. Genuinely iterative -> no single-query SQL
     oracle; the driver entry uses DuckDB's recursive CTE as ground truth.
     """
+    # materialize edges ONCE: the pair generator upstream (e.g. the whole
+    # prefix-filtered jaccard join) would otherwise re-execute every round
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(
             pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
         )
         .distinct()
+        .localCheckpoint()
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
