@@ -19,7 +19,10 @@ get_spark()                                        tuned local SparkSession
 
 from checkatron_spark.cli import build_sql, parse_args
 from checkatron_spark.operators.asof import asof_join
+from checkatron_spark.operators.dedup import connected_components
 from checkatron_spark.operators.diff import DiffSpec, diff, diff_from_spec
+from checkatron_spark.operators.rangejoin import range_join_binned
+from checkatron_spark.operators.skew import salted_agg
 from checkatron_spark.operators.guard import (
     DuplicateKeyError,
     assert_unique_keys,
@@ -39,6 +42,7 @@ __all__ = [
     "asof_join",
     "assert_unique_keys",
     "build_sql",
+    "connected_components",
     "decode_status",
     "diff",
     "diff_drilldown",
@@ -48,6 +52,8 @@ __all__ = [
     "get_spark",
     "labeled_counts",
     "parse_args",
+    "range_join_binned",
+    "salted_agg",
 ]
 
 __version__ = "0.1.0"

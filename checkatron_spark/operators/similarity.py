@@ -113,6 +113,13 @@ def _allpairs_cosine_numpy(
         DoubleType, LongType, StructField, StructType,
     )
 
+    n = vectors.count()
+    if n > 200_000:
+        raise ValueError(
+            f"all-pairs cosine collects the candidate matrix to the driver "
+            f"({n} vectors is too many); pass block_col= (cluster label / "
+            f"LSH bucket) to use the distributed per-block self-join instead"
+        )
     rows = vectors.select(
         F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
     ).collect()
