@@ -17,6 +17,7 @@ from checkatron_spark import analytics as A
 from checkatron_spark import multimodal as M
 from checkatron_spark import pipelines as P
 from checkatron_spark import streaming as ST
+from checkatron_spark import tpch_ext as T
 from checkatron_spark import workloads as W
 from checkatron_spark.operators.summary import (
     ROW_STATUS_LABELS,
@@ -122,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_filtered": _q_orders_filtered,
         **P.QUERIES,
         **A.QUERIES,
+        **T.QUERIES,
         **M.QUERIES,
         **ST.QUERIES,
     }
@@ -174,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         **P.oracles(),
         **A.oracles(),
+        **T.oracles(),
         **M.oracles(),
         **ST.oracles(),
     }

@@ -1,0 +1,464 @@
+"""Extended TPC-H-shaped workloads (Q4/Q7/Q10/Q12/Q13/Q14/Q15/Q18/Q19/Q22
+adapted to the fixture schema — no partsupp/comment/shipmode columns, so the
+classic predicates are mapped onto the columns that exist; see TESTDATA.md).
+
+These widen the analytics surface beyond analytics.py (Q1/Q3/Q5/Q6) with the
+operator shapes the originals exercise:
+
+- Q4  : EXISTS semi join with a non-equi component (l_shipdate > o_orderdate)
+- Q7  : nation-pair volume — disjunctive join-level predicate + year rollup
+- Q10 : returned-item revenue, deterministic top-20
+- Q12 : CASE-inside-SUM conditional aggregation over a lateness predicate
+- Q13 : left-outer count + histogram-of-counts (double aggregation)
+- Q14 : conditional-revenue ratio (LIKE predicate, single-row result)
+- Q15 : top supplier(s) by revenue = scalar-max subquery against an aggregate
+- Q18 : HAVING on a grouped fact, joined back to dims
+- Q19 : OR-of-AND-groups disjunctive predicate pushed into a part join
+- Q22 : substring-derived grouping + scalar avg subquery + anti join
+
+Scale notes: dims (nation/supplier/part at these SFs) broadcast; fact-fact
+joins shuffle on the orderkey; every aggregation is partial+final. The Q15
+global max is a 1-row broadcast cross join, never a single-partition window.
+Money sums use the exact integer-cents scheme from analytics.py.
+
+Reference parity anchor: the reference's own validation layer is plain
+aggregation SQL over diff_result (/root/reference/tools/step_ledger.py:253-259,
+README.md:186-196); these queries are that layer generalized to the warehouse
+tables a checkatron user diffs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from checkatron_spark.analytics import _cents, _dollars, _revenue_cents, _REV_SQL
+from checkatron_spark.sources.tables import load_table
+
+__all__ = ["QUERIES", "oracles"]
+
+
+def q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: orders in a quarter having >=1 line shipped after the order
+    date (commit/receipt adapted to l_shipdate), counted per priority.
+    The EXISTS becomes a left-semi join whose condition carries the
+    non-equi comparison alongside the orderkey equi-key."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-07-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-10-01'"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: revenue flowing between two nations in either direction,
+    by (supplier nation, customer nation, ship year). The nation-pair
+    disjunction filters AFTER the dim joins (both dims broadcast)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dollars(F.sum(_revenue_cents())).alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(_rev_c) AS DOUBLE) / 100.0 AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year, {_REV_SQL} AS _rev_c
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returns per customer in a quarter,
+    deterministic top-20 (row_number, custkey tiebreak)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-10-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP '1997-01-01'"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    grouped = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .agg(F.sum(_revenue_cents()).alias("_rev_c"))
+    )
+    w = Window.orderBy(F.col("_rev_c").desc(), F.col("c_custkey").asc())
+    return (
+        grouped.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+            _dollars(F.col("_rev_c")).alias("revenue"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+Q10_SQL = f"""
+WITH grouped AS (
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment, SUM({_REV_SQL}) AS _rev_c
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment
+)
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+       CAST(_rev_c AS DOUBLE) / 100.0 AS revenue,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (SELECT *, row_number() OVER (ORDER BY _rev_c DESC, c_custkey) AS rnk
+      FROM grouped)
+WHERE rnk <= 20
+"""
+
+
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: lines shipped >60 days after ordering (shipmode adapted to
+    l_linestatus buckets), with CASE-inside-SUM splitting high- vs
+    low-priority orders."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.expr("l_shipdate > o_orderdate + INTERVAL '60' DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL '60' DAY
+GROUP BY l_linestatus
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of per-customer order counts — a left outer
+    join (customers with zero qualifying orders count as 0) feeding a
+    second aggregation over the counts themselves."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: share of a month's revenue from promo parts — LIKE
+    predicate inside conditional aggregation, single-row ratio result.
+    Both sums stay exact integer cents; the one double division at the
+    end is bit-portable."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-09-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-10-01'"))
+    )
+    part = load_table(spark, "part", sf_dir)
+    promo = F.col("p_type").like("PROMO%")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(promo, _revenue_cents()).otherwise(F.lit(0))).alias("_promo_c"),
+            F.sum(_revenue_cents()).alias("_total_c"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0) * F.col("_promo_c").cast("double")
+                / F.col("_total_c").cast("double"),
+                6,
+            ).alias("promo_revenue_pct"),
+            _dollars(F.col("_total_c")).alias("total_revenue"),
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT round(100.0 * CAST(_promo_c AS DOUBLE) / CAST(_total_c AS DOUBLE), 6)
+           AS promo_revenue_pct,
+       CAST(_total_c AS DOUBLE) / 100.0 AS total_revenue
+FROM (
+    SELECT SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_SQL} ELSE 0 END)
+               AS _promo_c,
+           SUM({_REV_SQL}) AS _total_c
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+)
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) achieving the maximum quarterly revenue. The
+    global max over the per-supplier aggregate is a 1-row broadcast cross
+    join — never a no-partition window (which would single-thread the
+    aggregate at scale)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP '1996-04-01'"))
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue_cents()).alias("_rev_c"))
+    mx = rev.agg(F.max("_rev_c").alias("_max_c"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev_c") == F.col("_max_c"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", _dollars(F.col("_rev_c")).alias("total_revenue")
+        )
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+    SELECT l_suppkey, SUM({_REV_SQL}) AS _rev_c
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(_rev_c AS DOUBLE) / 100.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE _rev_c = (SELECT MAX(_rev_c) FROM rev)
+"""
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total line quantity exceeds 300 (HAVING on a
+    grouped fact), joined back to orders+customer for context."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("_qty_c"))
+        .filter(F.col("_qty_c") > 300 * 100)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            _dollars(F.col("_qty_c")).alias("total_qty"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(_qty_c AS DOUBLE) / 100.0 AS total_qty
+FROM (
+    SELECT l_orderkey, SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+               AS _qty_c
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) > 30000
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR of AND-groups spanning both join sides (brand x
+    quantity-band x size-band). Stays one equi-join on partkey with the
+    disjunction as a post-join filter Catalyst can partially push."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11)
+            & (F.col("p_size") >= 1) & (F.col("p_size") <= 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+            & (F.col("p_size") >= 1) & (F.col("p_size") <= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30)
+            & (F.col("p_size") >= 1) & (F.col("p_size") <= 15)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            _dollars(F.sum(_revenue_cents())).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) / 100.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+"""
+
+
+def q22_global_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: "cntrycode" derived by substring (last 2 chars of c_name),
+    customers above the average positive balance with no 1995 orders —
+    scalar-avg subquery (exact cents compare) + anti join + derived-key
+    aggregation."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders95 = load_table(spark, "orders", sf_dir).filter(
+        F.expr("year(o_orderdate) = 1995")
+    )
+    bal_c = _cents(F.col("c_acctbal"))
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_c).alias("_sum_c"), F.count(F.lit(1)).alias("_n")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        # exact integer compare: bal > avg  <=>  bal * n > sum
+        .filter(bal_c * F.col("_n") > F.col("_sum_c"))
+        .join(orders95, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.substring(F.col("c_name"), -2, 2).alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dollars(F.sum(bal_c)).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT code, COUNT(*) AS numcust,
+       CAST(SUM(_bal_c) AS DOUBLE) / 100.0 AS totacctbal
+FROM (
+    SELECT substring(c_name, length(c_name) - 1, 2) AS code,
+           CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS _bal_c
+    FROM customer
+    WHERE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+          * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+        > (SELECT SUM(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+           FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND year(o_orderdate) = 1995)
+)
+GROUP BY code
+"""
+
+
+QUERIES = {
+    "q4_priority_count": q4_priority_count,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q12_late_priority": q12_late_priority,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_effect": q14_promo_effect,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_volume": q18_large_volume,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_global_balance": q22_global_balance,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "q4_priority_count": Q4_SQL,
+        "q7_volume_shipping": Q7_SQL,
+        "q10_returned_items": Q10_SQL,
+        "q12_late_priority": Q12_SQL,
+        "q13_customer_distribution": Q13_SQL,
+        "q14_promo_effect": Q14_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q18_large_volume": Q18_SQL,
+        "q19_disjunctive_revenue": Q19_SQL,
+        "q22_global_balance": Q22_SQL,
+    }
