@@ -149,26 +149,48 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
 
 
 def drain_to_batch(
-    sdf: DataFrame, *, output_mode: str = "complete", timeout_s: int = 300
+    sdf: DataFrame,
+    *,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+    state_partitions: int | None = 4,
 ) -> DataFrame:
     """Run a bounded stream to completion (Trigger.AvailableNow) into a
     memory sink and return the resulting batch DataFrame. For 'update' mode
     the sink holds the latest emission per key (single-batch drains emit
-    final values)."""
+    final values).
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` while the
+    query STARTS (streaming state partitioning is frozen at start and every
+    partition pays a per-batch state-store commit, even empty ones — a
+    32-partition stream-stream join spends ~10s/batch on store maintenance
+    alone at local scale). Size it to state-key cardinality: the fixtures
+    have 150 users, so 4 is generous; a cluster job with millions of keys
+    would pass thousands. The session conf is restored after start, so batch
+    queries keep their width."""
     name = f"drain_{uuid.uuid4().hex[:12]}"
-    q = (
+    spark = sdf.sparkSession
+    writer = (
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    # NOTE: restore only after termination — start() returns before the
+    # stream thread plans batch 0, which is when the conf is actually read.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.awaitTermination(timeout_s)
+        q = writer.start()
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
-    return sdf.sparkSession.table(name)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def stream_diff(
@@ -221,6 +243,31 @@ def stream_diff(
     return joined.select(*keys, row_status, *status_cols)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    max_gap: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each right-stream row with
+    the left-stream rows of the same key that precede it by at most
+    ``max_gap``. Both sides carry a watermark plus the time-range join
+    condition, so Spark can bound the buffered state on each side (rows older
+    than watermark + gap are evicted) — the canonical unbounded-join pattern.
+    The key column must already be distinctly named on each side."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        f"{key}_l = {key}_r AND {right_ts} >= {left_ts} "
+        f"AND {right_ts} <= {left_ts} + INTERVAL {max_gap}"
+    )
+    return lw.join(rw, cond, "inner")
+
+
 # ---------------------------------------------------------------------------
 # driver-contract queries: streams drained with AvailableNow, oracle-checked
 # against DuckDB batch SQL over the same parquet
@@ -271,6 +318,7 @@ def q_stream_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_batch(
         stream_diff(stream, baseline, ["event_id"], ["event_type", "value"]),
         output_mode="append",
+        state_partitions=None,  # stateless (stream-static join): keep full width
     )
 
 
@@ -310,10 +358,86 @@ FROM lagged GROUP BY user_id
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases attributed to the clicks that preceded them by <=30 min for
+    the same user — two independent readStreams over the events fixture,
+    joined with watermarks bounding both state buffers."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("user_id_l"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id_r"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, "user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+    ).select(
+        F.col("user_id_l").alias("user_id"),
+        "click_id", "purchase_id", "purchase_value",
+    )
+    return drain_to_batch(joined, output_mode="append")
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT c.user_id AS user_id, c.event_id AS click_id,
+       p.event_id AS purchase_id, p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the events stream unioned with itself (every
+    row arrives twice) then dropDuplicates on event_id under a watermark —
+    state is one key per event inside the watermark horizon, the streaming
+    counterpart of dedup_exact."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    doubled = a.unionByName(b).withWatermark("ts", "1 hour")
+    return (
+        doubled.dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def _q_stream_dedup_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup state = one entry per distinct event_id (200k input rows at
+    # sf0.1) — wide state, so keep more partitions than the tiny-keyspace
+    # sessionizer/join drains
+    return drain_to_batch(
+        q_stream_dedup(spark, sf_dir), output_mode="append", state_partitions=16
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type
+FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+GROUP BY event_id, user_id, event_type
+"""
+
+
 QUERIES = {
     "stream_windowed_counts": q_stream_windowed,
     "stream_sessionize_stateful": q_stream_sessionize,
     "stream_diff_vs_baseline": q_stream_diff,
+    "stream_stream_join": q_stream_stream_join,
+    "stream_dedup": _q_stream_dedup_drained,
 }
 
 
@@ -322,4 +446,6 @@ def oracles() -> dict[str, str]:
         "stream_windowed_counts": STREAM_WINDOWED_SQL,
         "stream_sessionize_stateful": STREAM_SESSIONIZE_SQL,
         "stream_diff_vs_baseline": STREAM_DIFF_SQL,
+        "stream_stream_join": STREAM_STREAM_JOIN_SQL,
+        "stream_dedup": STREAM_DEDUP_SQL,
     }
