@@ -17,6 +17,7 @@ from checkatron_spark import analytics as A
 from checkatron_spark import multimodal as M
 from checkatron_spark import pipelines as P
 from checkatron_spark import streaming as ST
+from checkatron_spark import sampling as SA
 from checkatron_spark import tpch_ext as T
 from checkatron_spark import workloads as W
 from checkatron_spark.operators.summary import (
@@ -124,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **P.QUERIES,
         **A.QUERIES,
         **T.QUERIES,
+        **SA.QUERIES,
         **M.QUERIES,
         **ST.QUERIES,
     }
@@ -177,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         **P.oracles(),
         **A.oracles(),
         **T.oracles(),
+        **SA.oracles(),
         **M.oracles(),
         **ST.oracles(),
     }

@@ -1,0 +1,135 @@
+"""Deterministic, engine-portable sampling and dataset splitting.
+
+Training-data pipelines need REPRODUCIBLE sampling: the same row must land in
+the same sample/split on every run, on every engine, at any cluster size —
+``df.sample()`` guarantees none of that (seed + partitioning dependent).
+
+The portable primitive is a content hash: ``u = int(md5(salt ':' key)[:8
+hex]) / 2^32`` is a uniform [0,1) draw both Spark and DuckDB compute
+bit-identically (md5 of the same bytes, same 32-bit prefix, one exact double
+division). Sampling is ``u < fraction``; splitting is threshold buckets over
+the cumulative weights. Embarrassingly parallel — no shuffle, no state, scans
+at full pushdown speed — so it behaves identically at 100 TB.
+
+The salt namespaces draws: different salts give independent samples from the
+same keys (change the salt, resample); a fixed salt is a frozen dataset
+version. This is the standard hash-split trick used by large-scale corpus
+pipelines (e.g. for deterministic train/val/test assignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from checkatron_spark.sources.tables import load_table
+
+__all__ = [
+    "hash_uniform",
+    "deterministic_sample",
+    "split_assign",
+    "QUERIES",
+    "oracles",
+]
+
+
+def hash_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform [0,1) draw from (salt, key): first 32 bits of
+    md5 over the salted key string, divided by 2^32. Pure JVM expression
+    (md5/conv/substring) — whole-stage codegen, no UDF."""
+    h = F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), key.cast("string"))), 1, 8)
+    return F.conv(h, 16, 10).cast("bigint").cast("double") / F.lit(4294967296.0)
+
+
+def _duck_uniform(key_sql: str, salt: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{salt}' || ':' || "
+        f"CAST({key_sql} AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0"
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, *, salt: str = "sample-v1"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by content hash of ``key`` —
+    reproducible across runs/engines/partitionings, unlike df.sample()."""
+    return df.filter(hash_uniform(F.col(key), salt) < F.lit(fraction))
+
+
+def split_assign(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    *,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Assign every row to a named split with probability proportional to
+    ``weights`` (need not sum to 1; they are normalized). One extra column
+    ``split``; assignment depends only on (salt, key value)."""
+    total = sum(weights.values())
+    expr: Column | None = None
+    cum = 0.0
+    u = hash_uniform(F.col(key), salt)
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    final = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", final)
+
+
+# ---------------------------------------------------------------------------
+# driver-contract queries
+# ---------------------------------------------------------------------------
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% reproducible sample of documents (full rows — the oracle checks
+    the exact membership, not just the count)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return deterministic_sample(docs, "doc_id", 0.1).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_duck_uniform("doc_id", "sample-v1")} < 0.1
+"""
+
+
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment over documents, counted per
+    (split, lang) — the reproducibility contract a corpus pipeline audits."""
+    docs = load_table(spark, "documents", sf_dir)
+    assigned = split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SPLIT_COUNTS_SQL = f"""
+SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM (SELECT lang, n_chars, {_duck_uniform("doc_id", "split-v1")} AS u
+      FROM documents)
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "sample_deterministic": q_deterministic_sample,
+    "split_train_val_test": q_split_counts,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "sample_deterministic": SAMPLE_SQL,
+        "split_train_val_test": SPLIT_COUNTS_SQL,
+    }

@@ -435,6 +435,58 @@ GROUP BY code
 """
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIO_ALIAS = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+
+
+def q_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per status x priority, priorities spread into
+    columns. Values are declared up front, so the pivot stays one
+    partial+final aggregate — no extra distinct-values job."""
+    orders = load_table(spark, "orders", sf_dir)
+    piv = orders.groupBy("o_orderstatus").pivot(
+        "o_orderpriority", _PRIORITIES
+    ).agg(F.count(F.lit(1)))
+    return piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("bigint").alias(a)
+            for v, a in zip(_PRIORITIES, _PRIO_ALIAS)
+        ],
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderstatus,
+       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+       SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
+       SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_medium,
+       SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+           AS n_notspec,
+       SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: part numeric attributes to long form (attr, val) —
+    the narrow shape feature stores and profilers consume."""
+    part = load_table(spark, "part", sf_dir)
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS attr, CAST(p_retailprice AS DOUBLE)
+FROM part
+"""
+
+
 QUERIES = {
     "q4_priority_count": q4_priority_count,
     "q7_volume_shipping": q7_volume_shipping,
@@ -446,11 +498,15 @@ QUERIES = {
     "q18_large_volume": q18_large_volume,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q22_global_balance": q22_global_balance,
+    "pivot_status_priority": q_pivot_priority,
+    "unpivot_part_attrs": q_unpivot_part,
 }
 
 
 def oracles() -> dict[str, str]:
     return {
+        "pivot_status_priority": PIVOT_SQL,
+        "unpivot_part_attrs": UNPIVOT_SQL,
         "q4_priority_count": Q4_SQL,
         "q7_volume_shipping": Q7_SQL,
         "q10_returned_items": Q10_SQL,

@@ -1,0 +1,51 @@
+"""Deterministic sampling/splitting: reproducibility, partition-independence,
+and salt independence (tests beyond the driver's DuckDB oracle check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from checkatron_spark.sampling import deterministic_sample, split_assign
+from checkatron_spark.sources.tables import load_table
+
+REQUIRES_TESTDATA = True
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_sample_reproducible_and_partition_independent(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    a = sorted(
+        r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2).collect()
+    )
+    # different physical partitioning must not change membership
+    b = sorted(
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(7), "doc_id", 0.2).collect()
+    )
+    assert a == b
+    assert 0 < len(a) < docs.count()
+
+
+def test_sample_salt_gives_independent_draw(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    a = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.5).collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(docs, "doc_id", 0.5, salt="other").collect()
+    }
+    assert a != b  # same fraction, different salt -> different membership
+
+
+def test_split_partitions_every_row_exactly_once(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    out = split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    # growing the fraction must only ADD rows (nesting: u < 0.1 => u < 0.2)
+    s1 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
+    s2 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
+    assert s1 <= s2
