@@ -665,6 +665,59 @@ GROUP BY label, pos
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (the storage/serving
+    compression step of an embedding pipeline): per-vector scale =
+    127/max|x|, elements mapped with the portable floor(x*s + 0.5) rounding
+    and clamped to [-127, 127]. Entirely higher-order JVM expressions
+    (transform/aggregate) — no UDF, embarrassingly parallel, so it runs at
+    scan speed at any scale. Output pins (scale, q_sum, q_min, q_max) per
+    vector, which fixes every quantized element against the oracle up to
+    the clamp."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    dx = lambda x: x.cast("double")  # noqa: E731
+    maxabs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(dx(x))))
+    scale = F.lit(127.0) / F.nullif(maxabs, F.lit(0.0))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.greatest(
+            F.lit(-127).cast("bigint"),
+            F.least(
+                F.lit(127).cast("bigint"),
+                F.floor(dx(x) * scale + F.lit(0.5)).cast("bigint"),
+            ),
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
+
+
+QUANTIZE_SQL = """
+SELECT vec_id, round(127.0 / mx, 6) AS scale,
+       list_aggregate(q, 'sum') AS q_sum,
+       list_min(q) AS q_min, list_max(q) AS q_max
+FROM (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+                    CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5)
+                         AS BIGINT)))) AS q,
+           mx
+    FROM (
+        SELECT vec_id, embedding,
+               nullif(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))), 0.0) AS mx
+        FROM embeddings
+    )
+)
+"""
+
+
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in session windows: per-user sessions merged under a 30-minute
     gap, via F.session_window (Spark's native session aggregation — state
@@ -804,6 +857,7 @@ QUERIES = {
     "events_session_window": q_events_session_window,
     "events_resample_gapfill": q_events_resample,
     "label_centroids": q_label_centroids,
+    "quantize_embeddings_int8": q_quantize_embeddings,
     "events_asof_join": q_events_asof,
     "events_range_join": q_events_range_join,
 }
@@ -833,6 +887,7 @@ def oracles() -> dict[str, str]:
         "events_session_window": EVENTS_SESSION_WINDOW_SQL,
         "events_resample_gapfill": EVENTS_RESAMPLE_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
+        "quantize_embeddings_int8": QUANTIZE_SQL,
         "events_asof_join": EVENTS_ASOF_SQL,
         "events_range_join": EVENTS_RANGE_JOIN_SQL,
     }

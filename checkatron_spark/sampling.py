@@ -28,6 +28,7 @@ __all__ = [
     "hash_uniform",
     "deterministic_sample",
     "split_assign",
+    "pack_sequences",
     "QUERIES",
     "oracles",
 ]
@@ -122,9 +123,71 @@ GROUP BY 1, 2
 """
 
 
+def pack_sequences(
+    df: DataFrame,
+    cost_col: str,
+    *,
+    budget: int,
+    partition_col: str | None = None,
+    order_col: str,
+) -> DataFrame:
+    """Greedy sequential packing: walk rows in ``order_col`` order (within
+    ``partition_col`` if given) and assign each to the pack its cumulative
+    start offset falls in — ``pack_id = floor(exclusive_cumsum(cost) /
+    budget)``. The sequence-packing step of a training pipeline (fill each
+    batch to a token budget), as one window cumsum — a single shuffle on the
+    partition key. Deterministic given the ordering; a row larger than the
+    budget simply spans packs (standard greedy semantics)."""
+    from pyspark.sql.window import Window
+
+    if partition_col is not None:
+        w = Window.partitionBy(partition_col).orderBy(F.col(order_col).asc())
+    else:
+        w = Window.orderBy(F.col(order_col).asc())
+    cum_excl = F.sum(F.col(cost_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(cum_excl, F.lit(0)) / F.lit(budget)).cast("bigint"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~32k-char batches per language (n_chars as the
+    token-cost proxy — a fixture column, so the oracle is unambiguous);
+    report per-pack fill stats."""
+    docs = load_table(spark, "documents", sf_dir)
+    packed = pack_sequences(
+        docs, "n_chars", budget=32768, partition_col="lang", order_col="doc_id"
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("pack_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+PACK_SQL = """
+SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(n_chars) AS pack_chars,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM (
+    SELECT lang, doc_id, n_chars,
+           CAST(floor(COALESCE(SUM(n_chars) OVER (
+                PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 32768.0) AS BIGINT) AS pack_id
+    FROM documents
+)
+GROUP BY lang, pack_id
+"""
+
+
 QUERIES = {
     "sample_deterministic": q_deterministic_sample,
     "split_train_val_test": q_split_counts,
+    "pack_sequences_budget": q_pack_sequences,
 }
 
 
@@ -132,4 +195,5 @@ def oracles() -> dict[str, str]:
     return {
         "sample_deterministic": SAMPLE_SQL,
         "split_train_val_test": SPLIT_COUNTS_SQL,
+        "pack_sequences_budget": PACK_SQL,
     }
