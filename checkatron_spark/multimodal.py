@@ -50,6 +50,7 @@ __all__ = [
     "media_decode",
     "media_features",
     "media_frame_sample",
+    "media_resize",
     "media_stats",
 ]
 
@@ -213,6 +214,53 @@ _FRAME_SCHEMA = StructType(
 )
 
 
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized", IntegerType()),
+    ]
+)
+
+
+def media_resize(media: DataFrame, box: int = 224) -> DataFrame:
+    """Resize-to-fit plumbing (Arrow-batched mapInPandas): decode dims (fake
+    stand-in), then aspect-preserving fit into a ``box`` x ``box`` square —
+    images already inside the box pass through. All math is integer floor
+    division, so the whole stage is oracle-exact. A real implementation
+    replaces the dim source with the decoded image and emits resized bytes;
+    the batch shape, schema, and scaling math stay."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "out_width", "out_height",
+                "resized",
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                meta = fake_decode_meta(bytes(b))
+                w, h = meta["width"], meta["height"]
+                if w <= box and h <= box:
+                    ow, oh, rs = w, h, 0
+                else:
+                    m = max(w, h)
+                    ow, oh, rs = max(1, (w * box) // m), max(1, (h * box) // m), 1
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["resized"].append(rs)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        resize, schema=_RESIZE_SCHEMA
+    )
+
+
 def media_frame_sample(media: DataFrame, max_frames: int = 8) -> DataFrame:
     """Frame sampling: one output row per sampled frame (row-expanding
     mapInPandas — the video-pipeline shape). Frame count is the deterministic
@@ -308,6 +356,31 @@ MEDIA_DEDUP_SQL = (
 )
 
 
+def q_media_resize(spark, sf_dir: str) -> DataFrame:
+    """Fit documents-as-media into a 160px box (160 < 16+239 max fake dim,
+    so both branches — passthrough and downscale — are exercised)."""
+    return media_resize(_docs_media(spark, sf_dir), box=160)
+
+
+MEDIA_RESIZE_SQL = """
+WITH dims AS (
+    SELECT doc_id, CAST(16 + n % 240 AS INTEGER) AS w,
+           CAST(16 + (n * 7919) % 240 AS INTEGER) AS h
+    FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(CASE WHEN w <= 160 AND h <= 160 THEN w
+                 ELSE greatest(1, (w * 160) // greatest(w, h)) END
+            AS INTEGER) AS out_width,
+       CAST(CASE WHEN w <= 160 AND h <= 160 THEN h
+                 ELSE greatest(1, (h * 160) // greatest(w, h)) END
+            AS INTEGER) AS out_height,
+       CAST(CASE WHEN w <= 160 AND h <= 160 THEN 0 ELSE 1 END AS INTEGER)
+           AS resized
+FROM dims
+"""
+
+
 def q_media_features(spark, sf_dir: str) -> DataFrame:
     """Byte-histogram feature vectors (no SQL oracle: array<double> output;
     pytest checks values against a local recomputation)."""
@@ -319,6 +392,7 @@ QUERIES = {
     "media_decode_fake": q_media_decode,
     "media_frame_sample": q_media_frame_sample,
     "media_dedup_exact": q_media_dedup,
+    "media_resize": q_media_resize,
     "media_features": q_media_features,
 }
 
@@ -329,5 +403,6 @@ def oracles() -> dict[str, str]:
         "media_decode_fake": MEDIA_DECODE_SQL,
         "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
         "media_dedup_exact": MEDIA_DEDUP_SQL,
+        "media_resize": MEDIA_RESIZE_SQL,
         # media_features: array<double> — rows-only driver check
     }

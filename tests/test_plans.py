@@ -86,6 +86,11 @@ def test_no_cartesian_in_any_query(spark):
     allowed_bnl = {
         "ann_bruteforce_topk", "neardup_embedding_cosine", "ann_ivf_topk",
         "tfidf_top_terms",
+        # scalar-subquery shape: 1-row broadcast build side + inequality
+        # predicate (bal*n > sum). O(n) probe — the BNLJ is against ONE row.
+        # (q15's crossJoin-a-scalar compiles to BroadcastHashJoin instead
+        # because its filter is an equality.)
+        "q22_global_balance",
     }
     for name, q in entrymod.queries().items():
         if name.startswith("stream_"):
