@@ -70,6 +70,33 @@ def test_q5_broadcasts_dimensions(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q7_broadcasts_both_nation_dims(spark):
+    df = entrymod.queries()["q7_volume_shipping"](spark, SF_DIR)
+    plan = _plan(df)
+    # supplier + both nation aliases broadcast; the fact-fact join shuffles
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_sampling_is_scan_speed(spark):
+    """Deterministic sampling must stay a pushdown-friendly scan+filter —
+    zero exchanges, zero joins (it's the operator we rely on being free at
+    100 TB)."""
+    df = entrymod.queries()["sample_deterministic"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_pack_sequences_single_window_shuffle(spark):
+    """Sequence packing = exactly one hash-partitioning exchange (the window
+    on lang); no joins."""
+    df = entrymod.queries()["pack_sequences_budget"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
 def test_aggregation_is_partial_final(spark):
     df = entrymod.queries()["q1_pricing_summary"](spark, SF_DIR)
     plan = _plan(df)
