@@ -84,6 +84,12 @@ def _q_diff_lineitem_multikey(spark, sf_dir):
     return W.diff_lineitem(spark, sf_dir)
 
 
+def _q_diff_orders_incremental(spark, sf_dir):
+    # checksum-pruned incremental diff (operators/incremental.py): the
+    # 100 TB path — unchanged key-buckets never enter the join
+    return W.diff_orders_incremental(spark, sf_dir)
+
+
 def _q_keys_union(spark, sf_dir):
     # U1: SQL UNION (distinct) of key tuples from both sides
     b = W.orders_before(spark, sf_dir).select("o_orderkey")
@@ -119,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_orders_drilldown": _q_diff_orders_drilldown,
         "diff_orders_decode": _q_diff_orders_decode,
         "diff_lineitem_multikey": _q_diff_lineitem_multikey,
+        "diff_orders_incremental": _q_diff_orders_incremental,
         "keys_union": _q_keys_union,
         "labeled_counts": _q_labeled_counts,
         "orders_filtered": _q_orders_filtered,
@@ -162,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "diff_orders_decode": _decode_oracle(),
         "diff_lineitem_multikey": W.diff_lineitem_oracle_sql(),
+        "diff_orders_incremental": W.diff_orders_incremental_oracle_sql(),
         "keys_union": (
             f"SELECT o_orderkey FROM {W.BEFORE_SRC_SQL} "
             f"UNION SELECT o_orderkey FROM {W.AFTER_SRC_SQL}"

@@ -82,6 +82,50 @@ def diff_orders_summary_oracle_sql() -> str:
     return render_summary_sql(diff_orders_oracle_sql(), up)
 
 
+def diff_orders_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-pruned incremental diff of the flagship snapshots
+    (operators/incremental.py): identical to ``diff_orders`` restricted to
+    the key-buckets whose (count, checksum) changed."""
+    from checkatron_spark.operators.incremental import diff_incremental
+
+    return diff_incremental(
+        orders_before(spark, sf_dir),
+        orders_after(spark, sf_dir),
+        ["o_orderkey"],
+        n_buckets=64,
+    )
+
+
+def _incr_csum_sql(cols: list[str]) -> str:
+    parts = ", ".join(f"COALESCE(CAST({c} AS VARCHAR), chr(0))" for c in cols)
+    return (
+        f"('0x' || substring(md5(concat_ws(chr(1), {parts})), 1, 8))::BIGINT"
+    )
+
+
+def _incr_changed_sql(n_buckets: int = 64) -> str:
+    csum = _incr_csum_sql(ORDERS_COLS)  # common columns only (no o_channel)
+    side = (
+        "SELECT o_orderkey % {n} AS bucket, COUNT(*) AS n, SUM({c}) AS s "
+        "FROM {src} GROUP BY 1"
+    )
+    bck = side.format(n=n_buckets, c=csum, src=BEFORE_SRC_SQL)
+    ack = side.format(n=n_buckets, c=csum, src=AFTER_SRC_SQL)
+    return (
+        f"SELECT COALESCE(bck.bucket, ack.bucket) FROM ({bck}) bck "
+        f"FULL OUTER JOIN ({ack}) ack ON bck.bucket = ack.bucket "
+        f"WHERE bck.n IS DISTINCT FROM ack.n OR bck.s IS DISTINCT FROM ack.s"
+    )
+
+
+def diff_orders_incremental_oracle_sql() -> str:
+    pred = f"o_orderkey % 64 IN ({_incr_changed_sql(64)})"
+    return render_diff_sql(
+        BEFORE_SRC_SQL, AFTER_SRC_SQL, ["o_orderkey"], ORDERS_COLS, AFTER_COLS,
+        before_where=pred, after_where=pred,
+    )
+
+
 def diff_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key diff with per-side WHERE filters (P1 + composite key):
     before/after are overlapping shipdate slices of lineitem."""
