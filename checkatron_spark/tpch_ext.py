@@ -435,6 +435,41 @@ GROUP BY code
 """
 
 
+def q_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, vs the ROWS frame in
+    customer_running_total): per customer, the exact-cents revenue of all
+    orders in the trailing 30 days including peers with the same date —
+    RANGE frames are deterministic under order-date ties where ROWS frames
+    are not."""
+    orders = load_table(spark, "orders", sf_dir)
+    # day-number ordering (datediff from epoch): tz-free, works for
+    # TIMESTAMP_NTZ, and at day granularity the -30..0 RANGE frame is
+    # exactly the oracle's INTERVAL 30 DAY PRECEDING (dates are midnight)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")))
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        _dollars(F.sum(_cents(F.col("o_totalprice"))).over(w)).alias(
+            "trailing_30d_rev"
+        ),
+    )
+
+
+TRAILING_30D_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100.0 AS trailing_30d_rev
+FROM orders
+"""
+
+
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 _PRIO_ALIAS = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
 
@@ -500,6 +535,7 @@ QUERIES = {
     "q22_global_balance": q22_global_balance,
     "pivot_status_priority": q_pivot_priority,
     "unpivot_part_attrs": q_unpivot_part,
+    "trailing_30d_revenue": q_trailing_30d_revenue,
 }
 
 
@@ -507,6 +543,7 @@ def oracles() -> dict[str, str]:
     return {
         "pivot_status_priority": PIVOT_SQL,
         "unpivot_part_attrs": UNPIVOT_SQL,
+        "trailing_30d_revenue": TRAILING_30D_SQL,
         "q4_priority_count": Q4_SQL,
         "q7_volume_shipping": Q7_SQL,
         "q10_returned_items": Q10_SQL,

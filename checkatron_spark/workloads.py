@@ -126,6 +126,70 @@ def diff_orders_incremental_oracle_sql() -> str:
     )
 
 
+def diff_nullkey_presence_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL-first-key quirk, fixed (SURVEY.md §2.3): the row whose key is
+    legitimately NULL on both sides (orderkey 0, NULLed here) is matched by
+    the null-safe join, and ``presence_fix=True`` reports it as present-both
+    (_row_status NULL) instead of the reference's misclassified 4. Row drops
+    on each side keep real 4/5 rows in the result."""
+    orders = load_table(spark, "orders", sf_dir)
+    nullify = F.when(F.col("o_orderkey") == 0, F.lit(None).cast("long")).otherwise(
+        F.col("o_orderkey")
+    )
+    before = orders.withColumn("o_orderkey", nullify).filter(
+        F.coalesce(F.col("o_orderkey") % 41, F.lit(0)) != 2
+    )
+    after = (
+        orders.withColumn("o_orderkey", nullify)
+        .filter(F.coalesce(F.col("o_orderkey") % 43, F.lit(0)) != 3)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_custkey") % 10 == 1, F.lit("F2")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    return diff(before, after, ["o_orderkey"], presence_fix=True)
+
+
+def _nullkey_status_sql(b: str, a: str) -> str:
+    return (
+        f"CAST(CASE WHEN {b} IS NULL AND {a} IS NULL THEN 0 "
+        f"WHEN {b} IS NULL AND {a} IS NOT NULL THEN 2 "
+        f"WHEN {b} IS NOT NULL AND {a} IS NULL THEN 3 "
+        f"WHEN {b} = {a} THEN 0 ELSE 1 END AS INTEGER)"
+    )
+
+
+def diff_nullkey_presence_fix_oracle_sql() -> str:
+    nullify = "CASE WHEN o_orderkey = 0 THEN NULL ELSE o_orderkey END"
+    b_src = (
+        f"SELECT {nullify} AS o_orderkey, o_custkey, o_orderstatus, "
+        f"o_totalprice, o_orderdate, o_orderpriority, TRUE AS __p FROM orders "
+        f"WHERE COALESCE(({nullify}) % 41, 0) <> 2"
+    )
+    a_src = (
+        f"SELECT {nullify} AS o_orderkey, o_custkey, "
+        f"CASE WHEN o_custkey % 10 = 1 THEN 'F2' ELSE o_orderstatus END "
+        f"AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, "
+        f"TRUE AS __p FROM orders WHERE COALESCE(({nullify}) % 43, 0) <> 3"
+    )
+    cols = ORDERS_COLS
+    status = ",\n       ".join(
+        f'{_nullkey_status_sql("b." + c, "a." + c)} AS "{c.upper()}"'
+        for c in cols
+    )
+    return (
+        f"WITH b AS ({b_src}), a AS ({a_src})\n"
+        f"SELECT CAST(CASE WHEN b.__p IS NULL THEN 4 "
+        f"WHEN a.__p IS NULL THEN 5 END AS INTEGER) AS \"_row_status\",\n"
+        f'       COALESCE(b.o_orderkey, a.o_orderkey) AS "K_O_ORDERKEY",\n'
+        f"       {status}\n"
+        f"FROM b FULL OUTER JOIN a "
+        f"ON b.o_orderkey IS NOT DISTINCT FROM a.o_orderkey"
+    )
+
+
 def diff_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key diff with per-side WHERE filters (P1 + composite key):
     before/after are overlapping shipdate slices of lineitem."""
