@@ -470,6 +470,25 @@ FROM orders
 """
 
 
+_GS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       / 100.0 AS sum_price
+FROM {table}
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-status totals,
+    per-priority totals, and the grand total in ONE aggregate pass — via
+    the spark.sql surface (the DataFrame API has no grouping-sets
+    constructor), sharing the exact-cents arithmetic with the oracle
+    verbatim."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_gs")
+    return spark.sql(_GS_SQL.format(table="orders_gs"))
+
+
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 _PRIO_ALIAS = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
 
@@ -536,6 +555,7 @@ QUERIES = {
     "pivot_status_priority": q_pivot_priority,
     "unpivot_part_attrs": q_unpivot_part,
     "trailing_30d_revenue": q_trailing_30d_revenue,
+    "orders_grouping_sets": q_grouping_sets,
 }
 
 
@@ -544,6 +564,7 @@ def oracles() -> dict[str, str]:
         "pivot_status_priority": PIVOT_SQL,
         "unpivot_part_attrs": UNPIVOT_SQL,
         "trailing_30d_revenue": TRAILING_30D_SQL,
+        "orders_grouping_sets": _GS_SQL.format(table="orders"),
         "q4_priority_count": Q4_SQL,
         "q7_volume_shipping": Q7_SQL,
         "q10_returned_items": Q10_SQL,
