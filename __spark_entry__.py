@@ -107,6 +107,36 @@ def _q_labeled_counts(spark, sf_dir):
     )
 
 
+def _q_dupkey_guard(spark, sf_dir):
+    # operators/guard.py: the reference silently fans out m x n on
+    # non-unique business keys (SURVEY.md §2.3) — this surfaces them
+    from checkatron_spark.operators.guard import duplicate_keys
+
+    return duplicate_keys(
+        load_table(spark, "lineitem", sf_dir), ["l_orderkey"]
+    )
+
+
+def _q_salted_agg(spark, sf_dir):
+    # operators/skew.py: two-phase salted aggregation — result equals the
+    # plain groupBy (oracle) but the hot key spreads over 16 reducers
+    from checkatron_spark.operators.skew import salted_agg
+
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return salted_agg(
+        li.select("l_returnflag", cents.alias("_c")),
+        ["l_returnflag"],
+        [F.count(F.lit(1)).alias("_n"), F.sum("_c").alias("_s")],
+        [
+            F.sum("_n").alias("n_items"),
+            (F.sum("_s").cast("double") / F.lit(100.0)).alias("sum_price"),
+        ],
+    )
+
+
 def _q_orders_filtered(spark, sf_dir):
     # P1/P6/O1: free-form filter + projection + order (order-insensitive check)
     return (
@@ -130,6 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keys_union": _q_keys_union,
         "labeled_counts": _q_labeled_counts,
         "orders_filtered": _q_orders_filtered,
+        "dupkey_guard": _q_dupkey_guard,
+        "salted_hot_key_agg": _q_salted_agg,
         **P.QUERIES,
         **A.QUERIES,
         **T.QUERIES,
@@ -185,6 +217,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE o_totalprice > 100000 AND o_orderstatus = 'O' "
             "ORDER BY o_orderkey"
+        ),
+        "dupkey_guard": (
+            "SELECT l_orderkey, COUNT(*) AS n_rows FROM lineitem "
+            "GROUP BY l_orderkey HAVING COUNT(*) > 1"
+        ),
+        "salted_hot_key_agg": (
+            "SELECT l_returnflag, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) "
+            "AS DOUBLE) / 100.0 AS sum_price "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         **P.oracles(),
         **A.oracles(),
