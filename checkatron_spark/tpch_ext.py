@@ -470,6 +470,52 @@ FROM orders
 """
 
 
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, hour) the opening/closing/min/max
+    value — the classic time-series rollup. First/last are anchored with
+    (ts, event_id) row_numbers instead of min_by/max_by so ties on ts are
+    deterministic and the oracle matches exactly; both windows share one
+    shuffle (same partitioning)."""
+    ev = load_table(spark, "events", sf_dir)
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    base = ev.select("event_type", hour, "ts", "event_id", "value")
+    wa = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        base.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rd", F.row_number().over(wd))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.max(F.when(F.col("_ra") == 1, F.col("value"))).alias("open"),
+            F.max(F.when(F.col("_rd") == 1, F.col("value"))).alias("close"),
+            F.min("value").alias("low"),
+            F.max("value").alias("high"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+OHLC_SQL = """
+WITH ranked AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, value,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS ra,
+           row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rd
+    FROM events
+)
+SELECT event_type, hour,
+       MAX(CASE WHEN ra = 1 THEN value END) AS open,
+       MAX(CASE WHEN rd = 1 THEN value END) AS close,
+       MIN(value) AS low, MAX(value) AS high, COUNT(*) AS n_events
+FROM ranked GROUP BY event_type, hour
+"""
+
+
 _GS_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
        CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -556,6 +602,7 @@ QUERIES = {
     "unpivot_part_attrs": q_unpivot_part,
     "trailing_30d_revenue": q_trailing_30d_revenue,
     "orders_grouping_sets": q_grouping_sets,
+    "events_ohlc_hourly": q_events_ohlc,
 }
 
 
@@ -565,6 +612,7 @@ def oracles() -> dict[str, str]:
         "unpivot_part_attrs": UNPIVOT_SQL,
         "trailing_30d_revenue": TRAILING_30D_SQL,
         "orders_grouping_sets": _GS_SQL.format(table="orders"),
+        "events_ohlc_hourly": OHLC_SQL,
         "q4_priority_count": Q4_SQL,
         "q7_volume_shipping": Q7_SQL,
         "q10_returned_items": Q10_SQL,
