@@ -309,6 +309,45 @@ FROM (
 """
 
 
+def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function API): explode each document into
+    trimmed '.'-separated sentences with a per-doc index — the row-expanding
+    text transform (chunking for training windows) as a declarative lateral
+    join. Arrow-optimized UDTF; the oracle renumbers kept parts with a
+    window, matching the UDTF's enumerate-after-filter exactly."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, sent_idx: int, sentence: string")
+    class SplitSentences:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            kept = [
+                p.strip() for p in (text or "").split(".") if p.strip() != ""
+            ]
+            for i, s in enumerate(kept):
+                yield doc_id, i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT s.doc_id, s.sent_idx, s.sentence "
+        "FROM docs_udtf, LATERAL split_sentences(doc_id, text) s"
+    )
+
+
+SPLIT_SENTENCES_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+            AS INTEGER) AS sent_idx,
+       trim(part) AS sentence
+FROM (
+    SELECT doc_id, unnest(string_split(text, '.')) AS part,
+           generate_subscripts(string_split(text, '.'), 1) AS pos
+    FROM documents
+)
+WHERE trim(part) <> ''
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_exact(load_table(spark, "documents", sf_dir), "text", "doc_id")
 
@@ -848,6 +887,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "curation_filter": q_curation_filter,
     "dedup_exact": q_dedup_exact,
+    "split_sentences_udtf": q_split_sentences,
     "dedup_keyed": q_dedup_keyed,
     "neardup_ngram_jaccard": q_neardup_jaccard,
     "neardup_clusters": q_neardup_clusters,
@@ -880,6 +920,7 @@ def oracles() -> dict[str, str]:
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "curation_filter": curation_filter_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
+        "split_sentences_udtf": SPLIT_SENTENCES_SQL,
         "dedup_keyed": DEDUP_KEYED_SQL,
         "neardup_ngram_jaccard": NEARDUP_JACCARD_SQL,
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,
