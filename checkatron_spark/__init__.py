@@ -21,6 +21,12 @@ from checkatron_spark.cli import build_sql, parse_args
 from checkatron_spark.operators.asof import asof_join
 from checkatron_spark.operators.dedup import connected_components
 from checkatron_spark.operators.diff import DiffSpec, diff, diff_from_spec
+from checkatron_spark.operators.incremental import diff_incremental
+from checkatron_spark.sampling import (
+    deterministic_sample,
+    pack_sequences,
+    split_assign,
+)
 from checkatron_spark.operators.rangejoin import range_join_binned
 from checkatron_spark.operators.skew import salted_agg
 from checkatron_spark.operators.guard import (
@@ -44,12 +50,16 @@ __all__ = [
     "build_sql",
     "connected_components",
     "decode_status",
+    "deterministic_sample",
     "diff",
     "diff_drilldown",
     "diff_from_spec",
+    "diff_incremental",
     "diff_summary",
     "duplicate_keys",
     "get_spark",
+    "pack_sequences",
+    "split_assign",
     "labeled_counts",
     "parse_args",
     "range_join_binned",
