@@ -470,6 +470,47 @@ FROM orders
 """
 
 
+def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window coverage beyond row_number: ntile quartiles and
+    percent_rank over order value (orderkey tiebreak makes both
+    deterministic), aggregated to per-(status, quartile) bands. The window
+    partitions on status — a global ntile would be a single-partition sort
+    at scale, so rank within a partition key (or pre-aggregate) instead."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    banded = orders.select(
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        _cents(F.col("o_totalprice")).alias("_price_c"),
+    )
+    return banded.groupBy("o_orderstatus", "quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("pr"), 6).alias("min_pr"),
+        F.round(F.max("pr"), 6).alias("max_pr"),
+        _dollars(F.sum("_price_c")).alias("sum_price"),
+    )
+
+
+PRICE_QUARTILES_SQL = """
+SELECT o_orderstatus, quartile, COUNT(*) AS n_orders,
+       round(MIN(pr), 6) AS min_pr, round(MAX(pr), 6) AS max_pr,
+       CAST(SUM(_price_c) AS DOUBLE) / 100.0 AS sum_price
+FROM (
+    SELECT o_orderstatus,
+           ntile(4) OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice, o_orderkey) AS quartile,
+           percent_rank() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS pr,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS _price_c
+    FROM orders
+)
+GROUP BY o_orderstatus, quartile
+"""
+
+
 def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC downsampling: per (event_type, hour) the opening/closing/min/max
     value — the classic time-series rollup. First/last are anchored with
@@ -603,6 +644,7 @@ QUERIES = {
     "trailing_30d_revenue": q_trailing_30d_revenue,
     "orders_grouping_sets": q_grouping_sets,
     "events_ohlc_hourly": q_events_ohlc,
+    "price_quartiles": q_price_quartiles,
 }
 
 
@@ -613,6 +655,7 @@ def oracles() -> dict[str, str]:
         "trailing_30d_revenue": TRAILING_30D_SQL,
         "orders_grouping_sets": _GS_SQL.format(table="orders"),
         "events_ohlc_hourly": OHLC_SQL,
+        "price_quartiles": PRICE_QUARTILES_SQL,
         "q4_priority_count": Q4_SQL,
         "q7_volume_shipping": Q7_SQL,
         "q10_returned_items": Q10_SQL,
