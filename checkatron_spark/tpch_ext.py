@@ -511,6 +511,107 @@ GROUP BY o_orderstatus, quartile
 """
 
 
+def q_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group WITHOUT F.corr: engine-native corr
+    merges partial moments in partition order (FP-nondeterministic), so the
+    moments are accumulated as exact BIGINT sums (quantity in cents,
+    price in whole dollars — scales chosen so every cross-product stays
+    under 2^63 at 100x this SF) and the closed-form combination happens
+    once, in doubles, with a fixed operation order both engines share."""
+    li = load_table(spark, "lineitem", sf_dir)
+    q = _cents(F.col("l_quantity"))
+    p = F.floor(F.col("l_extendedprice")).cast("bigint")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(p * p).alias("spp"),
+        F.sum(q * p).alias("sqp"),
+    )
+    n, sq, sp = [F.col(c).cast("double") for c in ("n", "sq", "sp")]
+    sqq, spp, sqp = [F.col(c).cast("double") for c in ("sqq", "spp", "sqp")]
+    corr = (n * sqp - sq * sp) / (
+        F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)
+    )
+    return agg.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("qty_price_corr")
+    )
+
+
+QTY_PRICE_CORR_SQL = """
+SELECT l_returnflag, n,
+       round((n * sqp - sq * sp)
+             / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
+           AS qty_price_corr
+FROM (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(p) AS DOUBLE) AS sp,
+           CAST(SUM(q * q) AS DOUBLE) AS sqq,
+           CAST(SUM(p * p) AS DOUBLE) AS spp,
+           CAST(SUM(q * p) AS DOUBLE) AS sqp
+    FROM (
+        SELECT l_returnflag,
+               CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS q,
+               CAST(floor(l_extendedprice) AS BIGINT) AS p
+        FROM lineitem
+    )
+    GROUP BY l_returnflag
+)
+"""
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier detection per event type (the training-data outlier
+    gate): mean/variance from exact integer-milli sums via a window over
+    the group — one shuffle, no second scan — then a deterministic double
+    threshold compare. Returns per-type outlier counts and bounds."""
+    ev = load_table(spark, "events", sf_dir)
+    m = F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("event_type")
+    base = ev.select("event_type", m.alias("_m"))
+    base = (
+        base.withColumn("_n", F.count(F.lit(1)).over(w).cast("double"))
+        .withColumn("_s", F.sum("_m").over(w).cast("double"))
+        .withColumn("_ss", F.sum(F.col("_m") * F.col("_m")).over(w).cast("double"))
+    )
+    mean = F.col("_s") / F.col("_n")
+    var = (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n")) / F.col("_n")
+    is_out = F.abs(F.col("_m").cast("double") - mean) > F.lit(3.0) * F.sqrt(var)
+    return (
+        base.withColumn("_out", is_out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("_out"), 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max(mean), 6).alias("mean_milli"),
+            F.round(F.max(F.sqrt(var)), 6).alias("sd_milli"),
+        )
+    )
+
+
+VALUE_OUTLIERS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CASE WHEN abs(CAST(m AS DOUBLE) - s / n) > 3.0 *
+                     sqrt((ss - s * s / n) / n)
+                THEN 1 ELSE 0 END) AS n_outliers,
+       round(MAX(s / n), 6) AS mean_milli,
+       round(MAX(sqrt((ss - s * s / n) / n)), 6) AS sd_milli
+FROM (
+    SELECT event_type, m,
+           CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+           CAST(SUM(m) OVER w AS DOUBLE) AS s,
+           CAST(SUM(m * m) OVER w AS DOUBLE) AS ss
+    FROM (SELECT event_type,
+                 CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS m
+          FROM events)
+    WINDOW w AS (PARTITION BY event_type)
+)
+GROUP BY event_type
+"""
+
+
 def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC downsampling: per (event_type, hour) the opening/closing/min/max
     value — the classic time-series rollup. First/last are anchored with
@@ -645,6 +746,8 @@ QUERIES = {
     "orders_grouping_sets": q_grouping_sets,
     "events_ohlc_hourly": q_events_ohlc,
     "price_quartiles": q_price_quartiles,
+    "qty_price_corr": q_qty_price_corr,
+    "value_outliers_3sigma": q_value_outliers,
 }
 
 
@@ -656,6 +759,8 @@ def oracles() -> dict[str, str]:
         "orders_grouping_sets": _GS_SQL.format(table="orders"),
         "events_ohlc_hourly": OHLC_SQL,
         "price_quartiles": PRICE_QUARTILES_SQL,
+        "qty_price_corr": QTY_PRICE_CORR_SQL,
+        "value_outliers_3sigma": VALUE_OUTLIERS_SQL,
         "q4_priority_count": Q4_SQL,
         "q7_volume_shipping": Q7_SQL,
         "q10_returned_items": Q10_SQL,
