@@ -227,6 +227,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_iter: int = 5,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine search.
 
@@ -249,7 +250,10 @@ def ivf_topk(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("features"),
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    # coarse quantizer: cell QUALITY barely moves recall (n_probe covers
+    # boundary cases), so don't pay for convergence — 5 Lloyd iterations,
+    # each a full job, vs the default 20
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
     assigned = model.transform(feats).select(
         "neighbor_id", "_cv", F.col("prediction").alias("_cell")
     )
