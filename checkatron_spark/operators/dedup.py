@@ -351,6 +351,9 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # labels only ever decrease, so "changed" = "an incoming label beat
+        # mine" — carried as a flag in the SAME pass (the old separate
+        # new-vs-old join cost an extra shuffle per round)
         new = (
             labels.join(prop, F.col("node") == F.col("dst"), "left")
             .select(
@@ -358,17 +361,14 @@ def connected_components(
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
+                (F.coalesce(F.col("nlbl"), F.col("lbl")) < F.col("lbl")).alias(
+                    "_chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("_chg")).limit(1).count()
+        labels = new.drop("_chg")
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
