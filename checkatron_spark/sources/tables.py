@@ -110,6 +110,35 @@ def write_partitioned(
     w.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_mb: int = 256,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ~``target_file_mb`` files (computed from the source's on-disk bytes),
+    optionally sorted for row-group stat locality. Streaming sinks and
+    incremental loads accumulate kilobyte files whose per-file open/footer
+    cost dominates scans at scale; compaction is the standing maintenance
+    job. Returns the file count written."""
+    import math
+    from pathlib import Path
+
+    total = sum(
+        p.stat().st_size for p in Path(src_path).rglob("*.parquet")
+    ) or Path(src_path).stat().st_size
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    out = df.repartition(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
 def save_bucketed(
     df: DataFrame, table: str, keys: list[str], buckets: int = 32
 ) -> None:

@@ -122,3 +122,22 @@ def test_diff_empty_sides(spark):
     d3 = diff(empty, empty, ["k"])
     assert d3.count() == 0
     assert d3.columns == ["_row_status", "K_K", "K", "V"]
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Compaction: many tiny files in -> size-targeted file count out,
+    identical rows."""
+    from checkatron_spark.sources.tables import compact_parquet, load_table
+
+    src = str(tmp_path / "shattered")
+    dst = str(tmp_path / "compacted")
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    orders.repartition(64).write.parquet(src)  # 64 tiny files
+    import pathlib
+    assert len(list(pathlib.Path(src).glob("*.parquet"))) >= 32
+    n = compact_parquet(spark, src, dst, target_file_mb=256)
+    assert n == 1  # tiny dataset fits one 256MB target file
+    assert len(list(pathlib.Path(dst).glob("*.parquet"))) == 1
+    a = sorted(r.o_orderkey for r in spark.read.parquet(dst).collect())
+    b = sorted(r.o_orderkey for r in orders.collect())
+    assert a == b
