@@ -658,6 +658,79 @@ FROM ranked GROUP BY event_type, hour
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day (cohort), counted
+    per activity day — the (cohort, activity) matrix every growth dashboard
+    computes. Two aggregations + one join; the cohort table is small (one
+    row per user) and broadcasts."""
+    ev = load_table(spark, "events", sf_dir)
+    day = F.date_trunc("day", F.col("ts"))
+    cohort = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("activity_day")).distinct()
+    return (
+        activity.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_day", "activity_day")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+COHORT_SQL = """
+SELECT cohort_day, activity_day, COUNT(DISTINCT user_id) AS n_active
+FROM (SELECT DISTINCT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS activity_day
+      FROM events) a
+JOIN (SELECT user_id,
+             MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS cohort_day
+      FROM events GROUP BY user_id) c USING (user_id)
+GROUP BY cohort_day, activity_day
+"""
+
+
+def q_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: per user, did a purchase happen AFTER the first
+    signup? One conditional-min aggregation pass per user, then a global
+    rollup — no self-join (the naive funnel is events-x-events; the
+    min-per-stage form is one shuffle on user_id)."""
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "last_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)
+        ).alias("n_signed_up"),
+        F.sum(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & (F.col("last_purchase") > F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted"),
+    )
+
+
+FUNNEL_SQL = """
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_signed_up,
+       SUM(CASE WHEN first_signup IS NOT NULL
+                 AND last_purchase > first_signup THEN 1 ELSE 0 END)
+           AS n_converted
+FROM (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+           MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+    FROM events GROUP BY user_id
+)
+"""
+
+
 _GS_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
        CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -748,6 +821,8 @@ QUERIES = {
     "price_quartiles": q_price_quartiles,
     "qty_price_corr": q_qty_price_corr,
     "value_outliers_3sigma": q_value_outliers,
+    "cohort_retention": q_cohort_retention,
+    "signup_funnel": q_signup_funnel,
 }
 
 
@@ -761,6 +836,8 @@ def oracles() -> dict[str, str]:
         "price_quartiles": PRICE_QUARTILES_SQL,
         "qty_price_corr": QTY_PRICE_CORR_SQL,
         "value_outliers_3sigma": VALUE_OUTLIERS_SQL,
+        "cohort_retention": COHORT_SQL,
+        "signup_funnel": FUNNEL_SQL,
         "q4_priority_count": Q4_SQL,
         "q7_volume_shipping": Q7_SQL,
         "q10_returned_items": Q10_SQL,
