@@ -210,6 +210,58 @@ def curation_filter_sql() -> str:
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the full corpus-assembly pipeline in ONE dataflow —
+    curation gate (quality/stopword/lang-id) -> exact content dedup
+    (md5 fingerprint, min-doc_id winner) -> deterministic 80/10/10 split ->
+    per-split stats. Every stage is an operator proven separately by its
+    own driver query; this pins their composition. Shuffles: one per
+    aggregation boundary (fingerprint window, final group) — the split and
+    gate are scan-speed filters."""
+    from checkatron_spark.sampling import split_assign
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept_ids = q_curation_filter(spark, sf_dir).select("doc_id")
+    enriched = docs.join(kept_ids, "doc_id").select(
+        "doc_id", "lang", "n_chars", T.fingerprint(F.col("text")).alias("_fp")
+    )
+    deduped = D.dedup_keyed(enriched, ["_fp"], "doc_id")
+    split = split_assign(deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                         salt="corpus-v1")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+def corpus_pipeline_sql() -> str:
+    from checkatron_spark.sampling import _duck_uniform
+
+    u = _duck_uniform("doc_id", "corpus-v1")
+    return f"""
+WITH kept AS ({curation_filter_sql()}),
+enriched AS (
+    SELECT d.doc_id, d.lang, d.n_chars, {_FP} AS fp
+    FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+),
+deduped AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM enriched
+    ) WHERE rn = 1
+),
+assigned AS (
+    SELECT *, CASE WHEN {u} < 0.8 THEN 'train'
+                   WHEN {u} < 0.9 THEN 'val' ELSE 'test' END AS split
+    FROM deduped
+)
+SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM assigned GROUP BY split
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf: top-3 terms per document. The classic three-shuffle text
     pipeline — tf by (doc, token), document frequency by token, idf join
@@ -888,6 +940,7 @@ QUERIES = {
     "curation_filter": q_curation_filter,
     "dedup_exact": q_dedup_exact,
     "split_sentences_udtf": q_split_sentences,
+    "corpus_pipeline": q_corpus_pipeline,
     "dedup_keyed": q_dedup_keyed,
     "neardup_ngram_jaccard": q_neardup_jaccard,
     "neardup_clusters": q_neardup_clusters,
@@ -921,6 +974,7 @@ def oracles() -> dict[str, str]:
         "curation_filter": curation_filter_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "split_sentences_udtf": SPLIT_SENTENCES_SQL,
+        "corpus_pipeline": corpus_pipeline_sql(),
         "dedup_keyed": DEDUP_KEYED_SQL,
         "neardup_ngram_jaccard": NEARDUP_JACCARD_SQL,
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,
