@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_lineitem_multikey": _q_diff_lineitem_multikey,
         "diff_orders_incremental": _q_diff_orders_incremental,
         "diff_nullkey_presence_fix": W.diff_nullkey_presence_fix,
+        "diff_orders_tolerance": W.diff_orders_tolerance,
         "keys_union": _q_keys_union,
         "labeled_counts": _q_labeled_counts,
         "orders_filtered": _q_orders_filtered,
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "diff_lineitem_multikey": W.diff_lineitem_oracle_sql(),
         "diff_orders_incremental": W.diff_orders_incremental_oracle_sql(),
         "diff_nullkey_presence_fix": W.diff_nullkey_presence_fix_oracle_sql(),
+        "diff_orders_tolerance": W.diff_orders_tolerance_oracle_sql(),
         "keys_union": (
             f"SELECT o_orderkey FROM {W.BEFORE_SRC_SQL} "
             f"UNION SELECT o_orderkey FROM {W.AFTER_SRC_SQL}"

@@ -190,6 +190,59 @@ def diff_nullkey_presence_fix_oracle_sql() -> str:
     )
 
 
+def diff_orders_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-compare mode (§7.3 hardening, flag-gated off by default):
+    |b-a| <= 0.01 counts as a match on o_totalprice. The after side jitters
+    price by +0.005 (inside tolerance -> status 0) on key%3==0 and +5.0
+    (outside -> status 1) on key%7==0."""
+    orders = load_table(spark, "orders", sf_dir)
+    after = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(5.0))
+        .when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(0.005))
+        .otherwise(F.col("o_totalprice")),
+    )
+    return diff(
+        orders, after, ["o_orderkey"], tolerances={"o_totalprice": 0.01}
+    )
+
+
+def diff_orders_tolerance_oracle_sql() -> str:
+    a_price = (
+        "CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5.0 "
+        "WHEN o_orderkey % 3 = 0 THEN o_totalprice + 0.005 "
+        "ELSE o_totalprice END"
+    )
+    def st(b, a, pred):
+        return (
+            f"CAST(CASE WHEN {b} IS NULL AND {a} IS NULL THEN 0 "
+            f"WHEN {b} IS NULL AND {a} IS NOT NULL THEN 2 "
+            f"WHEN {b} IS NOT NULL AND {a} IS NULL THEN 3 "
+            f"WHEN {pred} THEN 0 ELSE 1 END AS INTEGER)"
+        )
+    cols_sql = []
+    for c in ORDERS_COLS:
+        b, a = f"b.{c}", f"a.{c}"
+        pred = (
+            f"abs(CAST({b} AS DOUBLE) - CAST({a} AS DOUBLE)) <= 0.01"
+            if c == "o_totalprice"
+            else f"{b} = {a}"
+        )
+        cols_sql.append(f'{st(b, a, pred)} AS "{c.upper()}"')
+    status = ",\n       ".join(cols_sql)
+    return (
+        f"WITH b AS (SELECT *, TRUE AS __p FROM orders),\n"
+        f"a AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+        f"{a_price} AS o_totalprice, o_orderdate, o_orderpriority, "
+        f"TRUE AS __p FROM orders)\n"
+        f"SELECT CAST(CASE WHEN b.__p IS NULL THEN 4 "
+        f"WHEN a.__p IS NULL THEN 5 END AS INTEGER) AS \"_row_status\",\n"
+        f'       COALESCE(b.o_orderkey, a.o_orderkey) AS "K_O_ORDERKEY",\n'
+        f"       {status}\n"
+        f"FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey"
+    )
+
+
 def diff_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key diff with per-side WHERE filters (P1 + composite key):
     before/after are overlapping shipdate slices of lineitem."""
