@@ -121,8 +121,9 @@ def _equal_pred(
         return F.abs(b.cast("double") - a.cast("double")) <= F.lit(
             float(tolerances[col])
         )
-    if ts_trunc and "timestamp" in (
-        b_type.simpleString(), a_type.simpleString()
+    if ts_trunc and any(
+        t.simpleString().startswith("timestamp")  # timestamp AND timestamp_ntz
+        for t in (b_type, a_type)
     ):
         return F.date_trunc(ts_trunc, b) == F.date_trunc(ts_trunc, a)
     if isinstance(b_type, MapType) or isinstance(a_type, MapType):

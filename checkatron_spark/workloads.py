@@ -243,6 +243,63 @@ def diff_orders_tolerance_oracle_sql() -> str:
     )
 
 
+def diff_orders_ts_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-truncation compare mode: equality at 'minute' granularity
+    on o_orderdate. The after side shifts dates +30 seconds (same minute —
+    fixture dates are midnight-aligned -> status 0) on key%3==0 and +2 days
+    (status 1) on key%7==0."""
+    orders = load_table(spark, "orders", sf_dir)
+    after = orders.withColumn(
+        "o_orderdate",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.col("o_orderdate") + F.expr("INTERVAL '2' DAY"),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 0,
+            F.col("o_orderdate") + F.expr("INTERVAL '30' SECOND"),
+        )
+        .otherwise(F.col("o_orderdate")),
+    )
+    return diff(orders, after, ["o_orderkey"], ts_trunc="minute")
+
+
+def diff_orders_ts_trunc_oracle_sql() -> str:
+    a_date = (
+        "CASE WHEN o_orderkey % 7 = 0 THEN o_orderdate + INTERVAL '2' DAY "
+        "WHEN o_orderkey % 3 = 0 THEN o_orderdate + INTERVAL '30' SECOND "
+        "ELSE o_orderdate END"
+    )
+    def st(b, a, pred):
+        return (
+            f"CAST(CASE WHEN {b} IS NULL AND {a} IS NULL THEN 0 "
+            f"WHEN {b} IS NULL AND {a} IS NOT NULL THEN 2 "
+            f"WHEN {b} IS NOT NULL AND {a} IS NULL THEN 3 "
+            f"WHEN {pred} THEN 0 ELSE 1 END AS INTEGER)"
+        )
+    cols_sql = []
+    for c in ORDERS_COLS:
+        b, a = f"b.{c}", f"a.{c}"
+        pred = (
+            f"date_trunc('minute', {b}) = date_trunc('minute', {a})"
+            if c == "o_orderdate"
+            else f"{b} = {a}"
+        )
+        cols_sql.append(f'{st(b, a, pred)} AS "{c.upper()}"')
+    status = ",\n       ".join(cols_sql)
+    return (
+        f"WITH b AS (SELECT *, TRUE AS __p FROM orders),\n"
+        f"a AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        f"{a_date} AS o_orderdate, o_orderpriority, "
+        f"TRUE AS __p FROM orders)\n"
+        f"SELECT CAST(CASE WHEN b.__p IS NULL THEN 4 "
+        f"WHEN a.__p IS NULL THEN 5 END AS INTEGER) AS \"_row_status\",\n"
+        f'       COALESCE(b.o_orderkey, a.o_orderkey) AS "K_O_ORDERKEY",\n'
+        f"       {status}\n"
+        f"FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey"
+    )
+
+
 def diff_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key diff with per-side WHERE filters (P1 + composite key):
     before/after are overlapping shipdate slices of lineitem."""
