@@ -22,10 +22,12 @@ from checkatron_spark.operators.asof import asof_join
 from checkatron_spark.operators.dedup import connected_components
 from checkatron_spark.operators.diff import DiffSpec, diff, diff_from_spec
 from checkatron_spark.operators.incremental import diff_incremental
+from checkatron_spark.operators.scd import scd2_delta
 from checkatron_spark.sampling import (
     deterministic_sample,
     pack_sequences,
     split_assign,
+    stratified_sample,
 )
 from checkatron_spark.operators.rangejoin import range_join_binned
 from checkatron_spark.operators.skew import salted_agg
@@ -64,6 +66,8 @@ __all__ = [
     "parse_args",
     "range_join_binned",
     "salted_agg",
+    "scd2_delta",
+    "stratified_sample",
 ]
 
 __version__ = "0.1.0"

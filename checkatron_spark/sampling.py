@@ -27,6 +27,7 @@ from checkatron_spark.sources.tables import load_table
 __all__ = [
     "hash_uniform",
     "deterministic_sample",
+    "stratified_sample",
     "split_assign",
     "pack_sequences",
     "QUERIES",
@@ -55,6 +56,32 @@ def deterministic_sample(
     """Keep ~``fraction`` of rows, chosen by content hash of ``key`` —
     reproducible across runs/engines/partitionings, unlike df.sample()."""
     return df.filter(hash_uniform(F.col(key), salt) < F.lit(fraction))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    default: float = 0.0,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~``fractions[stratum]`` of
+    each stratum's rows (``default`` for strata not listed). The corpus
+    REBALANCING step of a training pipeline — e.g. downsample the dominant
+    language while keeping all of a rare one. Same hash draw as
+    ``deterministic_sample`` so membership is reproducible across engines
+    and cluster sizes; the per-stratum threshold is a CASE projection, so
+    the whole thing is still a zero-shuffle filter at full scan speed."""
+    frac: Column | None = None
+    for name, f in fractions.items():
+        branch = (F.col(strata_col) == F.lit(name), F.lit(float(f)))
+        frac = F.when(*branch) if frac is None else frac.when(*branch)
+    frac_col = F.lit(float(default)) if frac is None else frac.otherwise(
+        F.lit(float(default))
+    )
+    return df.filter(hash_uniform(F.col(key), salt) < frac_col)
 
 
 def split_assign(
@@ -97,6 +124,24 @@ SAMPLE_SQL = f"""
 SELECT doc_id, lang, source, n_chars
 FROM documents
 WHERE {_duck_uniform("doc_id", "sample-v1")} < 0.1
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus by language: downsample dominant 'en' to 20%,
+    keep 60% of 'zh', drop strata not listed (default=0 ⇒ es/de/fr out).
+    Full-row membership check — the oracle recomputes the exact draw."""
+    docs = load_table(spark, "documents", sf_dir)
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.2, "zh": 0.6}
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_duck_uniform("doc_id", "strat-v1")} <
+      CASE WHEN lang = 'en' THEN 0.2 WHEN lang = 'zh' THEN 0.6 ELSE 0.0 END
 """
 
 
@@ -186,6 +231,7 @@ GROUP BY lang, pack_id
 
 QUERIES = {
     "sample_deterministic": q_deterministic_sample,
+    "sample_stratified": q_stratified_sample,
     "split_train_val_test": q_split_counts,
     "pack_sequences_budget": q_pack_sequences,
 }
@@ -194,6 +240,7 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     return {
         "sample_deterministic": SAMPLE_SQL,
+        "sample_stratified": STRATIFIED_SQL,
         "split_train_val_test": SPLIT_COUNTS_SQL,
         "pack_sequences_budget": PACK_SQL,
     }

@@ -300,6 +300,58 @@ def diff_orders_ts_trunc_oracle_sql() -> str:
     )
 
 
+SCD_COMPARE_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+SCD_LOAD_TS = "1998-12-01 00:00:00"
+
+
+def scd2_orders_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge delta between the flagship snapshots: current = before
+    (valid_from = o_orderdate), updates = after. Emits close-outs for
+    changed/deleted keys and new versions for changed/new keys — exactly
+    the rows a warehouse MERGE would write (operators/scd.py)."""
+    from checkatron_spark.operators.scd import scd2_delta
+
+    current = orders_before(spark, sf_dir).withColumn(
+        "valid_from", F.col("o_orderdate")
+    )
+    updates = orders_after(spark, sf_dir)
+    return scd2_delta(
+        current,
+        updates,
+        ["o_orderkey"],
+        SCD_COMPARE_COLS,
+        load_ts=F.lit(SCD_LOAD_TS).cast("timestamp"),
+    )
+
+
+def scd2_orders_delta_oracle_sql() -> str:
+    cc = SCD_COMPARE_COLS
+    cols = ", ".join(cc)
+    ts = f"TIMESTAMP '{SCD_LOAD_TS}'"
+    b_sel = ", ".join(f"b.{c} AS b_{c}" for c in cc)
+    a_sel = ", ".join(f"a.{c} AS a_{c}" for c in cc)
+    changed = " OR ".join(f"b_{c} IS DISTINCT FROM a_{c}" for c in cc)
+    return (
+        f"WITH b AS (SELECT o_orderkey, {cols}, o_orderdate AS valid_from, "
+        f"TRUE AS p FROM {BEFORE_SRC_SQL}),\n"
+        f"a AS (SELECT o_orderkey, {cols}, TRUE AS p FROM {AFTER_SRC_SQL}),\n"
+        f"j AS (SELECT b.o_orderkey AS bk, a.o_orderkey AS ak, "
+        f"b.p AS bp, a.p AS ap, b.valid_from, {b_sel}, {a_sel} "
+        f"FROM b FULL OUTER JOIN a "
+        f"ON b.o_orderkey IS NOT DISTINCT FROM a.o_orderkey)\n"
+        f"SELECT 'close' AS action, bk AS o_orderkey, "
+        f"{', '.join(f'b_{c} AS {c}' for c in cc)}, "
+        f"valid_from, {ts} AS valid_to, FALSE AS is_current "
+        f"FROM j WHERE bp AND (ap IS NULL OR {changed})\n"
+        f"UNION ALL\n"
+        f"SELECT 'insert' AS action, ak AS o_orderkey, "
+        f"{', '.join(f'a_{c} AS {c}' for c in cc)}, "
+        f"{ts} AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to, "
+        f"TRUE AS is_current "
+        f"FROM j WHERE ap AND (bp IS NULL OR {changed})"
+    )
+
+
 def diff_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key diff with per-side WHERE filters (P1 + composite key):
     before/after are overlapping shipdate slices of lineitem."""
