@@ -28,6 +28,7 @@ from checkatron_spark.sampling import (
     pack_sequences,
     split_assign,
     stratified_sample,
+    weighted_sample,
 )
 from checkatron_spark.operators.rangejoin import range_join_binned
 from checkatron_spark.operators.skew import salted_agg
@@ -68,6 +69,7 @@ __all__ = [
     "salted_agg",
     "scd2_delta",
     "stratified_sample",
+    "weighted_sample",
 ]
 
 __version__ = "0.1.0"

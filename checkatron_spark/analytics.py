@@ -396,6 +396,31 @@ GROUP BY c_mktsegment
 """
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling equi-width histogram of o_totalprice (width 25k):
+    bin id + count + exact bin bounds. One map-side-combined aggregate —
+    the profile of a 100 TB column costs one scan; bins (≈ range/width)
+    stay tiny regardless of row count."""
+    orders = load_table(spark, "orders", sf_dir)
+    bin_id = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("bigint")
+    return (
+        orders.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("bin_min"),
+            F.max("o_totalprice").alias("bin_max"),
+        )
+    )
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_orders, MIN(o_totalprice) AS bin_min,
+       MAX(o_totalprice) AS bin_max
+FROM orders GROUP BY 1
+"""
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-aggregate — the query whose entire
     cost is how little of the file the scan reads (predicate pushdown +
@@ -516,6 +541,7 @@ QUERIES = {
     "orders_rollup": q_orders_rollup,
     "supplier_cube": q_supplier_cube,
     "distinct_counts": q_distinct_counts,
+    "price_histogram": q_price_histogram,
     "q6_forecast_revenue": q_forecast_revenue,
     "parts_above_type_avg": q_parts_above_type_avg,
     "repeat_customers_intersect": q_repeat_customers_intersect,
@@ -535,6 +561,7 @@ def oracles() -> dict[str, str]:
         "orders_rollup": ORDERS_ROLLUP_SQL,
         "supplier_cube": SUPPLIER_CUBE_SQL,
         "distinct_counts": DISTINCT_COUNTS_SQL,
+        "price_histogram": PRICE_HISTOGRAM_SQL,
         "q1_pricing_summary": PRICING_SUMMARY_SQL,
         "q3_top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
         "q5_region_revenue": REGION_REVENUE_SQL,

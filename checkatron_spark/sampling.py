@@ -28,6 +28,7 @@ __all__ = [
     "hash_uniform",
     "deterministic_sample",
     "stratified_sample",
+    "weighted_sample",
     "split_assign",
     "pack_sequences",
     "QUERIES",
@@ -82,6 +83,25 @@ def stratified_sample(
         F.lit(float(default))
     )
     return df.filter(hash_uniform(F.col(key), salt) < frac_col)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    scale: float,
+    *,
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Bernoulli sampling with per-row inclusion probability
+    ``min(1, weight * scale)`` — e.g. sample documents proportional to a
+    quality score, the data-mixing step of a corpus pipeline. The comparison
+    is one double multiply against the md5 draw, so membership is bit-exact
+    across engines (no pow/log whose last-ulp could flip a boundary row).
+    Zero-shuffle scan-speed filter; expected kept fraction =
+    E[min(1, w*scale)]."""
+    p = F.least(F.lit(1.0), F.col(weight_col).cast("double") * F.lit(float(scale)))
+    return df.filter(hash_uniform(F.col(key), salt) < p)
 
 
 def split_assign(
@@ -142,6 +162,24 @@ SELECT doc_id, lang, source, n_chars
 FROM documents
 WHERE {_duck_uniform("doc_id", "strat-v1")} <
       CASE WHEN lang = 'en' THEN 0.2 WHEN lang = 'zh' THEN 0.6 ELSE 0.0 END
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document draw: inclusion probability
+    min(1, n_chars * 2e-5) — longer documents are proportionally more
+    likely to be kept (weight proxy for a quality score)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return weighted_sample(docs, "doc_id", "n_chars", 2e-5).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+WEIGHTED_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_duck_uniform("doc_id", "wsample-v1")} <
+      LEAST(1.0, CAST(n_chars AS DOUBLE) * 2e-5)
 """
 
 
@@ -232,6 +270,7 @@ GROUP BY lang, pack_id
 QUERIES = {
     "sample_deterministic": q_deterministic_sample,
     "sample_stratified": q_stratified_sample,
+    "sample_weighted": q_weighted_sample,
     "split_train_val_test": q_split_counts,
     "pack_sequences_budget": q_pack_sequences,
 }
@@ -241,6 +280,7 @@ def oracles() -> dict[str, str]:
     return {
         "sample_deterministic": SAMPLE_SQL,
         "sample_stratified": STRATIFIED_SQL,
+        "sample_weighted": WEIGHTED_SQL,
         "split_train_val_test": SPLIT_COUNTS_SQL,
         "pack_sequences_budget": PACK_SQL,
     }

@@ -49,3 +49,23 @@ def test_split_partitions_every_row_exactly_once(spark):
     s1 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1).collect()}
     s2 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
     assert s1 <= s2
+
+
+def test_weighted_sample_probability_bounds(spark):
+    from checkatron_spark.sampling import weighted_sample
+
+    docs = load_table(spark, "documents", SF_DIR)
+    # scale large enough that min(1, w*scale) == 1 for every row -> keep all
+    assert weighted_sample(docs, "doc_id", "n_chars", 1.0).count() == docs.count()
+    # scale 0 -> probability 0 -> keep nothing
+    assert weighted_sample(docs, "doc_id", "n_chars", 0.0).count() == 0
+    # heavier rows are kept at a higher rate than light rows
+    kept = weighted_sample(docs, "doc_id", "n_chars", 2e-5)
+    med = docs.approxQuantile("n_chars", [0.5], 0.0)[0]
+    heavy_rate = kept.filter(F.col("n_chars") > med).count() / max(
+        1, docs.filter(F.col("n_chars") > med).count()
+    )
+    light_rate = kept.filter(F.col("n_chars") <= med).count() / max(
+        1, docs.filter(F.col("n_chars") <= med).count()
+    )
+    assert heavy_rate > light_rate
