@@ -19,7 +19,10 @@ get_spark()                                        tuned local SparkSession
 
 from checkatron_spark.cli import build_sql, parse_args
 from checkatron_spark.operators.asof import asof_join
-from checkatron_spark.operators.dedup import connected_components
+from checkatron_spark.operators.dedup import (
+    connected_components,
+    fuzzy_pairs_blocked,
+)
 from checkatron_spark.operators.diff import DiffSpec, diff, diff_from_spec
 from checkatron_spark.operators.incremental import diff_incremental
 from checkatron_spark.operators.scd import scd2_delta
@@ -60,6 +63,7 @@ __all__ = [
     "diff_incremental",
     "diff_summary",
     "duplicate_keys",
+    "fuzzy_pairs_blocked",
     "get_spark",
     "pack_sequences",
     "split_assign",

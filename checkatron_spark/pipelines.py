@@ -423,6 +423,27 @@ DEDUP_KEYED_SQL = (
 )
 
 
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy match over part names: pairs within the same brand
+    whose names are ≤2 edits apart (operators/dedup.py
+    fuzzy_pairs_blocked)."""
+    return D.fuzzy_pairs_blocked(
+        load_table(spark, "part", sf_dir), "p_partkey", "p_name", ["p_brand"],
+        max_dist=2,
+    )
+
+
+FUZZY_PART_SQL = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS text_a, b.p_name AS text_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_ngram_jaccard(
         load_table(spark, "documents", sf_dir), "text", "doc_id",
@@ -943,6 +964,7 @@ QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "dedup_keyed": q_dedup_keyed,
     "neardup_ngram_jaccard": q_neardup_jaccard,
+    "fuzzy_part_names": q_fuzzy_part_names,
     "neardup_clusters": q_neardup_clusters,
     "neardup_minhash_lsh": q_neardup_minhash,
     "neardup_simhash": q_neardup_simhash,
@@ -977,6 +999,7 @@ def oracles() -> dict[str, str]:
         "corpus_pipeline": corpus_pipeline_sql(),
         "dedup_keyed": DEDUP_KEYED_SQL,
         "neardup_ngram_jaccard": NEARDUP_JACCARD_SQL,
+        "fuzzy_part_names": FUZZY_PART_SQL,
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,
         # neardup_minhash_lsh / neardup_simhash / ann_lsh_topk: probabilistic,
         # rows-only driver check (exact twins are oracle-checked above)
