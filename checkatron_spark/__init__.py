@@ -25,6 +25,7 @@ from checkatron_spark.operators.dedup import (
 )
 from checkatron_spark.operators.diff import DiffSpec, diff, diff_from_spec
 from checkatron_spark.operators.incremental import diff_incremental
+from checkatron_spark.operators.merge3 import diff3
 from checkatron_spark.operators.scd import scd2_delta
 from checkatron_spark.sampling import (
     deterministic_sample,
@@ -58,6 +59,7 @@ __all__ = [
     "decode_status",
     "deterministic_sample",
     "diff",
+    "diff3",
     "diff_drilldown",
     "diff_from_spec",
     "diff_incremental",

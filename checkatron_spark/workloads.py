@@ -352,6 +352,95 @@ def scd2_orders_delta_oracle_sql() -> str:
     )
 
 
+def diff3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way merge diff (operators/merge3.py): base = orders; ours
+    deletes key%19==3, rewrites status on %11==0 and doubles price on
+    %17==0; theirs rewrites status on %11==0 (same value when %2==0 —
+    convergent; different otherwise — conflict) and NULLs price on %13==0.
+    Exercises every code 0-4 plus row-level delete."""
+    from checkatron_spark.operators.merge3 import diff3
+
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders
+    ours = (
+        orders.filter(F.col("o_orderkey") % 19 != 3)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("O2")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 17 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    theirs = (
+        orders.withColumn(
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 11 == 0,
+                F.when(F.col("o_orderkey") % 2 == 0, F.lit("O2")).otherwise(
+                    F.lit("T2")
+                ),
+            ).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.lit(None).cast("double")
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return diff3(
+        base, ours, theirs, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+def diff3_orders_oracle_sql() -> str:
+    def st(col: str) -> str:
+        oc = f"b.{col} IS DISTINCT FROM o.{col}"
+        tc = f"b.{col} IS DISTINCT FROM t.{col}"
+        return (
+            f"CAST(CASE WHEN NOT ({oc}) AND NOT ({tc}) THEN 0 "
+            f"WHEN ({oc}) AND NOT ({tc}) THEN 1 "
+            f"WHEN NOT ({oc}) AND ({tc}) THEN 2 "
+            f"WHEN o.{col} IS NOT DISTINCT FROM t.{col} THEN 3 "
+            f"ELSE 4 END AS INTEGER) AS \"{col.upper()}\""
+        )
+
+    return (
+        "WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice, "
+        "TRUE AS p FROM orders),\n"
+        "o AS (SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 11 = 0 THEN 'O2' ELSE o_orderstatus END "
+        "AS o_orderstatus, "
+        "CASE WHEN o_orderkey % 17 = 0 THEN o_totalprice * 2 "
+        "ELSE o_totalprice END AS o_totalprice, TRUE AS p "
+        "FROM orders WHERE o_orderkey % 19 <> 3),\n"
+        "t AS (SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 11 = 0 THEN "
+        "(CASE WHEN o_orderkey % 2 = 0 THEN 'O2' ELSE 'T2' END) "
+        "ELSE o_orderstatus END AS o_orderstatus, "
+        "CASE WHEN o_orderkey % 13 = 0 THEN NULL "
+        "ELSE o_totalprice END AS o_totalprice, TRUE AS p FROM orders)\n"
+        "SELECT COALESCE(b.o_orderkey, o.o_orderkey, t.o_orderkey) "
+        'AS "K_O_ORDERKEY",\n'
+        '  COALESCE(b.p, FALSE) AS "in_base", '
+        'COALESCE(o.p, FALSE) AS "in_ours", '
+        'COALESCE(t.p, FALSE) AS "in_theirs",\n'
+        f"  {st('o_orderstatus')},\n"
+        f"  {st('o_totalprice')}\n"
+        "FROM b FULL OUTER JOIN o "
+        "ON b.o_orderkey IS NOT DISTINCT FROM o.o_orderkey "
+        "FULL OUTER JOIN t "
+        "ON COALESCE(b.o_orderkey, o.o_orderkey) "
+        "IS NOT DISTINCT FROM t.o_orderkey"
+    )
+
+
 def diff_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key diff with per-side WHERE filters (P1 + composite key):
     before/after are overlapping shipdate slices of lineitem."""
