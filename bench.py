@@ -37,7 +37,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     qs = entrymod.queries()
     # warm the JVM/readers once so timings measure the engine, not startup
-    qs[sorted(qs)[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # one aggregation-shaped and one join-shaped query so whole-stage-codegen
+    # JIT for both paths is compiled before anything is timed
+    for warm in ("q6_forecast_revenue", "diff_orders"):
+        if warm in qs:
+            _force(qs[warm](spark, SF_DIR))
 
     total = 0.0
     for name in sorted(qs):
