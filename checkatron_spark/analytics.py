@@ -421,6 +421,39 @@ FROM orders GROUP BY 1
 """
 
 
+def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same order
+    at least 2 times (the co-occurrence-counting step of a recommender /
+    embedding pipeline). Self-join of lineitem on l_orderkey with
+    ``p1 < p2`` — per-order fanout is items², bounded by basket size (TPC-H
+    ≈ 4-7 items), NOT by table size, so the shuffle grows linearly with
+    orders. DISTINCT inside the basket first so duplicate part lines don't
+    inflate counts. A pathological mega-basket would need a per-order item
+    cap (slice after a row_number window) — not needed at TPC-H shapes."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+PART_COOCCURRENCE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-aggregate — the query whose entire
     cost is how little of the file the scan reads (predicate pushdown +
@@ -542,6 +575,7 @@ QUERIES = {
     "supplier_cube": q_supplier_cube,
     "distinct_counts": q_distinct_counts,
     "price_histogram": q_price_histogram,
+    "part_cooccurrence": q_part_cooccurrence,
     "q6_forecast_revenue": q_forecast_revenue,
     "parts_above_type_avg": q_parts_above_type_avg,
     "repeat_customers_intersect": q_repeat_customers_intersect,
@@ -562,6 +596,7 @@ def oracles() -> dict[str, str]:
         "supplier_cube": SUPPLIER_CUBE_SQL,
         "distinct_counts": DISTINCT_COUNTS_SQL,
         "price_histogram": PRICE_HISTOGRAM_SQL,
+        "part_cooccurrence": PART_COOCCURRENCE_SQL,
         "q1_pricing_summary": PRICING_SUMMARY_SQL,
         "q3_top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
         "q5_region_revenue": REGION_REVENUE_SQL,
