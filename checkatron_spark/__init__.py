@@ -24,7 +24,11 @@ from checkatron_spark.operators.dedup import (
     fuzzy_pairs_blocked,
 )
 from checkatron_spark.operators.diff import DiffSpec, diff, diff_from_spec
-from checkatron_spark.operators.incremental import diff_incremental
+from checkatron_spark.operators.incremental import (
+    bucket_checksums,
+    diff_incremental,
+    row_checksum,
+)
 from checkatron_spark.operators.merge3 import diff3
 from checkatron_spark.operators.scd import scd2_delta
 from checkatron_spark.sampling import (
@@ -54,6 +58,7 @@ __all__ = [
     "DuplicateKeyError",
     "asof_join",
     "assert_unique_keys",
+    "bucket_checksums",
     "build_sql",
     "connected_components",
     "decode_status",
@@ -72,6 +77,7 @@ __all__ = [
     "labeled_counts",
     "parse_args",
     "range_join_binned",
+    "row_checksum",
     "salted_agg",
     "scd2_delta",
     "stratified_sample",

@@ -352,6 +352,28 @@ def scd2_orders_delta_oracle_sql() -> str:
     )
 
 
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table fingerprint: 64 per-bucket (count, checksum) rows
+    over orders (operators/incremental.py bucket_checksums). The primitive
+    for comparing two 100 TB replicas across clusters — each side computes
+    its 64-row fingerprint locally (one map-side-combined scan, no data
+    movement) and only mismatched buckets are ever transferred."""
+    from checkatron_spark.operators.incremental import bucket_checksums
+
+    orders = load_table(spark, "orders", sf_dir)
+    return bucket_checksums(
+        orders, F.col("o_orderkey") % 64, ORDERS_COLS
+    )
+
+
+def table_checksum_orders_oracle_sql() -> str:
+    csum = _incr_csum_sql(ORDERS_COLS)
+    return (
+        f"SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n_rows, "
+        f"SUM({csum}) AS checksum FROM orders GROUP BY 1"
+    )
+
+
 def diff3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-way merge diff (operators/merge3.py): base = orders; ours
     deletes key%19==3, rewrites status on %11==0 and doubles price on
