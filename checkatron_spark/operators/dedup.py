@@ -101,6 +101,38 @@ def shingles(text_col, n: int = 3):
     return _sh(text_col)
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus docs sharing any word n-gram
+    with an evaluation/benchmark set (the training-data hygiene step that
+    keeps eval questions out of the training corpus).
+
+    Plan: the benchmark's distinct shingle set is tiny relative to the
+    corpus (eval sets are thousands of docs, corpora are billions), so it
+    BROADCASTS — the corpus side is one scan + shingle explode + broadcast
+    hash semi-join + per-doc count, no corpus-sized shuffle on the gram
+    key. Returns (id_col, n_matched_grams) for contaminated docs only;
+    anti-join the corpus against it to clean."""
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("s")).alias("n_matched_grams"))
+    )
+
+
 def fuzzy_pairs_blocked(
     df: DataFrame,
     id_col: str,

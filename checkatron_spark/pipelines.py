@@ -444,6 +444,46 @@ WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: ~5% of documents (md5-hash draw, salt
+    'bench-v1') play the eval set; report corpus docs sharing any 3-gram
+    with it (operators/dedup.py decontaminate — broadcast semi-join)."""
+    from checkatron_spark.sampling import hash_uniform
+
+    docs = load_table(spark, "documents", sf_dir)
+    u = hash_uniform(F.col("doc_id"), "bench-v1")
+    bench = docs.filter(u < 0.05)
+    corpus = docs.filter(u >= 0.05)
+    return D.decontaminate(corpus, bench, "text", "doc_id")
+
+
+_BENCH_U = (
+    "CAST(('0x' || substring(md5('bench-v1' || ':' || "
+    "CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0"
+)
+
+DECONTAMINATE_SQL = rf"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+    SELECT doc_id,
+        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(w) - 2 + 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        END AS sh
+    FROM w
+),
+u AS (SELECT doc_id, {_BENCH_U} AS u FROM documents),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+bench AS (SELECT DISTINCT s FROM ex JOIN u USING (doc_id) WHERE u < 0.05),
+corpus AS (SELECT ex.doc_id, ex.s FROM ex JOIN u USING (doc_id) WHERE u >= 0.05)
+SELECT doc_id, COUNT(DISTINCT s) AS n_matched_grams
+FROM corpus JOIN bench USING (s)
+GROUP BY doc_id
+"""
+
+
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_ngram_jaccard(
         load_table(spark, "documents", sf_dir), "text", "doc_id",
@@ -965,6 +1005,7 @@ QUERIES = {
     "dedup_keyed": q_dedup_keyed,
     "neardup_ngram_jaccard": q_neardup_jaccard,
     "fuzzy_part_names": q_fuzzy_part_names,
+    "decontaminate_corpus": q_decontaminate,
     "neardup_clusters": q_neardup_clusters,
     "neardup_minhash_lsh": q_neardup_minhash,
     "neardup_simhash": q_neardup_simhash,
@@ -1000,6 +1041,7 @@ def oracles() -> dict[str, str]:
         "dedup_keyed": DEDUP_KEYED_SQL,
         "neardup_ngram_jaccard": NEARDUP_JACCARD_SQL,
         "fuzzy_part_names": FUZZY_PART_SQL,
+        "decontaminate_corpus": DECONTAMINATE_SQL,
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,
         # neardup_minhash_lsh / neardup_simhash / ann_lsh_topk: probabilistic,
         # rows-only driver check (exact twins are oracle-checked above)

@@ -29,6 +29,36 @@ def test_fuzzy_pairs_respects_max_dist(spark):
     assert got == {(1, 2), (1, 5)}
 
 
+def test_decontaminate_flags_overlapping_docs(spark):
+    from checkatron_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),      # shares 2 grams with bench
+         (2, "totally unrelated words here"),   # shares nothing
+         (3, "brown fox sleeps all day")],      # shares "brown fox sleeps"
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox sleeps")], "doc_id int, text string"
+    )
+    out = decontaminate(corpus, bench, "text", "doc_id")
+    got = {r.doc_id: r.n_matched_grams for r in out.collect()}
+    assert got == {1: 2, 3: 1}  # clean doc 2 is absent entirely
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    from checkatron_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame([(1, "a b c d")], "doc_id int, text string")
+    bench = spark.createDataFrame([(2, "b c d e")], "doc_id int, text string")
+    plan = (
+        decontaminate(corpus, bench, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_fuzzy_plan_is_blocked_equi_join(spark):
     plan = (
         fuzzy_pairs_blocked(_df(spark), "id", "name", ["brand"])
