@@ -21,6 +21,7 @@ from checkatron_spark.cli import build_sql, parse_args
 from checkatron_spark.operators.asof import asof_join
 from checkatron_spark.operators.dedup import (
     connected_components,
+    decontaminate,
     fuzzy_pairs_blocked,
 )
 from checkatron_spark.operators.diff import DiffSpec, diff, diff_from_spec
@@ -62,6 +63,7 @@ __all__ = [
     "build_sql",
     "connected_components",
     "decode_status",
+    "decontaminate",
     "deterministic_sample",
     "diff",
     "diff3",
