@@ -454,6 +454,78 @@ HAVING COUNT(*) >= 2
 """
 
 
+def q_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity check: orphaned foreign keys across the star
+    schema, as one stacked report (orders→customer, lineitem→orders,
+    supplier→nation). Each arm is a broadcast/shuffled ANTI join — key-only
+    shuffle, no fanout; the stack is a UNION ALL of tiny violation sets.
+    At 100 TB each arm prunes to the key column at the scan."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+
+    def arm(child, fk, parent, pk, label):
+        return (
+            child.select(F.col(fk).alias("fk_value"))
+            .join(parent.select(F.col(pk).alias(pk)), F.col("fk_value") == F.col(pk), "left_anti")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("relation"), "n_orphans")
+        )
+
+    return (
+        arm(orders, "o_custkey", cust, "c_custkey", "orders->customer")
+        .unionByName(arm(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"))
+        .unionByName(arm(supp, "s_nationkey", nation, "n_nationkey", "supplier->nation"))
+    )
+
+
+FK_VIOLATIONS_SQL = """
+SELECT 'orders->customer' AS relation,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+          (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))
+UNION ALL
+SELECT 'supplier->nation',
+       (SELECT COUNT(*) FROM supplier WHERE s_nationkey NOT IN
+          (SELECT n_nationkey FROM nation WHERE n_nationkey IS NOT NULL))
+"""
+
+
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/completeness profile of orders in ONE aggregate pass
+    (no per-column scans): count_if(col IS NULL) for every column, unpivoted
+    to (column_name, n_nulls, n_rows)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cols = orders.columns
+    aggs = [
+        F.count_if(F.col(c).isNull()).alias(f"n_{c}") for c in cols
+    ] + [F.count(F.lit(1)).alias("n_rows")]
+    wide = orders.groupBy().agg(*aggs)
+    stack_args = ", ".join(f"'{c}', n_{c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls)",
+        "n_rows",
+    )
+
+
+def _null_profile_sql() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, "
+        f"COUNT(*) FILTER (WHERE {c} IS NULL) AS n_nulls, "
+        f"COUNT(*) AS n_rows FROM orders"
+        for c in cols
+    )
+    return arms
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-aggregate — the query whose entire
     cost is how little of the file the scan reads (predicate pushdown +
@@ -576,6 +648,8 @@ QUERIES = {
     "distinct_counts": q_distinct_counts,
     "price_histogram": q_price_histogram,
     "part_cooccurrence": q_part_cooccurrence,
+    "fk_violations": q_fk_violations,
+    "null_profile": q_null_profile,
     "q6_forecast_revenue": q_forecast_revenue,
     "parts_above_type_avg": q_parts_above_type_avg,
     "repeat_customers_intersect": q_repeat_customers_intersect,
@@ -597,6 +671,8 @@ def oracles() -> dict[str, str]:
         "distinct_counts": DISTINCT_COUNTS_SQL,
         "price_histogram": PRICE_HISTOGRAM_SQL,
         "part_cooccurrence": PART_COOCCURRENCE_SQL,
+        "fk_violations": FK_VIOLATIONS_SQL,
+        "null_profile": _null_profile_sql(),
         "q1_pricing_summary": PRICING_SUMMARY_SQL,
         "q3_top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
         "q5_region_revenue": REGION_REVENUE_SQL,
