@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_orders_delta": W.scd2_orders_delta,
         "diff3_orders": W.diff3_orders,
         "table_checksum_orders": W.table_checksum_orders,
+        "drift_orders": W.drift_orders,
         "keys_union": _q_keys_union,
         "labeled_counts": _q_labeled_counts,
         "orders_filtered": _q_orders_filtered,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_orders_delta": W.scd2_orders_delta_oracle_sql(),
         "diff3_orders": W.diff3_orders_oracle_sql(),
         "table_checksum_orders": W.table_checksum_orders_oracle_sql(),
+        "drift_orders": W.drift_orders_oracle_sql(),
         "keys_union": (
             f"SELECT o_orderkey FROM {W.BEFORE_SRC_SQL} "
             f"UNION SELECT o_orderkey FROM {W.AFTER_SRC_SQL}"

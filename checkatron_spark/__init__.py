@@ -30,6 +30,7 @@ from checkatron_spark.operators.incremental import (
     diff_incremental,
     row_checksum,
 )
+from checkatron_spark.operators.drift import drift_profile
 from checkatron_spark.operators.merge3 import diff3
 from checkatron_spark.operators.scd import scd2_delta
 from checkatron_spark.sampling import (
@@ -71,6 +72,7 @@ __all__ = [
     "diff_from_spec",
     "diff_incremental",
     "diff_summary",
+    "drift_profile",
     "duplicate_keys",
     "fuzzy_pairs_blocked",
     "get_spark",

@@ -352,6 +352,45 @@ def scd2_orders_delta_oracle_sql() -> str:
     )
 
 
+DRIFT_SPECS = {"o_orderkey": 1.0, "o_custkey": 1.0, "o_totalprice": 100.0}
+
+
+def drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level drift profile between the flagship snapshots
+    (operators/drift.py): 2 single-row aggregate scans, no join — the
+    cheap "did anything move?" gate that runs before a row-level diff."""
+    from checkatron_spark.operators.drift import drift_profile
+
+    return drift_profile(
+        orders_before(spark, sf_dir), orders_after(spark, sf_dir), DRIFT_SPECS
+    )
+
+
+def drift_orders_oracle_sql() -> str:
+    def side(src: str, c: str, scale: float) -> str:
+        return (
+            f"SELECT COUNT(*) AS n, "
+            f"COUNT(*) FILTER (WHERE {c} IS NULL) AS nulls, "
+            f"SUM(CAST(floor(CAST({c} AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS s, "
+            f"MIN(CAST({c} AS DOUBLE)) AS mn, MAX(CAST({c} AS DOUBLE)) AS mx "
+            f"FROM {src}"
+        )
+
+    arms = []
+    for c, scale in DRIFT_SPECS.items():
+        arms.append(
+            f"SELECT '{c}' AS column_name, "
+            f"b.n AS n_before, a.n AS n_after, "
+            f"b.nulls AS nulls_before, a.nulls AS nulls_after, "
+            f"b.s AS sum_before, a.s AS sum_after, "
+            f"b.mn AS min_before, a.mn AS min_after, "
+            f"b.mx AS max_before, a.mx AS max_after "
+            f"FROM ({side(BEFORE_SRC_SQL, c, scale)}) b, "
+            f"({side(AFTER_SRC_SQL, c, scale)}) a"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
 def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-entropy table fingerprint: 64 per-bucket (count, checksum) rows
     over orders (operators/incremental.py bucket_checksums). The primitive
