@@ -79,3 +79,42 @@ def test_self_diff_clean_on_unique_keys(spark, kv):
     d = diff(df, df, ["k"])
     got = d.filter("_row_status IS NOT NULL OR K > 0 OR V > 0").count()
     assert got == 0
+
+
+@given(perturbations())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_delta_matches_perturbation_log(spark, plan):
+    """SCD2 delta row set is exactly derivable from the perturbation log:
+    every dropped/changed/nulled key closes, every added/changed/nulled key
+    inserts, untouched keys emit nothing."""
+    import pyspark.sql.functions as F
+
+    from checkatron_spark.operators.scd import scd2_delta
+
+    drop, add, change, null_out = plan
+    current = spark.createDataFrame(
+        [(k, f"v{k}", "2020-01-01 00:00:00") for k in range(ROWS)],
+        "k int, v string, vf string",
+    ).select("k", "v", F.col("vf").cast("timestamp").alias("valid_from"))
+    upd_rows = [
+        (k, None if k in null_out else (f"CHANGED{k}" if k in change else f"v{k}"))
+        for k in range(ROWS)
+        if k not in drop
+    ] + [(k, f"v{k}") for k in sorted(add)]
+    updates = spark.createDataFrame(upd_rows, "k int, v string")
+
+    delta = scd2_delta(
+        current, updates, ["k"], ["v"],
+        load_ts=F.lit("2021-01-01 00:00:00").cast("timestamp"),
+    )
+    got = {(r.action, r.k) for r in delta.collect()}
+    touched = change | null_out
+    expect = (
+        {("close", k) for k in drop | touched}
+        | {("insert", k) for k in add | touched}
+    )
+    assert got == expect
