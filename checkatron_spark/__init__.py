@@ -54,6 +54,7 @@ from checkatron_spark.operators.summary import (
     labeled_counts,
 )
 from checkatron_spark.session import get_spark
+from checkatron_spark.sources.tables import load_csv_table, load_json_table
 
 __all__ = [
     "DiffSpec",
@@ -79,6 +80,8 @@ __all__ = [
     "pack_sequences",
     "split_assign",
     "labeled_counts",
+    "load_csv_table",
+    "load_json_table",
     "parse_args",
     "range_join_binned",
     "row_checksum",

@@ -46,6 +46,62 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
+def _with_corrupt_field(schema):
+    """Spark only CAPTURES corrupt records when the read schema contains the
+    corrupt-record column — append it if missing (PERMISSIVE mode only)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if "_corrupt_record" not in schema.fieldNames():
+        schema = StructType(
+            schema.fields + [StructField("_corrupt_record", StringType(), True)]
+        )
+    return schema
+
+
+def load_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema,
+    *,
+    header: bool = True,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """CSV scan with a DECLARED schema (never inferSchema — inference reads
+    the data twice and can silently flip types between runs, which at 100 TB
+    is both a full extra pass and a correctness hazard). ``schema`` is a
+    StructType or DDL string (pairs with
+    ``sources.schema_csv.schema_to_struct`` for reference DESCRIBE-CSV
+    files). ``mode``: FAILFAST surfaces bad rows immediately (default);
+    PERMISSIVE quarantines them into ``_corrupt_record`` for a dead-letter
+    filter instead of failing the job (Spark requires ``.cache()`` on the
+    parsed frame before a filter that references only ``_corrupt_record``)."""
+    if mode.upper() == "PERMISSIVE":
+        schema = _with_corrupt_field(schema)
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", mode)
+    )
+    if mode.upper() == "PERMISSIVE":
+        reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
+    return reader.csv(path)
+
+
+def load_json_table(
+    spark: SparkSession, path: str, schema, *, mode: str = "FAILFAST"
+) -> DataFrame:
+    """JSON-lines scan with a declared schema (same no-inference rationale
+    as ``load_csv_table``; nested structs/arrays come through typed)."""
+    if mode.upper() == "PERMISSIVE":
+        schema = _with_corrupt_field(schema)
+    reader = spark.read.schema(schema).option("mode", mode)
+    if mode.upper() == "PERMISSIVE":
+        reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
+    return reader.json(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every fixture table as a temp view so ``spark.sql`` queries
     can reference them by name (mirrors DuckDB oracle view registration)."""
