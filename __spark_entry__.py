@@ -19,6 +19,7 @@ from checkatron_spark import pipelines as P
 from checkatron_spark import streaming as ST
 from checkatron_spark import sampling as SA
 from checkatron_spark import tpch_ext as T
+from checkatron_spark import tpch_ext2 as T2
 from checkatron_spark import workloads as W
 from checkatron_spark.operators.summary import (
     ROW_STATUS_LABELS,
@@ -171,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **P.QUERIES,
         **A.QUERIES,
         **T.QUERIES,
+        **T2.QUERIES,
         **SA.QUERIES,
         **M.QUERIES,
         **ST.QUERIES,
@@ -243,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         **P.oracles(),
         **A.oracles(),
         **T.oracles(),
+        **T2.oracles(),
         **SA.oracles(),
         **M.oracles(),
         **ST.oracles(),

@@ -118,6 +118,7 @@ def test_no_cartesian_in_any_query(spark):
         # (q15's crossJoin-a-scalar compiles to BroadcastHashJoin instead
         # because its filter is an equality.)
         "q22_global_balance",
+        "q11_important_parts",
     }
     for name, q in entrymod.queries().items():
         if name.startswith("stream_"):
