@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff3_orders": W.diff3_orders,
         "table_checksum_orders": W.table_checksum_orders,
         "drift_orders": W.drift_orders,
+        "delta_compact_orders": W.delta_compact_orders,
+        "apply_delta_roundtrip": W.apply_delta_roundtrip,
         "keys_union": _q_keys_union,
         "labeled_counts": _q_labeled_counts,
         "orders_filtered": _q_orders_filtered,
@@ -218,6 +220,8 @@ def oracle_sql() -> dict[str, str]:
         "diff3_orders": W.diff3_orders_oracle_sql(),
         "table_checksum_orders": W.table_checksum_orders_oracle_sql(),
         "drift_orders": W.drift_orders_oracle_sql(),
+        "delta_compact_orders": W.delta_compact_orders_oracle_sql(),
+        "apply_delta_roundtrip": W.apply_delta_roundtrip_oracle_sql(),
         "keys_union": (
             f"SELECT o_orderkey FROM {W.BEFORE_SRC_SQL} "
             f"UNION SELECT o_orderkey FROM {W.AFTER_SRC_SQL}"

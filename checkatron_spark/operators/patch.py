@@ -1,0 +1,109 @@
+"""CDC patch operators: compact change-delta between snapshots, and delta apply.
+
+The reference's diff answers "what changed" as a *wide status report* — one
+status column per compared column (/root/reference/checkatron/templates/
+full_compare.sql.j2:67-86). The natural next consumer at warehouse scale is a
+*compact changefeed*: one row per changed key carrying the surviving values
+plus an op code, which is what replication / incremental-materialization
+systems ship instead of full snapshots. ``compact_delta`` produces that feed;
+``apply_delta`` replays it onto the old snapshot and reconstructs the new one
+bit-for-bit — the roundtrip is the correctness proof.
+
+Plan shape (the 100 TB story):
+- ``compact_delta`` is ONE null-safe full-outer join shuffled on the business
+  key — identical cost to the core diff — followed by a null-safe any-column
+  inequality filter. Output ∝ churn: at 1% churn the delta is ~1% of the
+  snapshot, so shipping/storing it beats rewriting 100 TB by 100×.
+- ``apply_delta`` is one left-anti join of the (huge) base against the (small)
+  delta keyset — broadcast when churn is small, which it usually is — plus a
+  union with the delta's insert/update images. No wide shuffle of the base is
+  needed when the delta broadcasts; with both sides bucketed by key the anti
+  join is shuffle-free entirely.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["compact_delta", "apply_delta"]
+
+OP_INSERT = "I"
+OP_UPDATE = "U"
+OP_DELETE = "D"
+
+
+def compact_delta(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """One row per key whose row was inserted, updated, or deleted.
+
+    Both inputs must expose ``keys`` + ``value_cols``. Output columns:
+    ``_op`` ('I' | 'U' | 'D'), the key columns, then ``value_cols`` carrying
+    the after-image for I/U and the before-image for D. Unchanged keys emit
+    nothing — output size is proportional to churn, not table size.
+    """
+    b = before.select(
+        F.lit(True).alias("__b"),
+        *[F.col(c).alias(f"b_{c}") for c in keys + value_cols],
+    )
+    a = after.select(
+        F.lit(True).alias("__a"),
+        *[F.col(c).alias(f"a_{c}") for c in keys + value_cols],
+    )
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"b_{k}").eqNullSafe(F.col(f"a_{k}")) for k in keys],
+    )
+    j = b.join(a, cond, "full_outer")
+
+    in_b, in_a = F.col("__b").isNotNull(), F.col("__a").isNotNull()
+    changed = reduce(
+        lambda x, y: x | y,
+        [~F.col(f"b_{c}").eqNullSafe(F.col(f"a_{c}")) for c in value_cols],
+    )
+    op = (
+        F.when(~in_b, F.lit(OP_INSERT))
+        .when(~in_a, F.lit(OP_DELETE))
+        .when(changed, F.lit(OP_UPDATE))
+    )
+    # D rows carry the before-image; I/U rows the after-image
+    pick = lambda c: F.when(in_a, F.col(f"a_{c}")).otherwise(F.col(f"b_{c}"))  # noqa: E731
+    return (
+        j.select(
+            op.alias("_op"),
+            *[F.coalesce(F.col(f"b_{k}"), F.col(f"a_{k}")).alias(k) for k in keys],
+            *[pick(c).alias(c) for c in value_cols],
+        )
+        .filter(F.col("_op").isNotNull())
+    )
+
+
+def apply_delta(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Replay a ``compact_delta`` feed onto ``base``; returns the new snapshot.
+
+    ``base`` rows whose key appears in the delta are dropped (left-anti join —
+    broadcastable since the delta ∝ churn), then the delta's insert/update
+    images are unioned in. ``apply_delta(before, compact_delta(before, after,
+    ...), ...)`` equals ``after`` exactly.
+    """
+    touched = delta.select(*keys)
+    cond = reduce(
+        lambda x, y: x & y,
+        [base[k].eqNullSafe(touched[k]) for k in keys],
+    )
+    kept = base.join(touched, cond, "left_anti").select(*keys, *value_cols)
+    upserts = delta.filter(
+        F.col("_op").isin(OP_INSERT, OP_UPDATE)
+    ).select(*keys, *value_cols)
+    return kept.unionByName(upserts)

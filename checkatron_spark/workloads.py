@@ -540,3 +540,72 @@ def diff_lineitem_oracle_sql() -> str:
         before_where="l_orderkey % 5 <> 4",
         after_where="l_orderkey % 5 <> 4 AND l_orderkey % 31 <> 6",
     )
+
+
+# --------------------------------------------------------------------------
+# CDC patch family (operators/patch.py): compact changefeed + delta apply
+# --------------------------------------------------------------------------
+# Scoped to the shared 6-column schema (the after-only o_channel column is
+# constant-valued drift, not churn — including it would make every common
+# row an "update" and defeat the churn-proportional story).
+
+DELTA_VALUE_COLS = [
+    "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def delta_compact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact CDC delta between the flagship snapshots: one row per
+    inserted/updated/deleted key with the surviving values — the changefeed
+    a replication system would ship instead of the full snapshot
+    (operators/patch.py::compact_delta; output is proportional to churn)."""
+    from checkatron_spark.operators.patch import compact_delta
+
+    cols = ["o_orderkey"] + DELTA_VALUE_COLS
+    return compact_delta(
+        orders_before(spark, sf_dir).select(*cols),
+        orders_after(spark, sf_dir).select(*cols),
+        ["o_orderkey"],
+        DELTA_VALUE_COLS,
+    )
+
+
+def delta_compact_orders_oracle_sql() -> str:
+    vc = DELTA_VALUE_COLS
+    b_sel = ", ".join(f"b.{c} AS b_{c}" for c in vc)
+    a_sel = ", ".join(f"a.{c} AS a_{c}" for c in vc)
+    changed = " OR ".join(f"b_{c} IS DISTINCT FROM a_{c}" for c in vc)
+    pick = ", ".join(f"CASE WHEN ap THEN a_{c} ELSE b_{c} END AS {c}" for c in vc)
+    return (
+        f"WITH b AS (SELECT *, TRUE AS p FROM {BEFORE_SRC_SQL}),\n"
+        f"a AS (SELECT *, TRUE AS p FROM {AFTER_SRC_SQL}),\n"
+        f"j AS (SELECT b.o_orderkey AS bk, a.o_orderkey AS ak, "
+        f"b.p AS bp, a.p AS ap, {b_sel}, {a_sel} "
+        f"FROM b FULL OUTER JOIN a "
+        f"ON b.o_orderkey IS NOT DISTINCT FROM a.o_orderkey)\n"
+        f"SELECT CASE WHEN bp IS NULL THEN 'I' WHEN ap IS NULL THEN 'D' "
+        f"ELSE 'U' END AS _op,\n"
+        f"  COALESCE(bk, ak) AS o_orderkey, {pick}\n"
+        f"FROM j WHERE bp IS NULL OR ap IS NULL OR {changed}"
+    )
+
+
+def apply_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct the after snapshot (shared columns) as before + compact
+    delta (operators/patch.py::apply_delta). The oracle is the after
+    snapshot itself — the roundtrip must be bit-exact."""
+    from checkatron_spark.operators.patch import apply_delta, compact_delta
+
+    cols = ["o_orderkey"] + DELTA_VALUE_COLS
+    base = orders_before(spark, sf_dir).select(*cols)
+    delta = compact_delta(
+        base, orders_after(spark, sf_dir).select(*cols),
+        ["o_orderkey"], DELTA_VALUE_COLS,
+    )
+    return apply_delta(base, delta, ["o_orderkey"], DELTA_VALUE_COLS)
+
+
+def apply_delta_roundtrip_oracle_sql() -> str:
+    cols = ", ".join(["o_orderkey"] + DELTA_VALUE_COLS)
+    return f"SELECT {cols} FROM {AFTER_SRC_SQL}"
