@@ -693,6 +693,45 @@ EVENTS_JSON_SQL = (
 )
 
 
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival profile: the gap (whole seconds) between
+    each event and the same user's previous event, aggregated by the type of
+    the later event. One window shuffle on user_id, one agg shuffle on
+    event_type — both keys are low-skew here; at 100 TB the window partition
+    is the natural hot spot and user_id cardinality (millions) keeps each
+    partition small. Gap = trunc-to-second epoch difference, so Spark's
+    ``cast(ts AS long)`` and DuckDB's ``date_diff('second', ...)`` agree
+    bit-for-bit; sums stay integer until the final rounded average."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    return (
+        ev.withColumn("_gap_s", gap)
+        .filter(F.col("_gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("_gap_s").alias("total_gap_s"),
+            F.max("_gap_s").alias("max_gap_s"),
+            F.round(F.avg("_gap_s"), 6).alias("avg_gap_s"),
+        )
+    )
+
+
+EVENTS_INTERARRIVAL_SQL = """
+WITH lagged AS (
+    SELECT event_type,
+           date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_s
+    FROM events
+)
+SELECT event_type, COUNT(*) AS n_gaps, SUM(gap_s) AS total_gap_s,
+       MAX(gap_s) AS max_gap_s, ROUND(AVG(gap_s), 6) AS avg_gap_s
+FROM lagged WHERE gap_s IS NOT NULL GROUP BY event_type
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: a new session starts after a >30 min gap per user.
     Timestamp-interval arithmetic only (exact microseconds, FP-free).
@@ -1016,6 +1055,7 @@ QUERIES = {
     "events_windowed": q_events_windowed,
     "events_json_extract": q_events_json,
     "events_sessionize": q_events_sessionize,
+    "events_interarrival": q_events_interarrival,
     "events_session_window": q_events_session_window,
     "events_resample_gapfill": q_events_resample,
     "label_centroids": q_label_centroids,
@@ -1050,6 +1090,7 @@ def oracles() -> dict[str, str]:
         "events_windowed": EVENTS_WINDOWED_SQL,
         "events_json_extract": EVENTS_JSON_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "events_interarrival": EVENTS_INTERARRIVAL_SQL,
         "events_session_window": EVENTS_SESSION_WINDOW_SQL,
         "events_resample_gapfill": EVENTS_RESAMPLE_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,

@@ -35,6 +35,7 @@ __all__ = [
     "windowed_event_counts",
     "sessionize_stateful",
     "drain_to_batch",
+    "apply_delta_stream",
 ]
 
 _SESSION_GAP_SECONDS = 30 * 60
@@ -268,6 +269,58 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, "inner")
 
 
+def apply_delta_stream(
+    delta_stream: DataFrame,
+    base: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    *,
+    state_dir: str,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Continuously materialize a CDC changefeed onto a snapshot: the
+    streaming counterpart of ``operators/patch.py::apply_delta``.
+
+    ``foreachBatch`` upsert — the canonical streaming-merge pattern: each
+    micro-batch of delta rows (I/U/D + images) is applied to the current
+    materialized snapshot with the batch ``apply_delta`` operator, and the
+    result becomes the next snapshot version. Versions alternate between two
+    parquet directories under ``state_dir`` (a table format like
+    Delta/Iceberg would replace this with a real MERGE — the plan shape is
+    identical: per batch, one anti-join of the snapshot against the delta
+    keyset, broadcastable since a micro-batch ∝ churn slice).
+
+    Runs the stream to completion (AvailableNow) and returns the final
+    snapshot as a batch DataFrame."""
+    from checkatron_spark.operators.patch import apply_delta
+
+    spark = delta_stream.sparkSession
+    cols = keys + value_cols
+    current = {"ver": 0}
+    base.select(*cols).write.mode("overwrite").parquet(f"{state_dir}/v0")
+
+    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = spark.read.parquet(f"{state_dir}/v{current['ver']}")
+        nxt = apply_delta(cur, batch_df, keys, value_cols)
+        nxt.write.mode("overwrite").parquet(f"{state_dir}/v{1 - current['ver']}")
+        current["ver"] = 1 - current["ver"]
+
+    q = (
+        delta_stream.writeStream.foreachBatch(_upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{state_dir}/_checkpoint")
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(f"{state_dir}/v{current['ver']}")
+
+
 # ---------------------------------------------------------------------------
 # driver-contract queries: streams drained with AvailableNow, oracle-checked
 # against DuckDB batch SQL over the same parquet
@@ -432,12 +485,54 @@ GROUP BY event_id, user_id, event_type
 """
 
 
+def q_stream_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization end-to-end: the flagship compact delta
+    is written as a 4-file changefeed, replayed as a file-source stream one
+    file per micro-batch, and foreachBatch-upserted onto the before
+    snapshot. The final materialized table must equal the after snapshot
+    bit-for-bit (same oracle as apply_delta_roundtrip) — each key occurs
+    once in the feed, so the result is independent of batch boundaries."""
+    import shutil
+    import tempfile
+
+    from checkatron_spark import workloads as W
+
+    work = tempfile.mkdtemp(prefix="stream_patch_")
+    try:
+        cols = ["o_orderkey"] + W.DELTA_VALUE_COLS
+        base = W.orders_before(spark, sf_dir).select(*cols)
+        delta = W.delta_compact_orders(spark, sf_dir)
+        feed = f"{work}/feed"
+        delta.repartition(4).write.mode("overwrite").parquet(feed)
+        sdf = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        # the returned DataFrame stays backed by the final snapshot parquet
+        # under ``work`` — tiny (∝ snapshot), left for tmp reaping
+        return apply_delta_stream(
+            sdf, base, ["o_orderkey"], W.DELTA_VALUE_COLS,
+            state_dir=f"{work}/state",
+        )
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+def stream_patch_apply_sql() -> str:
+    from checkatron_spark import workloads as W
+
+    return W.apply_delta_roundtrip_oracle_sql()
+
+
 QUERIES = {
     "stream_windowed_counts": q_stream_windowed,
     "stream_sessionize_stateful": q_stream_sessionize,
     "stream_diff_vs_baseline": q_stream_diff,
     "stream_stream_join": q_stream_stream_join,
     "stream_dedup": _q_stream_dedup_drained,
+    "stream_patch_apply": q_stream_patch_apply,
 }
 
 
@@ -448,4 +543,5 @@ def oracles() -> dict[str, str]:
         "stream_diff_vs_baseline": STREAM_DIFF_SQL,
         "stream_stream_join": STREAM_STREAM_JOIN_SQL,
         "stream_dedup": STREAM_DEDUP_SQL,
+        "stream_patch_apply": stream_patch_apply_sql(),
     }

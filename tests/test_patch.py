@@ -102,3 +102,40 @@ def test_flagship_roundtrip_matches_after(spark):
     # ~1/23 — the delta must stay well under half the snapshot
     delta_n = W.delta_compact_orders(spark, sf).count()
     assert 0 < delta_n < after.count() * 0.5
+
+
+def test_streaming_patch_apply_matches_batch(spark):
+    """apply_delta_stream over a multi-batch feed converges to the same
+    snapshot as the batch apply_delta."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver parquet fixtures not available")
+    from checkatron_spark import workloads as W
+    from checkatron_spark.streaming import apply_delta_stream
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["o_orderkey"] + W.DELTA_VALUE_COLS
+    base = W.orders_before(spark, sf).select(*cols)
+    delta = W.delta_compact_orders(spark, sf)
+    work = tempfile.mkdtemp(prefix="test_stream_patch_")
+    try:
+        delta.repartition(3).write.mode("overwrite").parquet(f"{work}/feed")
+        sdf = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/feed")
+        )
+        out = apply_delta_stream(
+            sdf, base, ["o_orderkey"], W.DELTA_VALUE_COLS,
+            state_dir=f"{work}/state",
+        )
+        expected = W.orders_after(spark, sf).select(*cols)
+        assert out.exceptAll(expected).count() == 0
+        assert expected.exceptAll(out).count() == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
