@@ -138,6 +138,35 @@ def _q_salted_agg(spark, sf_dir):
     )
 
 
+def _q_salted_join(spark, sf_dir):
+    # operators/skew.py::salted_join — hot-key-proof fact-fact equi join:
+    # lineitem salted over 8 buckets, orders replicated 8x, then a rollup
+    # whose result must equal the plain join (the DuckDB oracle)
+    from checkatron_spark.operators.skew import salted_join
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = salted_join(li, orders, ["o_orderkey"], buckets=8)
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        j.select("o_orderpriority", cents.alias("_c"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("_c").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
 def _q_orders_filtered(spark, sf_dir):
     # P1/P6/O1: free-form filter + projection + order (order-insensitive check)
     return (
@@ -171,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_filtered": _q_orders_filtered,
         "dupkey_guard": _q_dupkey_guard,
         "salted_hot_key_agg": _q_salted_agg,
+        "salted_hot_key_join": _q_salted_join,
         **P.QUERIES,
         **A.QUERIES,
         **T.QUERIES,
@@ -245,6 +275,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) "
             "AS DOUBLE) / 100.0 AS sum_price "
             "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "salted_hot_key_join": (
+            "SELECT o_orderpriority, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 "
+            "+ 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         **P.oracles(),
         **A.oracles(),

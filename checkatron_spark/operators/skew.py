@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "with_salt"]
+__all__ = ["salted_agg", "salted_join", "with_salt"]
 
 
 def with_salt(df: DataFrame, buckets: int = 16, col_name: str = "_salt") -> DataFrame:
@@ -58,3 +58,37 @@ def salted_agg(
     salted = with_salt(df, buckets)
     partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*merge_aggs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi join by salting: the (big, skewed) ``left`` side gets
+    a content-derived salt in [0, buckets); the (smaller) ``right`` side is
+    replicated once per salt value; the join runs on (keys..., salt), so the
+    hot key's rows spread over ``buckets`` reducers instead of melting one.
+
+    Result is identical to ``left.join(right, on, how)``. Only inner and
+    left joins are expressible (replicating the right side would duplicate
+    its unmatched rows under right/full outer) — a structural restriction.
+    Use when the right side is too big to broadcast but ``buckets``-fold
+    replication is still cheap; the replication factor is the explicit cost
+    knob. AQE's skew-split covers most sort-merge cases at runtime; this is
+    the deterministic fallback for planned-ahead hot keys."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    lt = with_salt(left, buckets)
+    # sequence endpoints as bigint so the salt matches pmod(xxhash64)'s type
+    # (a generator can't be wrapped in a cast expression)
+    rt = right.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(buckets - 1).cast("bigint"))
+        ),
+    )
+    return lt.join(rt, on + ["_salt"], how).drop("_salt")

@@ -55,3 +55,35 @@ def test_salted_plan_has_two_exchanges(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2  # (key,salt) then key
+
+
+def test_salted_join_equals_plain_join(spark):
+    from checkatron_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e")], "k int, v string"
+    )
+    right = spark.createDataFrame([(1, 10), (2, 20), (9, 90)], "k int, w int")
+    got = salted_join(left, right, ["k"], buckets=4)
+    exp = left.join(right, ["k"], "inner")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_salted_left_join_keeps_unmatched_once(spark):
+    from checkatron_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (7, "z")], "k int, v string")
+    right = spark.createDataFrame([(1, 10)], "k int, w int")
+    got = salted_join(left, right, ["k"], buckets=4, how="left")
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == [(1, "a", 10), (7, "z", None)]
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    from checkatron_spark.operators.skew import salted_join
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["id"], how="full_outer")
