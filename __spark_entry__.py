@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_orders": W.drift_orders,
         "delta_compact_orders": W.delta_compact_orders,
         "apply_delta_roundtrip": W.apply_delta_roundtrip,
+        "delta_compose_roundtrip": W.delta_compose_roundtrip,
         "keys_union": _q_keys_union,
         "labeled_counts": _q_labeled_counts,
         "orders_filtered": _q_orders_filtered,
@@ -252,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_orders": W.drift_orders_oracle_sql(),
         "delta_compact_orders": W.delta_compact_orders_oracle_sql(),
         "apply_delta_roundtrip": W.apply_delta_roundtrip_oracle_sql(),
+        "delta_compose_roundtrip": W.apply_delta_roundtrip_oracle_sql(),
         "keys_union": (
             f"SELECT o_orderkey FROM {W.BEFORE_SRC_SQL} "
             f"UNION SELECT o_orderkey FROM {W.AFTER_SRC_SQL}"

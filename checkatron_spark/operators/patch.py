@@ -28,7 +28,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["compact_delta", "apply_delta"]
+__all__ = ["compact_delta", "apply_delta", "compose_deltas"]
 
 OP_INSERT = "I"
 OP_UPDATE = "U"
@@ -107,3 +107,78 @@ def apply_delta(
         F.col("_op").isin(OP_INSERT, OP_UPDATE)
     ).select(*keys, *value_cols)
     return kept.unionByName(upserts)
+
+
+def compose_deltas(
+    d1: DataFrame,
+    d2: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Merge two consecutive changefeeds (before→mid, mid→after) into one
+    feed equivalent to before→after under ``apply_delta``.
+
+    Net op per key follows pure existence logic: the key existed *before*
+    iff its d1 op isn't 'I' (an inserted key was absent), and exists *after*
+    iff its d2 op isn't 'D' — existed+exists = U, existed+gone = D,
+    new+exists = I, new+gone = nothing (insert cancelled by delete). Keys in
+    only one feed pass through unchanged. Values come from the later feed
+    when present.
+
+    The composed feed may carry no-op updates (a key changed in d1 and
+    changed back in d2): detecting them would need the original before-image,
+    which a changefeed doesn't carry. They are harmless to ``apply_delta``;
+    the contract is apply-equivalence, not row-set equality with
+    ``compact_delta(before, after)``.
+
+    One null-safe full-outer join shuffled on the key — composing a day of
+    hourly feeds is 24 small joins over churn-sized inputs, never touching
+    the snapshot. ``apply_delta(s, compose_deltas(d1, d2)) ==
+    apply_delta(apply_delta(s, d1), d2)`` (property-tested)."""
+    a = d1.select(
+        F.col("_op").alias("_op1"),
+        *[F.col(k).alias(f"k1_{k}") for k in keys],
+        *[F.col(c).alias(f"v1_{c}") for c in value_cols],
+    )
+    b = d2.select(
+        F.col("_op").alias("_op2"),
+        *[F.col(k).alias(f"k2_{k}") for k in keys],
+        *[F.col(c).alias(f"v2_{c}") for c in value_cols],
+    )
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"k1_{k}").eqNullSafe(F.col(f"k2_{k}")) for k in keys],
+    )
+    j = a.join(b, cond, "full_outer")
+
+    op1, op2 = F.col("_op1"), F.col("_op2")
+    existed_before = op1 != OP_INSERT          # null-safe below via isNull checks
+    exists_after = op2 != OP_DELETE
+    both_op = (
+        F.when(existed_before & exists_after, F.lit(OP_UPDATE))
+        .when(existed_before & ~exists_after, F.lit(OP_DELETE))
+        .when(~existed_before & exists_after, F.lit(OP_INSERT))
+        # ~existed_before & ~exists_after: insert cancelled by delete -> NULL
+    )
+    net_op = (
+        F.when(op2.isNull(), op1)              # key only in d1
+        .when(op1.isNull(), op2)               # key only in d2
+        .otherwise(both_op)
+    )
+    in_2 = op2.isNotNull()
+    return (
+        j.select(
+            net_op.alias("_op"),
+            *[
+                F.coalesce(F.col(f"k1_{k}"), F.col(f"k2_{k}")).alias(k)
+                for k in keys
+            ],
+            *[
+                F.when(in_2, F.col(f"v2_{c}"))
+                .otherwise(F.col(f"v1_{c}"))
+                .alias(c)
+                for c in value_cols
+            ],
+        )
+        .filter(F.col("_op").isNotNull())
+    )

@@ -609,3 +609,26 @@ def apply_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def apply_delta_roundtrip_oracle_sql() -> str:
     cols = ", ".join(["o_orderkey"] + DELTA_VALUE_COLS)
     return f"SELECT {cols} FROM {AFTER_SRC_SQL}"
+
+
+def delta_compose_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed composition: the 3-state chain before → orders → after
+    yields two feeds; ``compose_deltas`` merges them and one ``apply_delta``
+    must land on the after snapshot (operators/patch.py). Exercises the full
+    op algebra — I·U, U·D, D·I revival, I·D cancellation — against the same
+    oracle as apply_delta_roundtrip."""
+    from checkatron_spark.operators.patch import (
+        apply_delta,
+        compact_delta,
+        compose_deltas,
+    )
+
+    cols = ["o_orderkey"] + DELTA_VALUE_COLS
+    before = orders_before(spark, sf_dir).select(*cols)
+    mid = load_table(spark, "orders", sf_dir).select(*cols)
+    after = orders_after(spark, sf_dir).select(*cols)
+    keys = ["o_orderkey"]
+    d1 = compact_delta(before, mid, keys, DELTA_VALUE_COLS)
+    d2 = compact_delta(mid, after, keys, DELTA_VALUE_COLS)
+    composed = compose_deltas(d1, d2, keys, DELTA_VALUE_COLS)
+    return apply_delta(before, composed, keys, DELTA_VALUE_COLS)

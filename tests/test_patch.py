@@ -139,3 +139,73 @@ def test_streaming_patch_apply_matches_batch(spark):
         assert expected.exceptAll(out).count() == 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_compose_deltas_op_algebra(spark):
+    """All pairwise op compositions, including cancellation and revival."""
+    from checkatron_spark.operators.patch import compose_deltas
+
+    d1 = spark.createDataFrame(
+        [
+            ("I", 1, "a"),   # I then U -> I
+            ("I", 2, "b"),   # I then D -> cancelled
+            ("U", 3, "c"),   # U then U -> U
+            ("U", 4, "d"),   # U then D -> D
+            ("D", 5, "e"),   # D then I -> U (revival)
+            ("U", 6, "f"),   # only in d1 -> passes through
+        ],
+        "_op string, k int, v string",
+    )
+    d2 = spark.createDataFrame(
+        [
+            ("U", 1, "a2"),
+            ("D", 2, "b2"),
+            ("U", 3, "c2"),
+            ("D", 4, "d2"),
+            ("I", 5, "e2"),
+            ("I", 7, "g"),   # only in d2 -> passes through
+        ],
+        "_op string, k int, v string",
+    )
+    got = {
+        r["k"]: (r["_op"], r["v"])
+        for r in compose_deltas(d1, d2, ["k"], ["v"]).collect()
+    }
+    assert got == {
+        1: ("I", "a2"),
+        3: ("U", "c2"),
+        4: ("D", "d2"),
+        5: ("U", "e2"),
+        6: ("U", "f"),
+        7: ("I", "g"),
+    }
+
+
+def test_compose_deltas_apply_equivalence(spark):
+    """apply(s, compose(d1,d2)) == apply(apply(s,d1), d2) on the flagship
+    3-state chain before -> orders -> after (sf0.001)."""
+    import os
+
+    import pytest
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver parquet fixtures not available")
+    from checkatron_spark import workloads as W
+    from checkatron_spark.operators.patch import (
+        apply_delta,
+        compact_delta,
+        compose_deltas,
+    )
+    from checkatron_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["o_orderkey"] + W.DELTA_VALUE_COLS
+    before = W.orders_before(spark, sf).select(*cols)
+    mid = load_table(spark, "orders", sf).select(*cols)
+    after = W.orders_after(spark, sf).select(*cols)
+    d1 = compact_delta(before, mid, ["o_orderkey"], W.DELTA_VALUE_COLS)
+    d2 = compact_delta(mid, after, ["o_orderkey"], W.DELTA_VALUE_COLS)
+    composed = compose_deltas(d1, d2, ["o_orderkey"], W.DELTA_VALUE_COLS)
+    one_shot = apply_delta(before, composed, ["o_orderkey"], W.DELTA_VALUE_COLS)
+    assert one_shot.exceptAll(after).count() == 0
+    assert after.exceptAll(one_shot).count() == 0
