@@ -32,6 +32,11 @@ from checkatron_spark.operators.incremental import (
 )
 from checkatron_spark.operators.drift import drift_profile
 from checkatron_spark.operators.merge3 import diff3
+from checkatron_spark.operators.patch import (
+    apply_delta,
+    compact_delta,
+    compose_deltas,
+)
 from checkatron_spark.operators.scd import scd2_delta
 from checkatron_spark.sampling import (
     deterministic_sample,
@@ -41,7 +46,7 @@ from checkatron_spark.sampling import (
     weighted_sample,
 )
 from checkatron_spark.operators.rangejoin import range_join_binned
-from checkatron_spark.operators.skew import salted_agg
+from checkatron_spark.operators.skew import salted_agg, salted_join
 from checkatron_spark.operators.guard import (
     DuplicateKeyError,
     assert_unique_keys,
@@ -57,6 +62,10 @@ from checkatron_spark.session import get_spark
 from checkatron_spark.sources.tables import load_csv_table, load_json_table
 
 __all__ = [
+    "apply_delta",
+    "compact_delta",
+    "compose_deltas",
+    "salted_join",
     "DiffSpec",
     "DuplicateKeyError",
     "asof_join",

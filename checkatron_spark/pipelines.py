@@ -693,6 +693,48 @@ EVENTS_JSON_SQL = (
 )
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values — a
+    sequential recurrence (s = 0.875*s + 0.125*v in event order, seeded with
+    the first value) that no closed-form window expression computes, so it
+    rides the grouped-map ``applyInPandas`` path: one shuffle on user_id,
+    then an Arrow-batched per-group fold in Python.
+
+    At 100 TB the group key (user) bounds memory — each group is one user's
+    history; a per-user cap or time-slice pre-filter guards pathological
+    users. All arithmetic is plain IEEE-double fold in both engines
+    (coefficients 0.875/0.125 are exact binary fractions; same order, same
+    ops → bit-identical to the DuckDB ``list_reduce`` oracle)."""
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = pdf["value"].to_numpy()
+        s = v[0]
+        for x in v[1:]:
+            s = 0.875 * s + 0.125 * x
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "ewma": [s], "n": [len(v)]}
+        )
+
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, "user_id bigint, ewma double, n bigint")
+    )
+
+
+EVENTS_EWMA_SQL = """
+SELECT user_id,
+       list_reduce(list(value ORDER BY ts, event_id),
+                   (acc, v) -> 0.875 * acc + 0.125 * v) AS ewma,
+       COUNT(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
 def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type inter-arrival profile: the gap (whole seconds) between
     each event and the same user's previous event, aggregated by the type of
@@ -1056,6 +1098,7 @@ QUERIES = {
     "events_json_extract": q_events_json,
     "events_sessionize": q_events_sessionize,
     "events_interarrival": q_events_interarrival,
+    "events_ewma": q_events_ewma,
     "events_session_window": q_events_session_window,
     "events_resample_gapfill": q_events_resample,
     "label_centroids": q_label_centroids,
@@ -1091,6 +1134,7 @@ def oracles() -> dict[str, str]:
         "events_json_extract": EVENTS_JSON_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "events_interarrival": EVENTS_INTERARRIVAL_SQL,
+        "events_ewma": EVENTS_EWMA_SQL,
         "events_session_window": EVENTS_SESSION_WINDOW_SQL,
         "events_resample_gapfill": EVENTS_RESAMPLE_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,
