@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_compact_orders": W.delta_compact_orders,
         "apply_delta_roundtrip": W.apply_delta_roundtrip,
         "delta_compose_roundtrip": W.delta_compose_roundtrip,
+        "ivm_orders_totals": W.ivm_orders_totals,
         "keys_union": _q_keys_union,
         "labeled_counts": _q_labeled_counts,
         "orders_filtered": _q_orders_filtered,
@@ -254,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_compact_orders": W.delta_compact_orders_oracle_sql(),
         "apply_delta_roundtrip": W.apply_delta_roundtrip_oracle_sql(),
         "delta_compose_roundtrip": W.apply_delta_roundtrip_oracle_sql(),
+        "ivm_orders_totals": W.ivm_orders_totals_oracle_sql(),
         "keys_union": (
             f"SELECT o_orderkey FROM {W.BEFORE_SRC_SQL} "
             f"UNION SELECT o_orderkey FROM {W.AFTER_SRC_SQL}"

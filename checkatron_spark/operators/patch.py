@@ -40,6 +40,8 @@ def compact_delta(
     after: DataFrame,
     keys: list[str],
     value_cols: list[str],
+    *,
+    include_before: bool = False,
 ) -> DataFrame:
     """One row per key whose row was inserted, updated, or deleted.
 
@@ -47,6 +49,10 @@ def compact_delta(
     ``_op`` ('I' | 'U' | 'D'), the key columns, then ``value_cols`` carrying
     the after-image for I/U and the before-image for D. Unchanged keys emit
     nothing — output size is proportional to churn, not table size.
+
+    ``include_before=True`` additionally emits ``_b_<col>`` before-image
+    columns (NULL on 'I') — required by consumers that must *retract* old
+    contributions, e.g. incremental view maintenance (operators/ivm.py).
     """
     b = before.select(
         F.lit(True).alias("__b"),
@@ -74,11 +80,17 @@ def compact_delta(
     )
     # D rows carry the before-image; I/U rows the after-image
     pick = lambda c: F.when(in_a, F.col(f"a_{c}")).otherwise(F.col(f"b_{c}"))  # noqa: E731
+    before_images = (
+        [F.col(f"b_{c}").alias(f"_b_{c}") for c in value_cols]
+        if include_before
+        else []
+    )
     return (
         j.select(
             op.alias("_op"),
             *[F.coalesce(F.col(f"b_{k}"), F.col(f"a_{k}")).alias(k) for k in keys],
             *[pick(c).alias(c) for c in value_cols],
+            *before_images,
         )
         .filter(F.col("_op").isNotNull())
     )

@@ -632,3 +632,47 @@ def delta_compose_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = compact_delta(mid, after, keys, DELTA_VALUE_COLS)
     composed = compose_deltas(d1, d2, keys, DELTA_VALUE_COLS)
     return apply_delta(before, composed, keys, DELTA_VALUE_COLS)
+
+
+def ivm_orders_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): a per-priority
+    count+sum view materialized over the before snapshot is brought current
+    with the before→after changefeed — adjustment cost ∝ churn, the base
+    is never rescanned. The oracle recomputes the view directly over the
+    after snapshot; both must hash-match exactly (integer-cents sums)."""
+    from checkatron_spark.operators.ivm import maintain_sum_view, sum_view
+    from checkatron_spark.operators.patch import compact_delta
+
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+
+    def frame(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey", "o_orderpriority", cents.alias("price_c")
+        )
+
+    b = frame(orders_before(spark, sf_dir))
+    a = frame(orders_after(spark, sf_dir))
+    view = sum_view(b, ["o_orderpriority"], ["price_c"])
+    delta = compact_delta(
+        b, a, ["o_orderkey"], ["o_orderpriority", "price_c"],
+        include_before=True,
+    )
+    maintained = maintain_sum_view(
+        view, delta, ["o_orderpriority"], ["price_c"]
+    )
+    return maintained.select(
+        "o_orderpriority",
+        "n_rows",
+        (F.col("sum_price_c").cast("double") / F.lit(100.0)).alias("sum_price"),
+    )
+
+
+def ivm_orders_totals_oracle_sql() -> str:
+    return (
+        "SELECT o_orderpriority, COUNT(*) AS n_rows, "
+        "CAST(SUM(COALESCE(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT), "
+        "0)) AS DOUBLE) / 100.0 AS sum_price "
+        f"FROM {AFTER_SRC_SQL} GROUP BY o_orderpriority"
+    )

@@ -1,0 +1,79 @@
+"""Incremental view maintenance: maintained count/sum view equals the view
+recomputed over the new snapshot — including cross-group updates, groups
+dropping to zero, new groups, and NULL value retraction."""
+
+from __future__ import annotations
+
+from checkatron_spark.operators.ivm import maintain_sum_view, sum_view
+from checkatron_spark.operators.patch import compact_delta
+
+KEYS = ["k"]
+VALS = ["grp", "v"]
+
+
+def _before(spark):
+    rows = [
+        (1, "a", 10),
+        (2, "a", 20),
+        (3, "b", 30),
+        (4, "b", None),   # NULL value: contributes 0 to the sum
+        (5, "c", 50),     # group c will vanish entirely
+    ]
+    return spark.createDataFrame(rows, "k int, grp string, v int")
+
+
+def _after(spark):
+    rows = [
+        (1, "a", 10),     # unchanged
+        (2, "b", 20),     # moves a -> b (retract from a, add to b)
+        (3, "b", 35),     # value change within b
+        (4, "b", 40),     # NULL -> value
+        (6, "d", 60),     # brand-new group d
+    ]                      # key 5 deleted -> group c must disappear
+    return spark.createDataFrame(rows, "k int, grp string, v int")
+
+
+def _maintained(spark):
+    b, a = _before(spark), _after(spark)
+    view = sum_view(b, ["grp"], ["v"])
+    delta = compact_delta(b, a, KEYS, VALS, include_before=True)
+    return maintain_sum_view(view, delta, ["grp"], ["v"])
+
+
+def test_maintained_equals_recomputed(spark):
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_v"]) for r in _maintained(spark).collect()
+    }
+    recomputed = {
+        r["grp"]: (r["n_rows"], r["sum_v"])
+        for r in sum_view(_after(spark), ["grp"], ["v"]).collect()
+    }
+    assert got == recomputed == {
+        "a": (1, 10),
+        "b": (3, 95),
+        "d": (1, 60),
+    }
+
+
+def test_vanished_group_is_dropped(spark):
+    assert "c" not in {r["grp"] for r in _maintained(spark).collect()}
+
+
+def test_empty_delta_is_identity(spark):
+    b = _before(spark)
+    view = sum_view(b, ["grp"], ["v"])
+    delta = compact_delta(b, b, KEYS, VALS, include_before=True)
+    kept = maintain_sum_view(view, delta, ["grp"], ["v"])
+    assert sorted(map(tuple, kept.collect())) == sorted(
+        map(tuple, view.collect())
+    )
+
+
+def test_include_before_images(spark):
+    delta = compact_delta(
+        _before(spark), _after(spark), KEYS, VALS, include_before=True
+    )
+    rows = {r["k"]: r for r in delta.collect()}
+    assert rows[2]["_op"] == "U" and rows[2]["_b_grp"] == "a"
+    assert rows[6]["_op"] == "I" and rows[6]["_b_grp"] is None
+    assert rows[5]["_op"] == "D" and rows[5]["_b_v"] == 50
