@@ -37,7 +37,12 @@ from checkatron_spark.operators.patch import (
     compact_delta,
     compose_deltas,
 )
-from checkatron_spark.operators.ivm import maintain_sum_view, sum_view
+from checkatron_spark.operators.ivm import (
+    maintain_minmax_view,
+    maintain_sum_view,
+    minmax_view,
+    sum_view,
+)
 from checkatron_spark.operators.scd import scd2_delta
 from checkatron_spark.sampling import (
     deterministic_sample,
@@ -64,7 +69,9 @@ from checkatron_spark.sources.tables import load_csv_table, load_json_table
 
 __all__ = [
     "apply_delta",
+    "maintain_minmax_view",
     "maintain_sum_view",
+    "minmax_view",
     "sum_view",
     "compact_delta",
     "compose_deltas",

@@ -13,11 +13,12 @@ Cost ∝ churn, twice over: the adjustment aggregation shuffles delta rows
 and the (smaller) per-group adjustments — broadcastable on either side. The
 100 TB base table is never read.
 
-Only self-maintainable aggregates are expressible this way — COUNT and SUM
-(and things derivable from them: AVG, integer-cents money metrics). MIN/MAX
-are not: a retraction below the current extremum forces a rescan of the
-group. That restriction is structural (classic IVM theory), not an
-implementation shortcut.
+Only self-maintainable aggregates adjust purely arithmetically — COUNT and
+SUM (and things derivable from them: AVG, integer-cents money metrics).
+MIN/MAX are not self-maintainable (classic IVM theory): retracting the
+current extremum leaves the runner-up unknown. ``maintain_minmax_view``
+handles them with the standard production compromise — a *partial rescan*
+of exactly the groups whose extremum was retracted, found via a semi join.
 
 Requires the changefeed to carry before-images:
 ``compact_delta(..., include_before=True)``.
@@ -32,7 +33,12 @@ from pyspark.sql import functions as F
 
 from checkatron_spark.operators.patch import OP_DELETE, OP_INSERT, OP_UPDATE
 
-__all__ = ["sum_view", "maintain_sum_view"]
+__all__ = [
+    "sum_view",
+    "maintain_sum_view",
+    "minmax_view",
+    "maintain_minmax_view",
+]
 
 
 def sum_view(
@@ -120,3 +126,112 @@ def maintain_sum_view(
         )
         .filter(F.col(count_col) > 0)
     )
+
+
+def minmax_view(
+    base: DataFrame,
+    group_keys: list[str],
+    col: str,
+    *,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Per-group COUNT(*) + MIN/MAX of ``col`` (NULLs skipped, SQL-style) —
+    the view shape ``maintain_minmax_view`` keeps current."""
+    return base.groupBy(*group_keys).agg(
+        F.count(F.lit(1)).alias(count_col),
+        F.min(col).alias(f"min_{col}"),
+        F.max(col).alias(f"max_{col}"),
+    )
+
+
+def maintain_minmax_view(
+    view: DataFrame,
+    delta: DataFrame,
+    new_base: DataFrame,
+    group_keys: list[str],
+    col: str,
+    *,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """MIN/MAX view maintenance with partial rescan — the piece plain
+    adjustment arithmetic cannot do (retracting the current extremum leaves
+    the runner-up unknown).
+
+    A group is *dirty* iff a retraction (an update's before-image or a
+    delete) removes a value at the current extremum; equality is enough —
+    conservative, since an equal duplicate may remain. Dirty groups are
+    recomputed from ``new_base`` restricted by a semi join to exactly those
+    groups: the rescan is ∝ affected groups, not the table. Clean groups
+    update arithmetically: count adjusts by ±1, and inserts can only *extend*
+    extremes (least/greatest with the insert-side min/max).
+
+    Equals ``minmax_view(new_base, ...)`` exactly (oracle-checked). At 1%
+    churn with uniformly-placed values, the expected dirty fraction is tiny
+    (a retraction must hit its group's extremum) — the common case touches
+    the base not at all."""
+    zero = F.lit(0)
+    retract = delta.filter(F.col("_op").isin(OP_UPDATE, OP_DELETE)).select(
+        *[F.col(f"_b_{k}").alias(k) for k in group_keys],
+        F.col(f"_b_{col}").alias("_rv"),
+    )
+    insert = delta.filter(F.col("_op").isin(OP_INSERT, OP_UPDATE)).select(
+        *[F.col(k) for k in group_keys],
+        F.col(col).alias("_iv"),
+    )
+
+    v = view.select(
+        *[F.col(k).alias(f"v_{k}") for k in group_keys],
+        F.col(count_col).alias("_v_n"),
+        F.col(f"min_{col}").alias("_v_min"),
+        F.col(f"max_{col}").alias("_v_max"),
+    )
+    r_cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"v_{k}").eqNullSafe(retract[k]) for k in group_keys],
+    )
+    dirty_keys = (
+        retract.join(v, r_cond, "inner")
+        .filter(
+            F.col("_rv").isNotNull()
+            & ((F.col("_rv") <= F.col("_v_min")) | (F.col("_rv") >= F.col("_v_max")))
+        )
+        .select(*group_keys)
+        .distinct()
+    )
+
+    # clean-path adjustments: count delta and insert-side extremes per group
+    counts = (
+        insert.select(*group_keys, F.lit(1).alias("_dn"))
+        .unionByName(retract.select(*group_keys, F.lit(-1).alias("_dn")))
+        .groupBy(*group_keys)
+        .agg(F.sum("_dn").alias("_adj_n"))
+    )
+    ins_ext = insert.groupBy(*group_keys).agg(
+        F.min("_iv").alias("_ins_min"), F.max("_iv").alias("_ins_max")
+    )
+    adj = counts.join(ins_ext, [*group_keys], "full_outer")
+
+    m_cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"v_{k}").eqNullSafe(adj[k]) for k in group_keys],
+    )
+    merged = v.join(adj, m_cond, "full_outer")
+    new_n = F.coalesce(F.col("_v_n"), zero) + F.coalesce(F.col("_adj_n"), zero)
+    clean = (
+        merged.select(
+            *[F.coalesce(F.col(f"v_{k}"), adj[k]).alias(k) for k in group_keys],
+            new_n.alias(count_col),
+            F.least(F.col("_v_min"), F.col("_ins_min")).alias(f"min_{col}"),
+            F.greatest(F.col("_v_max"), F.col("_ins_max")).alias(f"max_{col}"),
+        )
+        .filter(F.col(count_col) > 0)
+        .join(dirty_keys, [*group_keys], "left_anti")
+    )
+
+    dirty = minmax_view(
+        new_base.join(dirty_keys, [*group_keys], "left_semi"),
+        group_keys,
+        col,
+        count_col=count_col,
+    )
+    return clean.unionByName(dirty)

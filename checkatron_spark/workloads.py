@@ -676,3 +676,48 @@ def ivm_orders_totals_oracle_sql() -> str:
         "0)) AS DOUBLE) / 100.0 AS sum_price "
         f"FROM {AFTER_SRC_SQL} GROUP BY o_orderpriority"
     )
+
+
+def ivm_orders_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX view maintenance with partial rescan (operators/ivm.py):
+    dirty groups (extremum retracted by the changefeed) are recomputed via
+    a semi-joined scan of the after snapshot; clean groups adjust
+    arithmetically. Oracle: the view recomputed directly over after."""
+    from checkatron_spark.operators.ivm import maintain_minmax_view, minmax_view
+    from checkatron_spark.operators.patch import compact_delta
+
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+
+    def frame(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey", "o_orderpriority", cents.alias("price_c")
+        )
+
+    b = frame(orders_before(spark, sf_dir))
+    a = frame(orders_after(spark, sf_dir))
+    view = minmax_view(b, ["o_orderpriority"], "price_c")
+    delta = compact_delta(
+        b, a, ["o_orderkey"], ["o_orderpriority", "price_c"],
+        include_before=True,
+    )
+    maintained = maintain_minmax_view(
+        view, delta, a, ["o_orderpriority"], "price_c"
+    )
+    return maintained.select(
+        "o_orderpriority",
+        "n_rows",
+        (F.col("min_price_c").cast("double") / F.lit(100.0)).alias("min_price"),
+        (F.col("max_price_c").cast("double") / F.lit(100.0)).alias("max_price"),
+    )
+
+
+def ivm_orders_minmax_oracle_sql() -> str:
+    c = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+    return (
+        "SELECT o_orderpriority, COUNT(*) AS n_rows, "
+        f"CAST(MIN({c}) AS DOUBLE) / 100.0 AS min_price, "
+        f"CAST(MAX({c}) AS DOUBLE) / 100.0 AS max_price "
+        f"FROM {AFTER_SRC_SQL} GROUP BY o_orderpriority"
+    )

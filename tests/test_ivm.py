@@ -77,3 +77,70 @@ def test_include_before_images(spark):
     assert rows[2]["_op"] == "U" and rows[2]["_b_grp"] == "a"
     assert rows[6]["_op"] == "I" and rows[6]["_b_grp"] is None
     assert rows[5]["_op"] == "D" and rows[5]["_b_v"] == 50
+
+
+def _minmax_fixture(spark):
+    before = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "a", 50),   # a's max
+            (3, "a", 30),
+            (4, "b", 5),    # b's min AND part of b
+            (5, "b", 9),
+        ],
+        "k int, grp string, v int",
+    )
+    after = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (3, "a", 30),   # key 2 deleted: a's max retracted -> dirty rescan
+            (4, "b", 7),    # b's min updated upward -> dirty rescan
+            (5, "b", 9),
+            (6, "b", 100),  # insert extends b's max (clean would suffice)
+            (7, "c", 1),    # new group
+        ],
+        "k int, grp string, v int",
+    )
+    return before, after
+
+
+def test_minmax_maintained_equals_recomputed(spark):
+    from checkatron_spark.operators.ivm import maintain_minmax_view, minmax_view
+
+    before, after = _minmax_fixture(spark)
+    view = minmax_view(before, ["grp"], "v")
+    delta = compact_delta(before, after, ["k"], ["grp", "v"], include_before=True)
+    got = maintain_minmax_view(view, delta, after, ["grp"], "v")
+    exp = minmax_view(after, ["grp"], "v")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_minmax_clean_only_changes(spark):
+    """Inserts that only extend extremes never trigger a rescan path —
+    result still matches recompute."""
+    from checkatron_spark.operators.ivm import maintain_minmax_view, minmax_view
+
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20)], "k int, grp string, v int"
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 99), (4, "a", -5)],
+        "k int, grp string, v int",
+    )
+    view = minmax_view(before, ["grp"], "v")
+    delta = compact_delta(before, after, ["k"], ["grp", "v"], include_before=True)
+    got = maintain_minmax_view(view, delta, after, ["grp"], "v")
+    assert [tuple(r) for r in got.collect()] == [("a", 4, -5, 99)]
+
+
+def test_minmax_group_vanishes(spark):
+    from checkatron_spark.operators.ivm import maintain_minmax_view, minmax_view
+
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, grp string, v int"
+    )
+    after = spark.createDataFrame([(1, "a", 10)], "k int, grp string, v int")
+    view = minmax_view(before, ["grp"], "v")
+    delta = compact_delta(before, after, ["k"], ["grp", "v"], include_before=True)
+    got = maintain_minmax_view(view, delta, after, ["grp"], "v")
+    assert [tuple(r) for r in got.collect()] == [("a", 1, 10, 10)]
