@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_compose_roundtrip": W.delta_compose_roundtrip,
         "ivm_orders_totals": W.ivm_orders_totals,
         "ivm_orders_minmax": W.ivm_orders_minmax,
+        "zorder_bucket_audit": W.zorder_bucket_audit,
         "keys_union": _q_keys_union,
         "labeled_counts": _q_labeled_counts,
         "orders_filtered": _q_orders_filtered,
@@ -258,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_compose_roundtrip": W.apply_delta_roundtrip_oracle_sql(),
         "ivm_orders_totals": W.ivm_orders_totals_oracle_sql(),
         "ivm_orders_minmax": W.ivm_orders_minmax_oracle_sql(),
+        "zorder_bucket_audit": W.zorder_bucket_audit_oracle_sql(),
         "keys_union": (
             f"SELECT o_orderkey FROM {W.BEFORE_SRC_SQL} "
             f"UNION SELECT o_orderkey FROM {W.AFTER_SRC_SQL}"

@@ -37,6 +37,7 @@ from checkatron_spark.operators.patch import (
     compact_delta,
     compose_deltas,
 )
+from checkatron_spark.functions.layout import spread16, zorder_key2
 from checkatron_spark.operators.ivm import (
     maintain_minmax_view,
     maintain_sum_view,
@@ -69,6 +70,8 @@ from checkatron_spark.sources.tables import load_csv_table, load_json_table
 
 __all__ = [
     "apply_delta",
+    "spread16",
+    "zorder_key2",
     "maintain_minmax_view",
     "maintain_sum_view",
     "minmax_view",

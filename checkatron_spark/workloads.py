@@ -721,3 +721,52 @@ def ivm_orders_minmax_oracle_sql() -> str:
         f"CAST(MAX({c}) AS DOUBLE) / 100.0 AS max_price "
         f"FROM {AFTER_SRC_SQL} GROUP BY o_orderpriority"
     )
+
+
+def zorder_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (functions/layout.py): Morton-interleave
+    (o_custkey, order-date-days) into a 32-bit key, group by its high bits
+    (65536-cell buckets) and report each bucket's min/max rectangle in both
+    dimensions. Tight rectangles = tight parquet footer stats = both
+    filters prune after a Z-ordered write. Pure codegen bit arithmetic +
+    one aggregation; bit-identical to the DuckDB oracle."""
+    from checkatron_spark.functions.layout import zorder_key2
+
+    o = load_table(spark, "orders", sf_dir)
+    a = (F.col("o_custkey") % F.lit(65536)).cast("bigint")
+    b = (
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint")
+        % F.lit(65536)
+    )
+    z = zorder_key2(a, b)
+    return (
+        o.select(
+            F.shiftright(z, 16).alias("zbucket"),
+            a.alias("_a"),
+            b.alias("_b"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_a").alias("min_cust"),
+            F.max("_a").alias("max_cust"),
+            F.min("_b").alias("min_day"),
+            F.max("_b").alias("max_day"),
+        )
+    )
+
+
+def zorder_bucket_audit_oracle_sql() -> str:
+    from checkatron_spark.functions.layout import zorder_key2_sql
+
+    a = "(o_custkey % 65536)"
+    b = "(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 65536)"
+    z = zorder_key2_sql(a, b)
+    return (
+        f"SELECT ({z} >> 16) AS zbucket, COUNT(*) AS n_rows, "
+        f"MIN({a}) AS min_cust, MAX({a}) AS max_cust, "
+        f"MIN({b}) AS min_day, MAX({b}) AS max_day "
+        f"FROM orders GROUP BY 1"
+    )
