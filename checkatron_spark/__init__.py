@@ -44,7 +44,7 @@ from checkatron_spark.operators.ivm import (
     minmax_view,
     sum_view,
 )
-from checkatron_spark.operators.scd import scd2_delta
+from checkatron_spark.operators.scd import pit_join, scd2_delta
 from checkatron_spark.sampling import (
     deterministic_sample,
     pack_sequences,
@@ -70,6 +70,7 @@ from checkatron_spark.sources.tables import load_csv_table, load_json_table
 
 __all__ = [
     "apply_delta",
+    "pit_join",
     "spread16",
     "zorder_key2",
     "maintain_minmax_view",

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["scd2_delta"]
+__all__ = ["scd2_delta", "pit_join"]
 
 ACTION_CLOSE = "close"
 ACTION_INSERT = "insert"
@@ -96,3 +96,49 @@ def scd2_delta(
     )
     out = j.select(F.explode(F.array(close_row, insert_row)).alias("r"))
     return out.filter(F.col("r").isNotNull()).select("r.*")
+
+
+def pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: attach to each fact row the dimension version
+    that was valid at the fact's event time — the standard consumer of the
+    SCD2 history that :func:`scd2_delta` maintains.
+
+    Spark-first shape: an equi join on the business key plus the interval
+    predicate ``valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)``
+    folded into the join condition. Because the key is an equi component,
+    Catalyst keeps this a hash/sort-merge join (broadcast when the history
+    is small) — never a nested loop; the interval predicate only trims the
+    per-key fanout, which is bounded by versions-per-key. Non-overlapping
+    version intervals (what a correct SCD2 merge guarantees) make the match
+    unique per fact.
+
+    At 100 TB: shuffle ∝ facts + history on the key; history is usually
+    dim-sized × versions and broadcasts. No window over event time is
+    involved, so no global sort."""
+    fact_ts = facts[ts_col]
+    cond = None
+    for k in keys:
+        eq = facts[k].eqNullSafe(history[k])
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (history[valid_from_col] <= fact_ts)
+        & (history[valid_to_col].isNull() | (fact_ts < history[valid_to_col]))
+    )
+    hist_cols = [
+        history[c].alias(f"dim_{c}")
+        for c in history.columns
+        if c not in keys
+    ]
+    return facts.join(history, cond, how).select(
+        *[facts[c] for c in facts.columns], *hist_cols
+    )

@@ -1071,6 +1071,63 @@ ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+PIT_BOUNDS = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+
+
+def q_events_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join (operators/scd.py::pit_join): a 3-version
+    per-user SCD2 history (deterministic tier = (user_id + version) % 3,
+    boundaries at Jan 11/21) is attached to each event at event time, then
+    rolled up per tier. The oracle computes the same tier analytically from
+    ts — the Spark side runs the real interval-predicate join against the
+    history table, so the driver checks the PIT machinery, not the shortcut."""
+    from checkatron_spark.operators.scd import pit_join
+
+    ev = load_table(spark, "events", sf_dir)
+    # fresh scan for the history lineage: deriving it from ``ev`` would make
+    # the PIT join an ambiguous self-join on user_id
+    users = load_table(spark, "events", sf_dir).select("user_id").distinct()
+    lo, hi = PIT_BOUNDS
+    t = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    null_t = F.lit(None).cast("timestamp")
+    versions = F.array(
+        F.struct(F.lit(0).alias("v"), t("2024-01-01 00:00:00").alias("valid_from"), t(lo).alias("valid_to")),
+        F.struct(F.lit(1).alias("v"), t(lo).alias("valid_from"), t(hi).alias("valid_to")),
+        F.struct(F.lit(2).alias("v"), t(hi).alias("valid_from"), null_t.alias("valid_to")),
+    )
+    history = (
+        users.select("user_id", F.explode(versions).alias("r"))
+        .select(
+            "user_id",
+            F.pmod(F.col("user_id") + F.col("r.v"), F.lit(3)).alias("tier"),
+            F.col("r.valid_from"),
+            F.col("r.valid_to"),
+        )
+    )
+    joined = pit_join(ev, history, ["user_id"], ts_col="ts")
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    return (
+        joined.select(F.col("dim_tier").alias("tier"), cents.alias("_c"))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("_c").cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+def events_pit_join_sql() -> str:
+    lo, hi = PIT_BOUNDS
+    return (
+        "SELECT CAST((user_id + CASE "
+        f"WHEN ts < TIMESTAMP '{lo}' THEN 0 "
+        f"WHEN ts < TIMESTAMP '{hi}' THEN 1 ELSE 2 END) % 3 AS BIGINT) AS tier, "
+        "COUNT(*) AS n_events, "
+        "CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 "
+        "AS sum_value FROM events GROUP BY 1"
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_hist": q_lang_id_hist,
@@ -1099,6 +1156,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_interarrival": q_events_interarrival,
     "events_ewma": q_events_ewma,
+    "events_pit_join": q_events_pit_join,
     "events_session_window": q_events_session_window,
     "events_resample_gapfill": q_events_resample,
     "label_centroids": q_label_centroids,
@@ -1135,6 +1193,7 @@ def oracles() -> dict[str, str]:
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "events_interarrival": EVENTS_INTERARRIVAL_SQL,
         "events_ewma": EVENTS_EWMA_SQL,
+        "events_pit_join": events_pit_join_sql(),
         "events_session_window": EVENTS_SESSION_WINDOW_SQL,
         "events_resample_gapfill": EVENTS_RESAMPLE_SQL,
         "label_centroids": LABEL_CENTROIDS_SQL,

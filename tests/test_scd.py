@@ -95,3 +95,35 @@ def test_stratified_sample_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pit_join_picks_version_valid_at_event_time(spark):
+    from checkatron_spark.operators.scd import pit_join
+
+    hist = spark.createDataFrame(
+        [
+            (1, "v1", "2024-01-01 00:00:00", "2024-01-10 00:00:00"),
+            (1, "v2", "2024-01-10 00:00:00", None),
+            (2, "w1", "2024-01-05 00:00:00", None),
+        ],
+        "k int, tag string, vf string, vt string",
+    ).select(
+        "k", "tag",
+        F.col("vf").cast("timestamp").alias("valid_from"),
+        F.col("vt").cast("timestamp").alias("valid_to"),
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-05 12:00:00"),  # inside v1
+            (101, 1, "2024-01-10 00:00:00"),  # boundary: valid_from inclusive -> v2
+            (102, 1, "2024-02-01 00:00:00"),  # open-ended v2
+            (103, 2, "2024-01-01 00:00:00"),  # before w1 starts -> no match
+        ],
+        "fid int, k int, ts string",
+    ).select("fid", "k", F.col("ts").cast("timestamp").alias("ts"))
+
+    got = {
+        r["fid"]: r["dim_tag"]
+        for r in pit_join(facts, hist, ["k"], ts_col="ts").collect()
+    }
+    assert got == {100: "v1", 101: "v2", 102: "v2", 103: None}
