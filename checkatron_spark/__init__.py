@@ -35,6 +35,7 @@ from checkatron_spark.operators.merge3 import diff3
 from checkatron_spark.operators.patch import (
     apply_delta,
     compact_delta,
+    compact_log,
     compose_deltas,
 )
 from checkatron_spark.functions.layout import spread16, zorder_key2
@@ -70,6 +71,7 @@ from checkatron_spark.sources.tables import load_csv_table, load_json_table
 
 __all__ = [
     "apply_delta",
+    "compact_log",
     "pit_join",
     "spread16",
     "zorder_key2",

@@ -27,8 +27,9 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["compact_delta", "apply_delta", "compose_deltas"]
+__all__ = ["compact_delta", "apply_delta", "compose_deltas", "compact_log"]
 
 OP_INSERT = "I"
 OP_UPDATE = "U"
@@ -193,4 +194,36 @@ def compose_deltas(
             ],
         )
         .filter(F.col("_op").isNotNull())
+    )
+
+
+def compact_log(
+    log: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Kafka-style log compaction: reduce an append-only changefeed log
+    (multiple I/U/D records per key over time) to each key's LATEST record.
+
+    ``order_cols`` define the per-key event order (e.g. a feed sequence
+    number, or commit timestamp + offset); the lexicographically greatest
+    wins. One window shuffle on the key. The compacted feed applied once
+    equals applying the full log in order — the final image and existence
+    of a key depend only on its last record ('I'/'U' carry the after-image,
+    'D' carries removal), so ``apply_delta(base, compact_log(log, ...))``
+    reproduces the sequential replay (property-tested). Keep the 'D'
+    records in the compacted feed (tombstones): dropping them would
+    resurrect deleted keys on apply over an older base.
+
+    Versus :func:`compose_deltas`: compose merges two *snapshot-consistent*
+    feeds with existence algebra and stays churn-proportional; compact
+    collapses an arbitrary-length per-key history in one window pass —
+    the right tool when the input is a raw CDC stream dump."""
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )

@@ -770,3 +770,31 @@ def zorder_bucket_audit_oracle_sql() -> str:
         f"MIN({b}) AS min_day, MAX({b}) AS max_day "
         f"FROM orders GROUP BY 1"
     )
+
+
+def cdc_log_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-style log compaction (operators/patch.py::compact_log): the two
+    sequenced feeds of the before → orders → after chain form an append log;
+    keep-latest-per-key compaction + ONE apply must equal replaying both
+    feeds in order (oracle: the after snapshot)."""
+    from checkatron_spark.operators.patch import (
+        apply_delta,
+        compact_delta,
+        compact_log,
+    )
+
+    cols = ["o_orderkey"] + DELTA_VALUE_COLS
+    keys = ["o_orderkey"]
+    before = orders_before(spark, sf_dir).select(*cols)
+    mid = load_table(spark, "orders", sf_dir).select(*cols)
+    after = orders_after(spark, sf_dir).select(*cols)
+    log = (
+        compact_delta(before, mid, keys, DELTA_VALUE_COLS)
+        .withColumn("_seq", F.lit(1))
+        .unionByName(
+            compact_delta(mid, after, keys, DELTA_VALUE_COLS)
+            .withColumn("_seq", F.lit(2))
+        )
+    )
+    latest = compact_log(log, keys, ["_seq"])
+    return apply_delta(before, latest, keys, DELTA_VALUE_COLS)

@@ -209,3 +209,52 @@ def test_compose_deltas_apply_equivalence(spark):
     one_shot = apply_delta(before, composed, ["o_orderkey"], W.DELTA_VALUE_COLS)
     assert one_shot.exceptAll(after).count() == 0
     assert after.exceptAll(one_shot).count() == 0
+
+
+def test_compact_log_keeps_latest_with_tombstones(spark):
+    from checkatron_spark.operators.patch import compact_log
+
+    log = spark.createDataFrame(
+        [
+            ("I", 1, "a", 1),
+            ("U", 1, "a2", 2),
+            ("U", 1, "a3", 3),   # latest for key 1
+            ("I", 2, "b", 1),
+            ("D", 2, None, 2),   # tombstone survives compaction
+            ("I", 3, "c", 5),
+        ],
+        "_op string, k int, v string, _seq int",
+    )
+    got = {
+        r["k"]: (r["_op"], r["v"])
+        for r in compact_log(log, ["k"], ["_seq"]).collect()
+    }
+    assert got == {1: ("U", "a3"), 2: ("D", None), 3: ("I", "c")}
+
+
+def test_compact_log_apply_equals_sequential_replay(spark):
+    from checkatron_spark.operators.patch import apply_delta, compact_log
+
+    base = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    log = spark.createDataFrame(
+        [
+            ("U", 1, "x2", 1),
+            ("D", 2, "y", 1),
+            ("I", 3, "z", 1),
+            ("U", 1, "x3", 2),
+            ("I", 2, "y2", 2),   # revival after delete
+            ("D", 3, None, 2),   # insert then delete -> gone
+        ],
+        "_op string, k int, v string, _seq int",
+    )
+    d1 = log.filter("_seq = 1")
+    d2 = log.filter("_seq = 2")
+    sequential = apply_delta(
+        apply_delta(base, d1, ["k"], ["v"]), d2, ["k"], ["v"]
+    )
+    one_shot = apply_delta(
+        base, compact_log(log, ["k"], ["_seq"]), ["k"], ["v"]
+    )
+    assert sorted(map(tuple, one_shot.collect())) == sorted(
+        map(tuple, sequential.collect())
+    ) == [(1, "x3"), (2, "y2")]
