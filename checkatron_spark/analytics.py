@@ -634,7 +634,41 @@ def q_approx_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group EXACT interpolated quantiles (q1/median/q3 of order value
+    by priority): Spark's ``percentile`` and DuckDB's ``quantile_cont`` share
+    the (1-g)*lo + g*hi interpolation, and integer-cent inputs keep every
+    product exact in a double — bit-identical across engines. Exact
+    percentiles sort within the group (bounded groups only at 100 TB; the
+    sketch path for unbounded cardinalities is ``approx_distincts``)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    g = orders.select("o_orderpriority", cents.alias("_c")).groupBy(
+        "o_orderpriority"
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.percentile("_c", F.lit(0.25)) / F.lit(100.0)).alias("q1_price"),
+        (F.percentile("_c", F.lit(0.5)) / F.lit(100.0)).alias("median_price"),
+        (F.percentile("_c", F.lit(0.75)) / F.lit(100.0)).alias("q3_price"),
+    )
+
+
+def price_quantiles_by_priority_sql() -> str:
+    c = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+    return (
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        f"quantile_cont({c}, 0.25) / 100.0 AS q1_price, "
+        f"quantile_cont({c}, 0.5) / 100.0 AS median_price, "
+        f"quantile_cont({c}, 0.75) / 100.0 AS q3_price "
+        "FROM orders GROUP BY o_orderpriority"
+    )
+
+
 QUERIES = {
+    "price_quantiles_by_priority": q_price_quantiles_by_priority,
     "q1_pricing_summary": q_pricing_summary,
     "q3_top_revenue_orders": q_top_revenue_orders,
     "q5_region_revenue": q_region_revenue,
@@ -670,6 +704,7 @@ def oracles() -> dict[str, str]:
         "supplier_cube": SUPPLIER_CUBE_SQL,
         "distinct_counts": DISTINCT_COUNTS_SQL,
         "price_histogram": PRICE_HISTOGRAM_SQL,
+        "price_quantiles_by_priority": price_quantiles_by_priority_sql(),
         "part_cooccurrence": PART_COOCCURRENCE_SQL,
         "fk_violations": FK_VIOLATIONS_SQL,
         "null_profile": _null_profile_sql(),
