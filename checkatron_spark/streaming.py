@@ -36,6 +36,7 @@ __all__ = [
     "sessionize_stateful",
     "drain_to_batch",
     "apply_delta_stream",
+    "maintain_view_stream",
 ]
 
 _SESSION_GAP_SECONDS = 30 * 60
@@ -321,6 +322,57 @@ def apply_delta_stream(
     return spark.read.parquet(f"{state_dir}/v{current['ver']}")
 
 
+def maintain_view_stream(
+    delta_stream: DataFrame,
+    initial_view: DataFrame,
+    group_keys: list[str],
+    sum_cols: list[str],
+    *,
+    state_dir: str,
+    count_col: str = "n_rows",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Streaming incremental view maintenance: a before-image changefeed
+    stream keeps a count/sum materialization current — each micro-batch is
+    folded in with the batch ``maintain_sum_view`` adjustment join
+    (operators/ivm.py), so per-batch cost ∝ that batch's churn and the base
+    table is never consulted at all. Adjustments are additive, so the final
+    view is independent of how the feed is batched (a key updated twice
+    must arrive with consistent chained before-images — the CDC contract).
+
+    Same alternating-parquet version store as :func:`apply_delta_stream`
+    (a Delta/Iceberg MERGE in production). Runs to completion
+    (AvailableNow) and returns the final view."""
+    from checkatron_spark.operators.ivm import maintain_sum_view
+
+    spark = delta_stream.sparkSession
+    current = {"ver": 0}
+    initial_view.write.mode("overwrite").parquet(f"{state_dir}/v0")
+
+    def _fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = spark.read.parquet(f"{state_dir}/v{current['ver']}")
+        nxt = maintain_sum_view(
+            cur, batch_df, group_keys, sum_cols, count_col=count_col
+        )
+        nxt.write.mode("overwrite").parquet(f"{state_dir}/v{1 - current['ver']}")
+        current["ver"] = 1 - current["ver"]
+
+    q = (
+        delta_stream.writeStream.foreachBatch(_fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{state_dir}/_checkpoint")
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(f"{state_dir}/v{current['ver']}")
+
+
 # ---------------------------------------------------------------------------
 # driver-contract queries: streams drained with AvailableNow, oracle-checked
 # against DuckDB batch SQL over the same parquet
@@ -485,6 +537,67 @@ GROUP BY event_id, user_id, event_type
 """
 
 
+def q_stream_ivm_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVM end-to-end: the flagship before-image changefeed is
+    replayed as a 4-file stream that keeps the per-priority count+sum view
+    current; the final view must hash-match the view recomputed over the
+    after snapshot (same oracle as ivm_orders_totals)."""
+    import shutil
+    import tempfile
+
+    from checkatron_spark import workloads as W
+    from checkatron_spark.operators.ivm import sum_view
+    from checkatron_spark.operators.patch import compact_delta
+
+    work = tempfile.mkdtemp(prefix="stream_ivm_")
+    try:
+        cents = F.floor(
+            F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+        ).cast("bigint")
+
+        def frame(df: DataFrame) -> DataFrame:
+            return df.select(
+                "o_orderkey", "o_orderpriority", cents.alias("price_c")
+            )
+
+        b = frame(W.orders_before(spark, sf_dir))
+        a = frame(W.orders_after(spark, sf_dir))
+        delta = compact_delta(
+            b, a, ["o_orderkey"], ["o_orderpriority", "price_c"],
+            include_before=True,
+        )
+        feed = f"{work}/feed"
+        delta.repartition(4).write.mode("overwrite").parquet(feed)
+        sdf = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        view = maintain_view_stream(
+            sdf,
+            sum_view(b, ["o_orderpriority"], ["price_c"]),
+            ["o_orderpriority"],
+            ["price_c"],
+            state_dir=f"{work}/state",
+        )
+        return view.select(
+            "o_orderpriority",
+            "n_rows",
+            (F.col("sum_price_c").cast("double") / F.lit(100.0)).alias(
+                "sum_price"
+            ),
+        )
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+def stream_ivm_totals_sql() -> str:
+    from checkatron_spark import workloads as W
+
+    return W.ivm_orders_totals_oracle_sql()
+
+
 def q_stream_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC materialization end-to-end: the flagship compact delta
     is written as a 4-file changefeed, replayed as a file-source stream one
@@ -533,6 +646,7 @@ QUERIES = {
     "stream_stream_join": q_stream_stream_join,
     "stream_dedup": _q_stream_dedup_drained,
     "stream_patch_apply": q_stream_patch_apply,
+    "stream_ivm_totals": q_stream_ivm_totals,
 }
 
 
@@ -544,4 +658,5 @@ def oracles() -> dict[str, str]:
         "stream_stream_join": STREAM_STREAM_JOIN_SQL,
         "stream_dedup": STREAM_DEDUP_SQL,
         "stream_patch_apply": stream_patch_apply_sql(),
+        "stream_ivm_totals": stream_ivm_totals_sql(),
     }

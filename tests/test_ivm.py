@@ -144,3 +144,56 @@ def test_minmax_group_vanishes(spark):
     delta = compact_delta(before, after, ["k"], ["grp", "v"], include_before=True)
     got = maintain_minmax_view(view, delta, after, ["grp"], "v")
     assert [tuple(r) for r in got.collect()] == [("a", 1, 10, 10)]
+
+
+def test_streaming_view_maintenance_matches_recompute(spark):
+    """maintain_view_stream over a multi-batch feed converges to the view
+    recomputed over the after snapshot (sf0.001)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pytest
+
+    if not os.path.isdir("/root/testdata/sf0.001"):
+        pytest.skip("driver parquet fixtures not available")
+    import pyspark.sql.functions as F
+
+    from checkatron_spark import workloads as W
+    from checkatron_spark.streaming import maintain_view_stream
+
+    sf = "/root/testdata/sf0.001"
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+
+    def frame(df):
+        return df.select("o_orderkey", "o_orderpriority", cents.alias("price_c"))
+
+    b = frame(W.orders_before(spark, sf))
+    a = frame(W.orders_after(spark, sf))
+    delta = compact_delta(
+        b, a, ["o_orderkey"], ["o_orderpriority", "price_c"],
+        include_before=True,
+    )
+    work = tempfile.mkdtemp(prefix="test_stream_ivm_")
+    try:
+        delta.repartition(3).write.mode("overwrite").parquet(f"{work}/feed")
+        sdf = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{work}/feed")
+        )
+        got = maintain_view_stream(
+            sdf,
+            sum_view(b, ["o_orderpriority"], ["price_c"]),
+            ["o_orderpriority"],
+            ["price_c"],
+            state_dir=f"{work}/state",
+        )
+        exp = sum_view(a, ["o_orderpriority"], ["price_c"])
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, exp.collect())
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
