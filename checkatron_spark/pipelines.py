@@ -1128,6 +1128,38 @@ def events_pit_join_sql() -> str:
     )
 
 
+def q_sketch_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built into
+    Spark): per-day user sketches plus a union-merged grand total — the
+    materialization pattern that makes DISTINCT maintainable at 100 TB: store
+    a sketch per partition/day, answer any date-range distinct by unioning
+    sketches (bytes per day, no rescan), exactly the role maintain_sum_view
+    plays for additive metrics. Sketch binaries are engine-specific, so the
+    driver records a rows-only check; the accuracy contract (estimate ==
+    exact at fixture cardinality, ~1.5% rsd beyond) is pinned in
+    tests/test_approx.py."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("_sk"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+    )
+    total = daily.agg(
+        F.lit(None).cast("date").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("est_users"),
+        F.lit(None).cast("bigint").alias("exact_users"),
+    )
+    per_day = daily.select(
+        "day",
+        F.hll_sketch_estimate("_sk").alias("est_users"),
+        "exact_users",
+    )
+    return per_day.unionByName(total)
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_hist": q_lang_id_hist,
@@ -1157,6 +1189,7 @@ QUERIES = {
     "events_interarrival": q_events_interarrival,
     "events_ewma": q_events_ewma,
     "events_pit_join": q_events_pit_join,
+    "sketch_users_daily": q_sketch_users_daily,
     "events_session_window": q_events_session_window,
     "events_resample_gapfill": q_events_resample,
     "label_centroids": q_label_centroids,

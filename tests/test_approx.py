@@ -37,3 +37,22 @@ def test_deterministic_across_runs(spark):
     a = sorted(map(tuple, q_approx_distincts(spark, SF_DIR).collect()))
     b = sorted(map(tuple, q_approx_distincts(spark, SF_DIR).collect()))
     assert a == b  # sketches are deterministic for identical input/params
+
+
+def test_hll_sketch_rollup_accuracy(spark):
+    """Per-day HLL sketches and their union: exact at fixture cardinality
+    (sparse HLL mode), and the union row reports the true total."""
+    from checkatron_spark.pipelines import q_sketch_users_daily
+    from checkatron_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_sketch_users_daily(spark, sf).collect()
+    per_day = [r for r in rows if r["day"] is not None]
+    total = [r for r in rows if r["day"] is None]
+    assert per_day and len(total) == 1
+    for r in per_day:
+        assert r["est_users"] == r["exact_users"], r
+    exact_total = (
+        load_table(spark, "events", sf).select("user_id").distinct().count()
+    )
+    assert total[0]["est_users"] == exact_total
