@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_delta_roundtrip": W.apply_delta_roundtrip,
         "delta_compose_roundtrip": W.delta_compose_roundtrip,
         "cdc_log_compact_roundtrip": W.cdc_log_compact_roundtrip,
+        "map_diff_orders": W.map_diff_orders,
         "ivm_orders_totals": W.ivm_orders_totals,
         "ivm_orders_minmax": W.ivm_orders_minmax,
         "zorder_bucket_audit": W.zorder_bucket_audit,
@@ -259,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_delta_roundtrip": W.apply_delta_roundtrip_oracle_sql(),
         "delta_compose_roundtrip": W.apply_delta_roundtrip_oracle_sql(),
         "cdc_log_compact_roundtrip": W.apply_delta_roundtrip_oracle_sql(),
+        "map_diff_orders": W.map_diff_orders_oracle_sql(),
         "ivm_orders_totals": W.ivm_orders_totals_oracle_sql(),
         "ivm_orders_minmax": W.ivm_orders_minmax_oracle_sql(),
         "zorder_bucket_audit": W.zorder_bucket_audit_oracle_sql(),

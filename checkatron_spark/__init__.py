@@ -31,6 +31,7 @@ from checkatron_spark.operators.incremental import (
     row_checksum,
 )
 from checkatron_spark.operators.drift import drift_profile
+from checkatron_spark.operators.mapdiff import map_diff
 from checkatron_spark.operators.merge3 import diff3
 from checkatron_spark.operators.patch import (
     apply_delta,
@@ -72,6 +73,7 @@ from checkatron_spark.sources.tables import load_csv_table, load_json_table
 __all__ = [
     "apply_delta",
     "compact_log",
+    "map_diff",
     "pit_join",
     "spread16",
     "zorder_key2",

@@ -798,3 +798,60 @@ def cdc_log_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     latest = compact_log(log, keys, ["_seq"])
     return apply_delta(before, latest, keys, DELTA_VALUE_COLS)
+
+
+def map_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entry MAP-column diff (operators/mapdiff.py): the flagship
+    snapshots' metadata packed as map<string,string> — after gains a
+    'channel' entry and perturbs 'status' — diffed at entry granularity.
+    The oracle enumerates the three entry keys analytically; the Spark side
+    runs the generic map-explode machinery."""
+    from checkatron_spark.operators.mapdiff import map_diff
+
+    def pack(df: DataFrame, with_channel: bool) -> DataFrame:
+        pairs = [
+            F.lit("status"), F.col("o_orderstatus"),
+            F.lit("priority"), F.col("o_orderpriority"),
+        ]
+        if with_channel:
+            pairs += [F.lit("channel"), F.col("o_channel")]
+        return df.select("o_orderkey", F.create_map(*pairs).alias("meta"))
+
+    b = pack(orders_before(spark, sf_dir), False)
+    a = pack(orders_after(spark, sf_dir), True)
+    return map_diff(b, a, ["o_orderkey"], "meta")
+
+
+def map_diff_orders_oracle_sql() -> str:
+    rs = "CASE WHEN bp IS NULL THEN 4 WHEN ap IS NULL THEN 5 END"
+
+    def st(bv: str, av: str) -> str:
+        return (
+            f"CASE WHEN ({bv}) IS NULL AND ({av}) IS NULL THEN 0 "
+            f"WHEN ({bv}) IS NULL THEN 2 "
+            f"WHEN ({av}) IS NULL THEN 3 "
+            f"WHEN ({bv}) = ({av}) THEN 0 ELSE 1 END"
+        )
+
+    ent = lambda key, bv, av, where: (  # noqa: E731
+        f"SELECT {rs} AS \"_row_status\", COALESCE(bk, ak) AS \"K_o_orderkey\", "
+        f"'{key}' AS entry_key, {st(bv, av)} AS status FROM j{where}"
+    )
+    return (
+        "WITH b AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, "
+        f"TRUE AS p FROM {BEFORE_SRC_SQL}),\n"
+        "a AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, o_channel, "
+        f"TRUE AS p FROM {AFTER_SRC_SQL}),\n"
+        "j AS (SELECT b.o_orderkey AS bk, a.o_orderkey AS ak, b.p AS bp, "
+        "a.p AS ap, b.o_orderstatus AS b_st, a.o_orderstatus AS a_st, "
+        "b.o_orderpriority AS b_pr, a.o_orderpriority AS a_pr, "
+        "a.o_channel AS a_ch FROM b FULL OUTER JOIN a "
+        "ON b.o_orderkey IS NOT DISTINCT FROM a.o_orderkey)\n"
+        + ent("status", "CASE WHEN bp THEN b_st END",
+              "CASE WHEN ap THEN a_st END", "")
+        + "\nUNION ALL\n"
+        + ent("priority", "CASE WHEN bp THEN b_pr END",
+              "CASE WHEN ap THEN a_pr END", "")
+        + "\nUNION ALL\n"
+        + ent("channel", "NULL", "CASE WHEN ap THEN a_ch END", " WHERE ap")
+    )
