@@ -24,7 +24,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["map_diff"]
+__all__ = ["map_diff", "array_diff"]
 
 
 def map_diff(
@@ -88,5 +88,68 @@ def map_diff(
         "_row_status",
         *[f"K_{k}" for k in keys],
         "entry_key",
+        status.alias("status"),
+    )
+
+
+def array_diff(
+    before: DataFrame,
+    after: DataFrame,
+    keys: list[str],
+    array_col: str,
+) -> DataFrame:
+    """Positional per-element diff for ARRAY columns — the array twin of
+    :func:`map_diff`, with the element index as the entry key.
+
+    One row per (business key, position) over the LONGER of the two arrays;
+    positions past an array's end coalesce with explicit NULL elements (the
+    missing-column convention again). Status coding and ``_row_status``
+    match :func:`map_diff`. Same single full-outer join + explode plan."""
+    b = before.select(
+        F.lit(True).alias("__b"),
+        *[F.col(k).alias(f"b_{k}") for k in keys],
+        F.col(array_col).alias("b_v"),
+    )
+    a = after.select(
+        F.lit(True).alias("__a"),
+        *[F.col(k).alias(f"a_{k}") for k in keys],
+        F.col(array_col).alias("a_v"),
+    )
+    cond = reduce(
+        lambda x, y: x & y,
+        [F.col(f"b_{k}").eqNullSafe(F.col(f"a_{k}")) for k in keys],
+    )
+    j = b.join(a, cond, "full_outer")
+
+    in_b, in_a = F.col("__b").isNotNull(), F.col("__a").isNotNull()
+    n = F.greatest(
+        F.coalesce(F.size("b_v"), F.lit(0)),
+        F.coalesce(F.size("a_v"), F.lit(0)),
+    )
+    row_status = F.when(~in_b, F.lit(4)).when(~in_a, F.lit(5)).cast("int")
+    exploded = j.filter(n > 0).select(
+        row_status.alias("_row_status"),
+        *[
+            F.coalesce(F.col(f"b_{k}"), F.col(f"a_{k}")).alias(f"K_{k}")
+            for k in keys
+        ],
+        F.col("b_v"),
+        F.col("a_v"),
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("pos"),
+    )
+    bv = F.element_at(F.col("b_v"), F.col("pos") + 1)
+    av = F.element_at(F.col("a_v"), F.col("pos") + 1)
+    status = (
+        F.when(bv.isNull() & av.isNull(), F.lit(0))
+        .when(bv.isNull() & av.isNotNull(), F.lit(2))
+        .when(bv.isNotNull() & av.isNull(), F.lit(3))
+        .when(bv == av, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+    )
+    return exploded.select(
+        "_row_status",
+        *[f"K_{k}" for k in keys],
+        F.col("pos").cast("int").alias("pos"),
         status.alias("status"),
     )
