@@ -34,8 +34,12 @@ def _side_profile(df: DataFrame, specs: dict[str, float], side: str) -> DataFram
         aggs += [
             F.count_if(F.col(c).isNull()).alias(f"nulls_{c}"),
             F.sum(scaled).alias(f"sum_{c}"),
-            F.min(F.col(c).cast("double")).alias(f"min_{c}"),
-            F.max(F.col(c).cast("double")).alias(f"max_{c}"),
+            # min/max ride the same scaled-BIGINT lane as the sums:
+            # floor(x*scale+0.5) is monotonic, so min(scaled) == scaled(min),
+            # and integer outputs are bit-identical across engines (raw
+            # doubles are not — cross-engine float rendering differs)
+            F.min(scaled).alias(f"min_{c}"),
+            F.max(scaled).alias(f"max_{c}"),
         ]
     wide = df.groupBy().agg(*aggs)
     stack_args = ", ".join(

@@ -256,7 +256,7 @@ assigned AS (
                    WHEN {u} < 0.9 THEN 'val' ELSE 'test' END AS split
     FROM deduped
 )
-SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        COUNT(DISTINCT lang) AS n_langs
 FROM assigned GROUP BY split
 """
@@ -746,7 +746,8 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit; sums stay integer until the final rounded average."""
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    ts_epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_epoch - F.lag(ts_epoch).over(w)
     return (
         ev.withColumn("_gap_s", gap)
         .filter(F.col("_gap_s").isNotNull())
@@ -768,7 +769,7 @@ WITH lagged AS (
                      ts) AS gap_s
     FROM events
 )
-SELECT event_type, COUNT(*) AS n_gaps, SUM(gap_s) AS total_gap_s,
+SELECT event_type, COUNT(*) AS n_gaps, CAST(SUM(gap_s) AS BIGINT) AS total_gap_s,
        MAX(gap_s) AS max_gap_s, ROUND(AVG(gap_s), 6) AS avg_gap_s
 FROM lagged WHERE gap_s IS NOT NULL GROUP BY event_type
 """
@@ -806,7 +807,8 @@ WITH lagged AS (
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM lagged GROUP BY user_id
 """
 
@@ -938,7 +940,7 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUANTIZE_SQL = """
 SELECT vec_id, round(127.0 / mx, 6) AS scale,
-       list_aggregate(q, 'sum') AS q_sum,
+       CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
        list_min(q) AS q_min, list_max(q) AS q_max
 FROM (
     SELECT vec_id,

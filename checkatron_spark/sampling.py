@@ -199,7 +199,7 @@ def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_COUNTS_SQL = f"""
 SELECT CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
             ELSE 'test' END AS split,
-       lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+       lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM (SELECT lang, n_chars, {_duck_uniform("doc_id", "split-v1")} AS u
       FROM documents)
 GROUP BY 1, 2
@@ -253,7 +253,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_SQL = """
-SELECT lang, pack_id, COUNT(*) AS n_docs, SUM(n_chars) AS pack_chars,
+SELECT lang, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS pack_chars,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM (
     SELECT lang, doc_id, n_chars,

@@ -34,15 +34,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """Table scan (S3): ``spark.read.parquet`` — self-describing schema,
     column-pruned, filter-pushed.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark reads as a
-    nanosecond LongType (spark.sql.legacy.parquet.nanosAsLong); convert to a
-    microsecond timestamp (sub-microsecond parts are zero in the fixtures).
+    ``events.ts`` has shipped under two parquet encodings; normalize both to
+    a session-zone ``TimestampType`` so downstream epoch arithmetic and
+    Structured Streaming watermarks (which reject TIMESTAMP_NTZ) always see
+    the same type:
+
+    - TIMESTAMP(NANOS) → Spark reads a nanosecond LongType
+      (spark.sql.legacy.parquet.nanosAsLong); convert via timestamp_micros.
+    - timestamp[us] without a UTC flag → Spark reads TIMESTAMP_NTZ; cast to
+      TIMESTAMP (session tz is UTC, so wall-clock values are unchanged).
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -45,8 +45,10 @@ _SESSION_GAP_SECONDS = 30 * 60
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the events fixture. Schema comes from a
     driver-side batch peek (streaming sources require a declared schema);
-    the TIMESTAMP(NANOS) column arrives as bigint nanos (see
-    sources/tables.py) and is converted to a microsecond timestamp."""
+    ``ts`` is normalized to session-zone ``TimestampType`` exactly like the
+    batch loader (sources/tables.py): bigint nanos (TIMESTAMP(NANOS) under
+    nanosAsLong) via timestamp_micros, TIMESTAMP_NTZ (timestamp[us] with no
+    UTC flag) via a cast — watermarks reject TIMESTAMP_NTZ event time."""
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     sdf = (
@@ -54,8 +56,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(sdf.dtypes).get("ts") == "bigint":
+    ts_type = dict(sdf.dtypes).get("ts")
+    if ts_type == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf
 
 
@@ -458,7 +463,8 @@ WITH lagged AS (
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM lagged GROUP BY user_id
 """
 

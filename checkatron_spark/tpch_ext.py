@@ -190,10 +190,10 @@ def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL '60' DAY
 GROUP BY l_linestatus
@@ -593,9 +593,9 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VALUE_OUTLIERS_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CASE WHEN abs(CAST(m AS DOUBLE) - s / n) > 3.0 *
+       CAST(SUM(CASE WHEN abs(CAST(m AS DOUBLE) - s / n) > 3.0 *
                      sqrt((ss - s * s / n) / n)
-                THEN 1 ELSE 0 END) AS n_outliers,
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        round(MAX(s / n), 6) AS mean_milli,
        round(MAX(sqrt((ss - s * s / n) / n)), 6) AS sd_milli
 FROM (
@@ -717,11 +717,11 @@ def q_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUNNEL_SQL = """
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END)
-           AS n_signed_up,
-       SUM(CASE WHEN first_signup IS NOT NULL
+       CAST(SUM(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_signed_up,
+       CAST(SUM(CASE WHEN first_signup IS NOT NULL
                  AND last_purchase > first_signup THEN 1 ELSE 0 END)
-           AS n_converted
+           AS BIGINT) AS n_converted
 FROM (
     SELECT user_id,
            MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
@@ -773,12 +773,16 @@ def q_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_SQL = """
 SELECT o_orderstatus,
-       SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-       SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
-       SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_medium,
-       SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
-           AS n_notspec,
-       SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_notspec,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_low
 FROM orders GROUP BY o_orderstatus
 """
 

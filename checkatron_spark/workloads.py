@@ -368,11 +368,14 @@ def drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def drift_orders_oracle_sql() -> str:
     def side(src: str, c: str, scale: float) -> str:
+        # all-BIGINT lane (incl. the CAST around SUM: DuckDB SUM(BIGINT) is
+        # HUGEINT, which the driver's value-hash renders differently)
+        sc = f"CAST(floor(CAST({c} AS DOUBLE) * {scale} + 0.5) AS BIGINT)"
         return (
             f"SELECT COUNT(*) AS n, "
             f"COUNT(*) FILTER (WHERE {c} IS NULL) AS nulls, "
-            f"SUM(CAST(floor(CAST({c} AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS s, "
-            f"MIN(CAST({c} AS DOUBLE)) AS mn, MAX(CAST({c} AS DOUBLE)) AS mx "
+            f"CAST(SUM({sc}) AS BIGINT) AS s, "
+            f"MIN({sc}) AS mn, MAX({sc}) AS mx "
             f"FROM {src}"
         )
 
@@ -409,7 +412,7 @@ def table_checksum_orders_oracle_sql() -> str:
     csum = _incr_csum_sql(ORDERS_COLS)
     return (
         f"SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n_rows, "
-        f"SUM({csum}) AS checksum FROM orders GROUP BY 1"
+        f"CAST(SUM({csum}) AS BIGINT) AS checksum FROM orders GROUP BY 1"
     )
 
 
