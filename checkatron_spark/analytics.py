@@ -618,20 +618,36 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
 
 
 def q_approx_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregation: HyperLogLog++ distinct counts and a
-    t-digest-style approximate quantile per segment — the constant-memory
-    versions of distinct_counts/percentiles for 100 TB cardinalities.
-    No SQL oracle (sketches are engine-specific); accuracy vs the exact
-    answers is pinned in tests/test_approx.py."""
+    """Sketch-based aggregation: Apache DataSketches HLL distinct counts and
+    an approximate quantile per segment — the constant-memory versions of
+    distinct_counts/percentiles for 100 TB cardinalities. At lgConfigK=14
+    the HLL sketch is still in exact (coupon/set) mode at the fixtures'
+    per-group cardinality, and percentile_approx at accuracy 10000 returns
+    the exact discrete median for the fixture group sizes — so the declared
+    query is graded against the exact COUNT(DISTINCT)/quantile_disc oracle
+    (the honest-estimate regime beyond set mode is pinned in
+    tests/test_approx.py). Spark's approx_count_distinct (HLL++ dense-only)
+    is NOT used here: it estimates even at tiny cardinalities."""
     orders = load_table(spark, "orders", sf_dir)
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("o_custkey", F.lit(14))
+            ).alias("approx_customers"),
             F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+APPROX_DISTINCTS_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS approx_customers,
+       quantile_disc(o_totalprice, 0.5) AS approx_median,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 def q_price_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -714,4 +730,5 @@ def oracles() -> dict[str, str]:
         "top_orders_per_customer": TOP_ORDERS_PER_CUSTOMER_SQL,
         "customer_running_total": CUSTOMER_RUNNING_TOTAL_SQL,
         "part_type_stats": PART_TYPE_STATS_SQL,
+        "approx_distincts": APPROX_DISTINCTS_SQL,
     }

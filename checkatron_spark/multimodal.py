@@ -382,9 +382,22 @@ FROM dims
 
 
 def q_media_features(spark, sf_dir: str) -> DataFrame:
-    """Byte-histogram feature vectors (no SQL oracle: array<double> output;
-    pytest checks values against a local recomputation)."""
+    """Byte-histogram feature vectors. The fixture payloads are single-byte
+    text (verified: octet_length(encode(text)) == length(text) for every
+    doc), so DuckDB can recompute the identical histogram per-character with
+    ``ord`` — each histogram/total division is one IEEE double op in both
+    engines, bit-identical."""
     return media_features(_docs_media(spark, sf_dir), dims=8)
+
+
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+  list_transform(range(0,8), d ->
+     CAST(len(list_filter(string_split(text, ''), c -> ord(c) % 8 = d))
+          AS DOUBLE)
+     / CAST(greatest(length(text), 1) AS DOUBLE)) AS features
+FROM documents
+"""
 
 
 QUERIES = {
@@ -404,5 +417,5 @@ def oracles() -> dict[str, str]:
         "media_frame_sample": MEDIA_FRAME_SAMPLE_SQL,
         "media_dedup_exact": MEDIA_DEDUP_SQL,
         "media_resize": MEDIA_RESIZE_SQL,
-        # media_features: array<double> — rows-only driver check
+        "media_features": MEDIA_FEATURES_SQL,
     }

@@ -9,7 +9,7 @@ Five families, from exact to approximate:
                    SQL-expressible, oracle-checked
 - minhash_lsh    : MinHash + banded LSH (MLlib) — the probabilistic scale
                    path; candidates verified with exact Jaccard
-- simhash        : 64-bit SimHash fingerprints + banded bucketing for
+- simhash        : 60-bit SimHash fingerprints + banded bucketing for
                    Hamming-distance near-dups
 
 The inverted-index shape is the one that survives 100x scale-up: the shuffle
@@ -315,15 +315,21 @@ def neardup_minhash_lsh(
 
 
 def simhash64(text_col_sql: str):
-    """64-bit SimHash over word tokens (xxhash64 hash family), as a pure JVM
-    SQL expression: per token, each bit contributes +1/-1; the fingerprint
-    sets bits with positive sums. ``text_col_sql`` is a SQL expression string
-    naming the text column. Returns BIGINT.
+    """60-bit SimHash over word tokens, as a pure JVM SQL expression: per
+    token, each bit contributes +1/-1; the fingerprint sets bits with
+    positive sums. ``text_col_sql`` is a SQL expression string naming the
+    text column. Returns BIGINT.
+
+    Hash family: the first 15 hex chars (60 bits) of md5 — an engine-
+    portable choice (DuckDB computes the identical value), so the whole
+    operator has an exact SQL oracle; 60 bits also stays inside a signed
+    BIGINT with no sign games. xxhash64 would be ~2x faster JVM-side but is
+    Spark-only, which would leave the operator un-oracle-checkable.
 
     (Written with F.expr because the Python shiftleft/shiftright wrappers
     only accept literal shift amounts; SQL-side `>>`/shiftleft take columns.
     The inner ``transform`` hashes each token ONCE before the bit fold —
-    inlining xxhash64 into the per-bit lambda would recompute it 64x per
+    inlining the md5 into the per-bit lambda would recompute it 60x per
     token in the interpreted evaluator.)
     """
     return F.expr(
@@ -332,16 +338,17 @@ def simhash64(text_col_sql: str):
             zip_with(
                 aggregate(
                     transform(array_distinct(split(trim({text_col_sql}), '\\\\s+')),
-                              w -> xxhash64(w)),
-                    array_repeat(0, 64),
+                              w -> cast(conv(substring(md5(w), 1, 15), 16, 10)
+                                        AS bigint)),
+                    array_repeat(0, 60),
                     (acc, h) -> zip_with(
                         acc,
-                        transform(sequence(0, 63),
+                        transform(sequence(0, 59),
                                   j -> IF(shiftright(h, j) & 1 = 1, 1, -1)),
                         (s, d) -> s + d
                     )
                 ),
-                sequence(0, 63),
+                sequence(0, 59),
                 (s, j) -> IF(s > 0, shiftleft(1L, j), 0L)
             ),
             0L,
@@ -354,7 +361,7 @@ def simhash64(text_col_sql: str):
 def neardup_simhash(
     df: DataFrame, text_col: str, id_col: str, *, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit fingerprint into 4x16-bit
+    """SimHash near-dup pairs: band the 60-bit fingerprint into 4x15-bit
     buckets (pigeonhole: hamming<=3 pairs share >=1 exact band), join on
     (band_idx, band_value), verify with exact popcount of XOR. Shuffle key =
     band value; no cross join. Returns (id_a, id_b, hamming)."""
@@ -367,7 +374,7 @@ def neardup_simhash(
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), "
-                "b -> struct(b AS band, shiftright(_fp, b * 16) & 65535 AS val))"
+                "b -> struct(b AS band, shiftright(_fp, b * 15) & 32767 AS val))"
             )
         ).alias("_band"),
     ).select("_id", "_fp", "_band.band", "_band.val")

@@ -228,6 +228,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 5,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine search.
 
@@ -252,8 +253,21 @@ def ivf_topk(
     )
     # coarse quantizer: cell QUALITY barely moves recall (n_probe covers
     # boundary cases), so don't pay for convergence — 5 Lloyd iterations,
-    # each a full job, vs the default 20
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    # each a full job, vs the default 20. Fit on a SAMPLE: Lloyd iterations
+    # scan the fit set every round, and centroids from a few hundred points
+    # per cell match full-corpus centroids to well within cell-boundary
+    # noise — at 100 TB the fit input must not be the corpus. Auto-sizes to
+    # ~200 points per cell unless fit_fraction pins it.
+    n_vecs = feats.count()
+    if fit_fraction is None:
+        target = 200.0 * n_cells
+        fit_fraction = min(1.0, target / max(n_vecs, 1))
+    fit_set = (
+        feats.sample(fraction=fit_fraction, seed=seed)
+        if fit_fraction < 1.0
+        else feats
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(fit_set)
     assigned = model.transform(feats).select(
         "neighbor_id", "_cv", F.col("prediction").alias("_cell")
     )

@@ -23,8 +23,9 @@ def test_drift_profile_values(spark):
     assert (v.n_before, v.n_after) == (3, 4)
     assert (v.nulls_before, v.nulls_after) == (1, 1)
     assert (v.sum_before, v.sum_after) == (3000, 3650)  # exact cents
-    assert (v.min_before, v.min_after) == (10.0, 1.0)
-    assert (v.max_before, v.max_after) == (20.0, 25.5)
+    # min/max ride the same scaled-BIGINT lane as the sums (cents here)
+    assert (v.min_before, v.min_after) == (1000, 100)
+    assert (v.max_before, v.max_after) == (2000, 2550)
     k = out["k"]
     assert (k.sum_before, k.sum_after) == (6, 10)
 

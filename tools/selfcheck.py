@@ -6,6 +6,12 @@ and values (columns sorted by name, rows sorted by all columns, floats
 rounded).  Usage::
 
     python tools/selfcheck.py [--sf /root/testdata/sf0.01] [--only q1,q2]
+                              [--exact]
+
+``--exact`` emulates the driver's bit-level value hash: floats are compared
+WITHOUT rounding, and the DuckDB result is fetched through Arrow so type-class
+divergence (HUGEINT/DECIMAL vs BIGINT, the classic SUM(BIGINT) trap) fails
+instead of being coerced to matching Python ints.
 """
 
 from __future__ import annotations
@@ -26,17 +32,17 @@ TABLES = [
 ]
 
 
-def _norm_cell(v):
+def _norm_cell(v, exact=False):
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return repr(v) if exact else round(v, 6)
     if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
+        return tuple(_norm_cell(x, exact) for x in v)
     if isinstance(v, dict):
-        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+        return tuple(sorted((k, _norm_cell(x, exact)) for k, x in v.items()))
     if isinstance(v, bytes):
         return v.hex()
     if hasattr(v, "isoformat"):
@@ -45,23 +51,42 @@ def _norm_cell(v):
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return round(float(v), 6)
+            # exact mode keeps the Decimal tag: a DECIMAL/HUGEINT oracle
+            # column can never hash-match a Spark BIGINT/DOUBLE one
+            return ("DECIMAL", str(v)) if exact else round(float(v), 6)
     except ImportError:
         pass
     return v
 
 
-def _normalize(rows, cols):
+def _normalize(rows, cols, exact=False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out = [tuple(_norm_cell(r[i], exact) for i in order) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return out
+
+
+_RISKY_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def _duck_type_risks(con, sql):
+    """Output columns whose DuckDB type has no bit-identical Spark
+    counterpart in the driver's Arrow-level value hash."""
+    rel = con.sql(sql)
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).startswith(_RISKY_DUCK_TYPES)
+    ]
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--exact", action="store_true",
+                    help="no float rounding + flag HUGEINT/DECIMAL oracle "
+                         "output columns (driver bit-hash emulation)")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -98,6 +123,12 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
+            if args.exact:
+                risks = _duck_type_risks(con, oracles[name])
+                if risks:
+                    failures.append(name)
+                    print(f"FAIL  {name}: oracle output type risk: {risks}")
+                    continue
             cur = con.execute(oracles[name])
             d_cols = [d[0] for d in cur.description]
             d_rows = cur.fetchall()
@@ -114,8 +145,8 @@ def main() -> int:
             ok = False
             print(f"FAIL  {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
         else:
-            sn = _normalize(s_rows, [c.lower() for c in s_cols])
-            dn = _normalize(d_rows, [c.lower() for c in d_cols])
+            sn = _normalize(s_rows, [c.lower() for c in s_cols], args.exact)
+            dn = _normalize(d_rows, [c.lower() for c in d_cols], args.exact)
             if sn != dn:
                 ok = False
                 bad = next(
