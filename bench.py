@@ -1,7 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+JSON line on stdout: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Spark/log noise goes to stderr.
+
+The timed set is a HEADLINE SUBSET (~28 queries), not all ~130 declared in
+__spark_entry__.queries(): one representative per family, weighted toward
+the expensive shapes (diff joins, LSH/banded near-dup, ANN, streaming
+micro-batches). Two reasons: (a) the driver that records BENCH_r{N}.json
+keeps only a bounded tail of stdout, and a timings dict for 130 queries
+overflows it — round 1's bench completed but recorded "parsed": null for
+exactly this reason; (b) min-of-2 over 260 executions at sf0.1 measures
+JVM scheduling more than engine quality. Full-surface correctness is the
+driver's CORRECTNESS gate, not bench.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 collect-to-driver bottleneck) — the same shape a cluster job would have.
@@ -21,6 +31,46 @@ from checkatron_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# one per family; expensive shapes deliberately over-represented
+HEADLINE = [
+    # diff core + incremental/checksum lane
+    "diff_orders",
+    "diff_lineitem_multikey",
+    "diff_orders_incremental",
+    "table_checksum_orders",
+    # TPC-H join/agg shapes
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q9_product_profit",
+    "q18_large_volume",
+    "q21_sole_late_supplier",
+    # dedup family
+    "dedup_exact",
+    "neardup_ngram_jaccard",
+    "neardup_minhash_lsh",
+    "neardup_simhash",
+    "decontaminate_corpus",
+    # similarity family
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "neardup_embedding_cosine",
+    # text analysis
+    "text_stats",
+    "tfidf_top_terms",
+    # events / temporal
+    "events_sessionize",
+    "events_asof_join",
+    "events_interarrival",
+    # streaming
+    "stream_windowed_counts",
+    "stream_ivm_totals",
+    "stream_patch_apply",
+    # sampling / packing / multimodal
+    "sample_stratified",
+    "pack_sequences_budget",
+    "media_features",
+]
+
 
 def _force(df) -> int:
     """Force full evaluation of every column (count() alone would let
@@ -36,6 +86,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
     # warm the JVM/readers once so timings measure the engine, not startup
     # one aggregation-shaped and one join-shaped query so whole-stage-codegen
     # JIT for both paths is compiled before anything is timed
@@ -44,7 +95,7 @@ def main() -> None:
             _force(qs[warm](spark, SF_DIR))
 
     total = 0.0
-    for name in sorted(qs):
+    for name in names:
         best = None
         for _ in range(2):  # min-of-2: strips GC/scheduler noise from local[32]
             t0 = time.perf_counter()
@@ -53,18 +104,22 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         total += timings[name]
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    # the driver keeps a bounded stdout tail; the JSON line must fit whole
+    assert len(line) < 1900, f"bench JSON line too long: {len(line)}"
+    print(line)
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -382,21 +382,28 @@ FROM dims
 
 
 def q_media_features(spark, sf_dir: str) -> DataFrame:
-    """Byte-histogram feature vectors. The fixture payloads are single-byte
-    text (verified: octet_length(encode(text)) == length(text) for every
-    doc), so DuckDB can recompute the identical histogram per-character with
-    ``ord`` — each histogram/total division is one IEEE double op in both
-    engines, bit-identical."""
-    return media_features(_docs_media(spark, sf_dir), dims=8)
+    """Byte-histogram feature vectors, posexploded to one scalar row per
+    (media, dim) — array cells don't survive the driver's value-hash, and
+    the exploded form is what a feature store would persist anyway. The
+    fixture payloads are single-byte text (verified: octet_length(
+    encode(text)) == length(text) for every doc), so DuckDB can recompute
+    the identical histogram per-character with ``ord`` — each
+    histogram/total division is one IEEE double op in both engines,
+    bit-identical."""
+    feats = media_features(_docs_media(spark, sf_dir), dims=8)
+    from pyspark.sql import functions as F
+
+    return feats.select(
+        "media_id", F.posexplode("features").alias("dim", "feature")
+    )
 
 
 MEDIA_FEATURES_SQL = """
-SELECT doc_id AS media_id,
-  list_transform(range(0,8), d ->
-     CAST(len(list_filter(string_split(text, ''), c -> ord(c) % 8 = d))
-          AS DOUBLE)
-     / CAST(greatest(length(text), 1) AS DOUBLE)) AS features
-FROM documents
+SELECT doc_id AS media_id, CAST(t.d AS INTEGER) AS dim,
+  CAST(len(list_filter(string_split(text, ''), c -> ord(c) % 8 = t.d))
+       AS DOUBLE)
+  / CAST(greatest(length(text), 1) AS DOUBLE) AS feature
+FROM documents CROSS JOIN range(0, 8) AS t(d)
 """
 
 

@@ -229,16 +229,28 @@ def ivf_topk(
     seed: int = 42,
     max_iter: int = 5,
     fit_fraction: float | None = None,
+    exact: bool = False,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k cosine search.
+    """IVF (inverted-file) top-k cosine search.
 
     Index: KMeans over the corpus -> every vector gets a cell id (the
     coarse quantizer; at 100 TB, fit on a sample and ``transform`` the
-    rest map-side). Search: each query scores the (tiny, driver-collected)
+    rest map-side). Search: each query scores the (tiny, broadcast)
     centroid table, probes its ``n_probe`` closest cells, and scores only
     vectors in those cells — the probe join shuffles on cell id, so query
-    cost tracks cell population, not corpus size. Recall is tunable via
-    ``n_probe``/``n_cells``. Probabilistic -> rows-only driver check.
+    cost tracks cell population, not corpus size.
+
+    With ``exact=True`` a triangle-inequality refinement makes the result
+    EQUAL to brute force at any scale (not recall-tuned): the index stores
+    each cell's angular radius r_c = max angle(member, centroid); after the
+    first probe establishes a per-query kth-best similarity s_k, every
+    unprobed cell whose best-possible cosine cos(max(0, theta_qc - r_c))
+    still clears s_k is probed too (ball-tree-style pruning, cf. FAISS IVF
+    + the classic branch-and-bound NN bound). Cells that cannot contain a
+    better neighbor are provably skipped, so the extra probe set is small
+    when the first probe is good — and the output is exactly the brute-
+    force top-k, which is what the DuckDB oracle checks.
+
     Returns (query_id, neighbor_id, rank, cosine_sim)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -278,31 +290,83 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    wc = Window.partitionBy("query_id").orderBy(
-        F.col("_cdist").asc(), F.col("_cell").asc()
-    )
-    probed = (
+    # query x centroid: tiny (|Q| * n_cells), centroid side broadcast
+    qc = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn(
-            "_cdist",
-            F.aggregate(
-                F.zip_with(
-                    "_qv", "_centroid",
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
+        .withColumn("_qc_cos", cosine(F.col("_qv"), F.col("_centroid")))
+        .select("query_id", "_qv", "_cell", "_qc_cos")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("_qc_cos").desc(), F.col("_cell").asc()
+    )
+    ranked_cells = qc.withColumn("_crank", F.row_number().over(wc))
+    probed = ranked_cells.filter(F.col("_crank") <= n_probe).select(
+        "query_id", "_qv", "_cell"
+    )
+
+    def _score(cells: DataFrame) -> DataFrame:
+        return (
+            cells.join(assigned, "_cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+            )
         )
-        .withColumn("_crank", F.row_number().over(wc))
-        .filter(F.col("_crank") <= n_probe)
-        .select("query_id", "_qv", "_cell")
-    )
-    scored = (
-        probed.join(assigned, "_cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine_sim", cosine(F.col("_qv"), F.col("_cv")))
-    )
+
+    scored = _score(probed)
+
+    if exact:
+        # index-time per-cell angular radius: max angle(member, centroid)
+        # == acos(min cosine). One agg over the corpus, n_cells rows out.
+        clamp = lambda c: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c))  # noqa: E731
+        radius = (
+            assigned.join(F.broadcast(centroids), "_cell")
+            .select(
+                "_cell",
+                F.acos(clamp(cosine(F.col("_cv"), F.col("_centroid")))).alias(
+                    "_ang"
+                ),
+            )
+            .groupBy("_cell")
+            .agg(F.max("_ang").alias("_radius"))
+        )
+        # per-query kth-best similarity from the first probe; queries with
+        # fewer than k candidates get the -1 floor (probe everything).
+        wk = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc())
+        kth = (
+            scored.withColumn("_r", F.row_number().over(wk))
+            .filter(F.col("_r") <= k)
+            .groupBy("query_id")
+            .agg(
+                F.min("cosine_sim").alias("_skmin"),
+                F.count(F.lit(1)).alias("_nk"),
+            )
+            .select(
+                "query_id",
+                F.when(F.col("_nk") >= k, F.col("_skmin"))
+                .otherwise(F.lit(-1.0))
+                .alias("_sk"),
+            )
+        )
+        # spherical triangle inequality: angle(q, v) >= theta_qc - r_c for
+        # any v in cell c, so cos(max(0, theta_qc - r_c)) bounds the best
+        # cosine the cell can hold. Probe every unprobed cell whose bound
+        # clears s_k (eps covers FP rounding + kth-place ties).
+        theta = F.acos(clamp(F.col("_qc_cos")))
+        bound = F.when(theta <= F.col("_radius"), F.lit(1.0)).otherwise(
+            F.cos(theta - F.col("_radius"))
+        )
+        extra = (
+            ranked_cells.filter(F.col("_crank") > n_probe)
+            .join(F.broadcast(radius), "_cell")
+            .join(F.broadcast(kth), "query_id", "left")
+            .filter(bound >= F.coalesce(F.col("_sk"), F.lit(-1.0)) - F.lit(1e-9))
+            .select("query_id", "_qv", "_cell")
+        )
+        scored = scored.unionByName(_score(extra))
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )

@@ -689,13 +689,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell ANN: sample-fit coarse quantizer, 6-of-16 cells probed —
-    measured recall 1.0 vs brute force on the fixtures, so it is graded
-    against the exact brute-force oracle; cheaper-probe recall floors are
-    pinned in tests/test_ivf.py."""
+    """IVF-cell ANN with the triangle-inequality exactness refinement
+    (similarity.ivf_topk exact=True): 6-of-16 cells probed first, then any
+    cell whose angular bound could still beat the kth-best is probed too —
+    the result EQUALS brute force by construction at every scale, so it is
+    graded against the exact brute-force oracle without recall tuning;
+    cheaper approximate-probe recall floors are pinned in
+    tests/test_ivf.py."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=6)
+    return S.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=6, exact=True)
 
 # ---------------------------------------------------------------------------
 # events: windowed aggregation, JSON extraction, sessionization

@@ -43,3 +43,16 @@ def test_ivf_output_contract(spark):
     per_q = out.groupBy("query_id").count().collect()
     assert all(r["count"] <= 3 for r in per_q)
     assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_ivf_exact_equals_bruteforce(spark):
+    # exact=True must reproduce brute force bit-for-bit (same ranks, same
+    # ids) regardless of quantizer quality — the bound-qualified extra
+    # probes guarantee it; this is what the driver oracle checks at sf0.01
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = ann_bruteforce_topk(emb, queries, k=3)
+    ivf = ivf_topk(emb, queries, k=3, n_cells=8, n_probe=2, exact=True)
+    a = {tuple(r) for r in exact.collect()}
+    b = {tuple(r) for r in ivf.collect()}
+    assert a == b
