@@ -177,15 +177,16 @@ def _q_orders_filtered(spark, sf_dir):
     )
 
 
-# The driver cross-checks the FIRST 50 entries of queries() per round.
-# Rotate never-yet-checked queries (plus any whose implementation changed
-# since their last check) into that window; keep entries with green
-# CORRECTNESS rows from prior rounds at the back. Round 3 window: the 7
-# queries fixed after round 2 (checksum/drift/corpus canonicalization +
-# the 4 newly-oracled probabilistic ones) + the streaming / sampling /
-# multimodal / events-temporal families + tpch_ext2 + 4 analytics heads.
-# Still-unchecked remainder (17 analytics + 20 tpch_ext) rotates in next
-# round.
+# The driver cross-checks the FIRST 50 entries of queries() per round, so
+# the window must rotate: queries without a green CORRECTNESS row go first,
+# ever-green ones go last. Rotation is AUTOMATIC — _greens_on_disk() reads
+# every CORRECTNESS_r*.json committed to the repo root, and queries() demotes
+# anything that has ever hash-matched. _CHECK_FIRST is the manual priority
+# override on top: it fronts (a) queries whose implementation changed since
+# their last green row (stale green must be re-graded), and (b) this round's
+# preferred whole-family ordering for the not-yet-checked backlog. Entries in
+# _CHECK_FIRST that are already green AND unchanged can be pruned each round;
+# leaving them costs a window slot, nothing else.
 _CHECK_FIRST = [
     # fixed since round 2 — re-grade
     "table_checksum_orders",
@@ -243,11 +244,37 @@ _CHECK_FIRST = [
 ]
 
 
+def _greens_on_disk() -> set[str]:
+    """Names with a hash-green row in any committed CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green.add(name)
+    return green
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full = _queries_unordered()
-    ordered = {n: full[n] for n in _CHECK_FIRST}
-    ordered.update((n, f) for n, f in full.items() if n not in ordered)
-    return ordered
+    green = _greens_on_disk()
+    front = [n for n in _CHECK_FIRST if n in full]
+    rest = [n for n in full if n not in front]
+    ordered_names = (
+        front
+        + [n for n in rest if n not in green]  # never green -> into the window
+        + [n for n in rest if n in green]  # proven -> back of the line
+    )
+    return {n: full[n] for n in ordered_names}
 
 
 def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -87,3 +87,18 @@ def test_query_matches_oracle(spark, duck_views, name):
         f"{name}: value mismatch\n spark-only={list(diff_s.items())[:5]}\n"
         f" duck-only={list(diff_d.items())[:5]}"
     )
+
+
+def test_check_window_rotation():
+    # the driver grades the first 50 queries() entries; the ordering must
+    # front _CHECK_FIRST, then anything without a green CORRECTNESS row on
+    # disk, and demote ever-green names to the back so the window rotates
+    # across rounds without manual reordering
+    names = list(entrymod.queries().keys())
+    front = [n for n in entrymod._CHECK_FIRST if n in set(names)]
+    assert names[: len(front)] == front
+    green = entrymod._greens_on_disk()
+    demoted = [n for n in names[len(front):] if n in green]
+    tail = names[len(names) - len(demoted):]
+    assert tail == demoted, "green queries must sit contiguously at the back"
+    assert len(names) == len(set(names))
