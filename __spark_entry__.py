@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from checkatron_spark import analytics as A
+from checkatron_spark import corpus as C
 from checkatron_spark import multimodal as M
 from checkatron_spark import pipelines as P
 from checkatron_spark import streaming as ST
@@ -314,6 +315,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **SA.QUERIES,
         **M.QUERIES,
         **ST.QUERIES,
+        **C.QUERIES,
     }
 
 
@@ -402,4 +404,5 @@ def oracle_sql() -> dict[str, str]:
         **SA.oracles(),
         **M.oracles(),
         **ST.oracles(),
+        **C.oracles(),
     }

@@ -1,0 +1,384 @@
+"""Corpus-level curation operators for LLM training-data pipelines.
+
+These are the whole-corpus text passes a pretraining data pipeline runs
+between raw ingest and tokenization — complementing the per-document stats
+in ``functions/text.py`` and the pairwise dedup in ``operators/dedup.py``
+with signals that need a GLOBAL aggregation over the corpus:
+
+- ``dup_ngram_profile``: per-document fraction of word n-grams that occur
+  in other documents too (the RefinedWeb/Gopher-style "duplicated n-gram"
+  quality signal; the corpus-wide analog of C4's duplicated-line filter,
+  adapted to the fixtures' single-line documents). Plan: explode distinct
+  shingles (one shuffle on shingle to count document frequency), join back,
+  re-aggregate per document (one shuffle on doc_id). Both shuffles are on
+  high-cardinality keys — the layout that survives 100 TB; nothing is
+  collected, no all-pairs work.
+- ``chunk_documents``: fixed-size character windows with overlap (RAG /
+  context-shard prep). Pure per-row explode of a computed offset sequence —
+  narrow, zero shuffles, scan-speed at any scale.
+- ``repetition_profile``: per-document repetition signals (unique-word
+  ratio, top-word fraction, top-bigram fraction) used by Gopher-style
+  quality filters. Per-document aggregation only — shuffle on doc_id.
+- ``corpus_card``: the dataset-card composition rollup (per source x lang:
+  docs, chars, words) a pipeline publishes with every corpus snapshot.
+
+Every operator is deterministic and engine-portable: counts stay integral,
+each emitted fraction is ONE IEEE-double division of two exact integers
+(bit-identical across Spark and DuckDB), rounded to 6 places on both sides.
+
+Reference parity note: the reference (simbo1905/checkatron) has no corpus
+operators — this module belongs to the large-scale-training-data mandate
+layered on top of the diff-engine surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from checkatron_spark.sources.tables import load_table
+
+__all__ = [
+    "dup_ngram_profile",
+    "chunk_documents",
+    "repetition_profile",
+    "corpus_card",
+    "QUERIES",
+    "oracles",
+]
+
+
+def _word_ngrams(words_col: str, n: int):
+    """Array of space-joined word n-grams from an array-of-words column
+    (1-based slice over [1 .. size-n+1]).
+
+    The short-document case needs an explicit guard: Spark's
+    ``sequence(1, 0)`` yields the DESCENDING array [1, 0] (step is inferred
+    as -1 when start > stop), not an empty sequence."""
+    return F.expr(
+        f"CASE WHEN size({words_col}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({words_col}) - {n - 1}), "
+        f"i -> array_join(slice({words_col}, i, {n}), ' ')) END"
+    )
+
+
+def dup_ngram_profile(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction against the WHOLE corpus.
+
+    A shingle (word n-gram) is "duplicated" when it appears in at least
+    ``min_docs`` distinct documents; each document reports the fraction of
+    its distinct shingles that are duplicated. High fractions flag
+    boilerplate/templated/near-copied documents — the filterable signal
+    behind corpus-level dedup policies.
+
+    Returns (doc_id, n_shingles, n_dup, dup_fraction) — one row per
+    document that has at least one shingle."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+    shingles = (
+        words.select("doc_id", F.explode(_word_ngrams("_w", n)).alias("shingle"))
+        .distinct()  # document frequency, not occurrence frequency
+    )
+    docfreq = shingles.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    return (
+        shingles.join(docfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_df") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_shingles").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 100,
+    overlap: int = 20,
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with overlap.
+
+    Chunk i covers [i*stride, i*stride + size) with stride = size -
+    overlap; the last chunk may be short. Narrow per-row explode — no
+    shuffle, chunking 100 TB is a scan. Returns (doc_id, chunk_idx,
+    chunk_start, chunk_text, chunk_len)."""
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    stride = size - overlap
+    starts = F.expr(
+        f"sequence(0, greatest(length({text_col}) - 1, 0), {stride})"
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        )
+        # sequence() always yields start=0, even for empty text; drop the
+        # empty chunk an empty document would produce
+        .withColumn(
+            "chunk_text",
+            F.expr(f"substring(_t, chunk_start + 1, {size})"),
+        )
+        .filter(F.length("chunk_text") > 0)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            "chunk_text",
+            F.length("chunk_text").cast("bigint").alias("chunk_len"),
+        )
+    )
+
+
+def repetition_profile(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality features):
+    unique-word ratio, most-frequent-word fraction, most-frequent-bigram
+    fraction. One shuffle on (doc, term) then one on doc — scales as a
+    plain double aggregation. Returns (doc_id, n_words, n_unique_words,
+    unique_ratio, top_word_fraction, top_bigram_fraction)."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    )
+
+    wstats = (
+        words.select("doc_id", F.explode("_w").alias("_t"))
+        .groupBy("doc_id", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_unique_words"),
+            F.max("_c").alias("_top_w"),
+        )
+    )
+    bstats = (
+        words.select("doc_id", F.explode(_word_ngrams("_w", 2)).alias("_b"))
+        .groupBy("doc_id", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.sum("_c").alias("_n_bigrams"), F.max("_c").alias("_top_b"))
+    )
+    return (
+        wstats.join(bstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_unique_words",
+            F.round(
+                F.col("n_unique_words").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("unique_ratio"),
+            F.round(
+                F.col("_top_w").cast("double") / F.col("n_words").cast("double"),
+                6,
+            ).alias("top_word_fraction"),
+            F.round(
+                F.col("_top_b").cast("double")
+                / F.col("_n_bigrams").cast("double"),
+                6,
+            ).alias("top_bigram_fraction"),
+        )
+    )
+
+
+def corpus_card(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Dataset-card composition rollup: per group, document count, total
+    characters, total words, average document length. The summary a corpus
+    snapshot ships with. One partial-aggregated shuffle on the (tiny)
+    group key space."""
+    n_words = F.size(F.split(F.col(text_col), " "))
+    return (
+        docs.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text_col)).cast("bigint").alias("total_chars"),
+            F.sum(n_words).cast("bigint").alias("total_words"),
+        )
+        .select(
+            *group_cols,
+            "n_docs",
+            "total_chars",
+            "total_words",
+            F.round(
+                F.col("total_chars").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("avg_chars_per_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# declared queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def q_dup_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_ngram_profile(load_table(spark, "documents", sf_dir), n=5)
+
+
+DUP_NGRAM_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+starts AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i
+  FROM words
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, CAST(i AS INTEGER),
+                                    CAST(i AS INTEGER) + 4), ' ') AS shingle
+  FROM starts
+),
+docfreq AS (
+  SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_fraction
+FROM shingles s JOIN docfreq d USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(
+        load_table(spark, "documents", sf_dir), size=100, overlap=20
+    )
+
+
+CHUNK_SQL = """
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(length(text) - 1, 0) + 1, 80)) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i // 80 AS INTEGER) AS chunk_idx,
+       CAST(i AS BIGINT) AS chunk_start,
+       substring(text, CAST(i AS INTEGER) + 1, 100) AS chunk_text,
+       CAST(length(substring(text, CAST(i AS INTEGER) + 1, 100)) AS BIGINT)
+         AS chunk_len
+FROM starts
+WHERE length(substring(text, CAST(i AS INTEGER) + 1, 100)) > 0
+"""
+
+
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_profile(load_table(spark, "documents", sf_dir))
+
+
+REPETITION_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+exploded AS (
+  SELECT doc_id, unnest(w) AS t FROM words
+),
+wcounts AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM exploded GROUP BY doc_id, t
+),
+wstats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_unique_words,
+         MAX(c) AS top_w
+  FROM wcounts GROUP BY doc_id
+),
+bstarts AS (
+  SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i
+  FROM words
+),
+bigrams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, CAST(i AS INTEGER),
+                                    CAST(i AS INTEGER) + 1), ' ') AS b
+  FROM bstarts
+),
+bcounts AS (
+  SELECT doc_id, b, COUNT(*) AS c FROM bigrams GROUP BY doc_id, b
+),
+bstats AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_b
+  FROM bcounts GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_words, w.n_unique_words,
+       round(CAST(w.n_unique_words AS DOUBLE) / CAST(w.n_words AS DOUBLE), 6)
+         AS unique_ratio,
+       round(CAST(w.top_w AS DOUBLE) / CAST(w.n_words AS DOUBLE), 6)
+         AS top_word_fraction,
+       round(CAST(b.top_b AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE), 6)
+         AS top_bigram_fraction
+FROM wstats w LEFT JOIN bstats b USING (doc_id)
+"""
+
+
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_card(load_table(spark, "documents", sf_dir))
+
+
+CORPUS_CARD_SQL = """
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+       round(CAST(SUM(length(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS avg_chars_per_doc
+FROM documents
+GROUP BY source, lang
+"""
+
+
+QUERIES = {
+    "dup_ngram_profile": q_dup_ngram_profile,
+    "chunk_documents": q_chunk_documents,
+    "repetition_profile": q_repetition_profile,
+    "corpus_card": q_corpus_card,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "dup_ngram_profile": DUP_NGRAM_SQL,
+        "chunk_documents": CHUNK_SQL,
+        "repetition_profile": REPETITION_SQL,
+        "corpus_card": CORPUS_CARD_SQL,
+    }

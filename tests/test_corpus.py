@@ -1,0 +1,90 @@
+"""Corpus curation operators: edge cases the fixture documents don't hit
+(short/empty docs, overlap math, global-vs-local duplication), plus the
+plan claim that chunking is shuffle-free."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from checkatron_spark.corpus import (
+    chunk_documents,
+    corpus_card,
+    dup_ngram_profile,
+    repetition_profile,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_chunking_covers_text_exactly(spark):
+    text = "x" * 250
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), size=100, overlap=20
+    ).orderBy("chunk_idx")
+    rows = out.collect()
+    # stride 80: starts 0, 80, 160, 240 -> lengths 100, 100, 90, 10
+    assert [r.chunk_start for r in rows] == [0, 80, 160, 240]
+    assert [r.chunk_len for r in rows] == [100, 100, 90, 10]
+    # overlapping reassembly: strip the 20-char overlap from chunks 1+
+    rebuilt = rows[0].chunk_text + "".join(r.chunk_text[20:] for r in rows[1:])
+    assert rebuilt == text
+
+
+def test_chunking_short_and_empty_docs(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, "tiny"), (2, "")]), size=100, overlap=20
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].chunk_text == "tiny" and rows[1].chunk_len == 4
+    assert 2 not in rows  # empty doc yields no chunks
+
+
+def test_chunking_is_shuffle_free(spark):
+    df = chunk_documents(_docs(spark, [(1, "abc")]), size=2, overlap=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_dup_ngram_profile_flags_cross_doc_copies(spark):
+    shared = "a b c d e f"  # shingles: "a b c d e", "b c d e f" (both shared)
+    docs = _docs(
+        spark,
+        [(1, shared), (2, shared + " unique tail here"), (3, "q r s t u v")],
+    )
+    out = {r.doc_id: r for r in dup_ngram_profile(docs, n=5).collect()}
+    assert out[1].dup_fraction == 1.0  # every shingle also in doc 2
+    assert 0.0 < out[2].dup_fraction < 1.0  # shared head, unique tail
+    assert out[3].dup_fraction == 0.0  # nothing shared
+    # doc shorter than n contributes no row
+    short = dup_ngram_profile(_docs(spark, [(9, "a b c")]), n=5)
+    assert short.count() == 0
+
+
+def test_repetition_profile_signals(spark):
+    docs = _docs(spark, [(1, "spam spam spam spam"), (2, "all words differ")])
+    out = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    assert out[1].n_words == 4 and out[1].n_unique_words == 1
+    assert out[1].top_word_fraction == 1.0
+    assert out[1].top_bigram_fraction == 1.0  # "spam spam" x3 of 3
+    assert out[2].unique_ratio == 1.0
+    # single-word doc: no bigrams -> null fraction, not a crash
+    one = repetition_profile(_docs(spark, [(3, "solo")])).collect()[0]
+    assert one.n_words == 1 and one.top_bigram_fraction is None
+
+
+def test_corpus_card_rollup(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "one two", "en", "srcA"),
+            (2, "three", "en", "srcA"),
+            (3, "vier", "de", "srcB"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    out = {(r.source, r.lang): r for r in corpus_card(docs).collect()}
+    a = out[("srcA", "en")]
+    assert a.n_docs == 2 and a.total_words == 3
+    assert a.total_chars == len("one two") + len("three")
+    assert out[("srcB", "de")].n_docs == 1
