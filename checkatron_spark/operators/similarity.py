@@ -318,6 +318,14 @@ def ivf_topk(
     scored = _score(probed)
 
     if exact:
+        # the assigned index is consumed three times below (probe scoring,
+        # radius agg, extra-probe scoring) and the phase-1 candidates twice
+        # (kth-best agg, final union) — persist both so the KMeans transform
+        # + corpus scan run once, the same reuse a production deployment
+        # gets by materializing the IVF index as a table. Spark evicts LRU;
+        # no explicit unpersist because consumers run lazily after return.
+        assigned = assigned.persist()
+        scored = scored.persist()
         # index-time per-cell angular radius: max angle(member, centroid)
         # == acos(min cosine). One agg over the corpus, n_cells rows out.
         clamp = lambda c: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c))  # noqa: E731
