@@ -80,6 +80,8 @@ def dup_ngram_profile(
 
     Returns (doc_id, n_shingles, n_dup, dup_fraction) — one row per
     document that has at least one shingle."""
+    from pyspark.sql.window import Window
+
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("_w"),
@@ -88,11 +90,12 @@ def dup_ngram_profile(
         words.select("doc_id", F.explode(_word_ngrams("_w", n)).alias("shingle"))
         .distinct()  # document frequency, not occurrence frequency
     )
-    docfreq = shingles.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("_df")
-    )
+    # document frequency as a COUNT window over the shingle key — one
+    # shuffle on shingle, versus the groupBy+self-join formulation that
+    # scans and explodes the corpus twice
+    docfreq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     return (
-        shingles.join(docfreq, "shingle")
+        shingles.withColumn("_df", docfreq)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

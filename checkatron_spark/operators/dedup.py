@@ -296,6 +296,9 @@ def neardup_minhash_lsh(
         binary=True,
     )
     feats = tf.transform(docs).filter(F.col("_sh") != F.array())
+    # both sides of the self-join and the LSH fit consume feats — persist so
+    # the scan + shingling + HashingTF pipeline runs once, not three times
+    feats = feats.persist()
     mh = MinHashLSH(
         inputCol="_features", outputCol="_sig", numHashTables=num_hashes,
         seed=seed,

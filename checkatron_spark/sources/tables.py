@@ -43,16 +43,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
       (spark.sql.legacy.parquet.nanosAsLong); convert via timestamp_micros.
     - timestamp[us] without a UTC flag → Spark reads TIMESTAMP_NTZ; cast to
       TIMESTAMP (session tz is UTC, so wall-clock values are unchanged).
+
+    The NTZ cast covers every timestamp_ntz column of ``events`` (the only
+    table that feeds watermarks), not just ``ts`` — the fixtures are
+    regenerated per round and have already flipped parquet timestamp
+    encodings once. Other tables keep their fixture dtypes on purpose:
+    nothing downstream needs the cast there, and dtype churn would
+    invalidate the value-hash baselines already proven green.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        for col, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
