@@ -102,3 +102,13 @@ def test_check_window_rotation():
     tail = names[len(names) - len(demoted):]
     assert tail == demoted, "green queries must sit contiguously at the back"
     assert len(names) == len(set(names))
+
+
+def test_every_query_has_an_oracle():
+    # the driver records a weaker rows-only check for oracle-less queries;
+    # this repo's bar is 100% oracle coverage — a new query without a
+    # matching oracle_sql() entry (or an orphaned oracle) fails here
+    qs = set(entrymod.queries())
+    osql = set(entrymod.oracle_sql())
+    assert qs - osql == set(), f"queries without oracle: {sorted(qs - osql)}"
+    assert osql - qs == set(), f"orphan oracles: {sorted(osql - qs)}"
