@@ -247,6 +247,59 @@ def corpus_card(
     )
 
 
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+    """The flagship diff operator applied to the corpus table: compare two
+    deterministic snapshots of ``documents`` keyed on doc_id, producing the
+    reference diff-result shape (per-column status codes + _row_status) over
+    training data. This is the regression check a corpus pipeline runs
+    between dataset versions — which documents were added, dropped, had text
+    edited, or lost metadata — using the same single full-outer null-safe
+    join that survives 100 TB.
+
+    Snapshot perturbations (same style as workloads.orders_before/after):
+    before drops doc_id % 17 == 2; after drops doc_id % 29 == 5, rewrites
+    text for doc_id % 13 == 0 and nulls lang for doc_id % 31 == 0."""
+    from checkatron_spark import diff
+
+    docs = load_table(spark, "documents", sf_dir)
+    before = docs.filter(F.col("doc_id") % 17 != 2)
+    after = (
+        docs.filter(F.col("doc_id") % 29 != 5)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" [rev2]")),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 31 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("lang")),
+        )
+    )
+    return diff(before, after, ["doc_id"], **kw)
+
+
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+_DOCS_BEFORE_SQL = "(SELECT * FROM documents WHERE doc_id % 17 <> 2) b_src"
+_DOCS_AFTER_SQL = (
+    "(SELECT doc_id, "
+    "CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END AS text, "
+    "CASE WHEN doc_id % 31 = 0 THEN NULL ELSE lang END AS lang, "
+    "source, n_chars "
+    "FROM documents WHERE doc_id % 29 <> 5) a_src"
+)
+
+
+def corpus_snapshot_diff_oracle_sql() -> str:
+    from checkatron_spark.plans.sqlgen import render_diff_sql
+
+    return render_diff_sql(
+        _DOCS_BEFORE_SQL, _DOCS_AFTER_SQL, ["doc_id"], _DOC_COLS, _DOC_COLS
+    )
+
+
 # ---------------------------------------------------------------------------
 # declared queries + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -375,6 +428,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "repetition_profile": q_repetition_profile,
     "corpus_card": q_corpus_card,
+    "corpus_snapshot_diff": corpus_snapshot_diff,
 }
 
 
@@ -384,4 +438,5 @@ def oracles() -> dict[str, str]:
         "chunk_documents": CHUNK_SQL,
         "repetition_profile": REPETITION_SQL,
         "corpus_card": CORPUS_CARD_SQL,
+        "corpus_snapshot_diff": corpus_snapshot_diff_oracle_sql(),
     }
