@@ -30,6 +30,7 @@ __all__ = [
     "stratified_sample",
     "weighted_sample",
     "split_assign",
+    "topk_per_group",
     "pack_sequences",
     "QUERIES",
     "oracles",
@@ -125,6 +126,36 @@ def split_assign(
         expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
     final = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", final)
+
+
+def topk_per_group(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    k: int,
+    *,
+    salt: str = "topk-v1",
+) -> DataFrame:
+    """Balanced subset selection: keep exactly min(k, |group|) rows per
+    group, chosen by hash priority — the distributed, deterministic form of
+    per-group reservoir sampling (A-Res with uniform weights: every row
+    draws a reproducible priority, the k smallest win). Equalizes group
+    representation where a global fraction would mirror the skew — e.g.
+    capping every source/domain at k documents.
+
+    One window shuffle on the group key; ties cannot occur in practice
+    (hash collisions) but the key itself is the final tiebreak so the
+    selection is total-order deterministic on every engine."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform(F.col(key), salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -268,12 +299,36 @@ GROUP BY lang, pack_id
 """
 
 
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at 5 documents, hash-priority selection — the
+    balanced subset a mixing policy draws when one domain dominates."""
+    docs = load_table(spark, "documents", sf_dir)
+    return topk_per_group(docs, "doc_id", "source", 5).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+TOPK_GROUP_SQL = f"""
+SELECT doc_id, source, lang, n_chars
+FROM (
+    SELECT doc_id, source, lang, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_duck_uniform("doc_id", "topk-v1")} ASC, doc_id ASC
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 5
+"""
+
+
 QUERIES = {
     "sample_deterministic": q_deterministic_sample,
     "sample_stratified": q_stratified_sample,
     "sample_weighted": q_weighted_sample,
     "split_train_val_test": q_split_counts,
     "pack_sequences_budget": q_pack_sequences,
+    "sample_topk_per_group": q_topk_per_group,
 }
 
 
@@ -284,4 +339,5 @@ def oracles() -> dict[str, str]:
         "sample_weighted": WEIGHTED_SQL,
         "split_train_val_test": SPLIT_COUNTS_SQL,
         "pack_sequences_budget": PACK_SQL,
+        "sample_topk_per_group": TOPK_GROUP_SQL,
     }

@@ -69,3 +69,26 @@ def test_weighted_sample_probability_bounds(spark):
         1, docs.filter(F.col("n_chars") <= med).count()
     )
     assert heavy_rate > light_rate
+
+
+def test_topk_per_group_caps_and_determinism(spark):
+    from checkatron_spark.sampling import topk_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small") for i in range(44)],
+        ["doc_id", "source"],
+    )
+    out = topk_per_group(df, "doc_id", "source", 5)
+    counts = {r.source: r.n for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": 5, "small": 4}  # min(k, group size)
+    # deterministic: same selection on re-run
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in topk_per_group(df, "doc_id", "source", 5).collect())
+    assert a == b
+    # different salt -> (almost surely) different selection from 40 rows
+    c = sorted(
+        r.doc_id
+        for r in topk_per_group(df, "doc_id", "source", 5, salt="other").collect()
+        )
+    assert a != c
