@@ -69,6 +69,11 @@ HEADLINE = [
     "sample_stratified",
     "pack_sequences_budget",
     "media_features",
+    # corpus curation
+    "dup_ngram_profile",
+    "chunk_documents",
+    "corpus_snapshot_diff",
+    "sample_topk_per_group",
 ]
 
 

@@ -88,3 +88,13 @@ def test_corpus_card_rollup(spark):
     assert a.n_docs == 2 and a.total_words == 3
     assert a.total_chars == len("one two") + len("three")
     assert out[("srcB", "de")].n_docs == 1
+
+
+def test_dup_ngram_profile_plan_is_single_pass(spark):
+    # the window formulation must not regress to the groupBy+self-join
+    # shape that reads and explodes the corpus twice: no join operator at
+    # all, and at most 3 exchanges (distinct, shingle window, doc rollup)
+    df = dup_ngram_profile(_docs(spark, [(1, "a b c d e f"), (2, "a b c d e g")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
