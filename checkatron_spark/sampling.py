@@ -31,6 +31,7 @@ __all__ = [
     "weighted_sample",
     "split_assign",
     "topk_per_group",
+    "interleave_sources",
     "pack_sequences",
     "QUERIES",
     "oracles",
@@ -155,6 +156,49 @@ def topk_per_group(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def interleave_sources(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    weights: dict[str, float],
+    *,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic stride-scheduled dataset mixing: every row of group g
+    gets position ``(r - 0.5) / w_g`` where r is its 1-based hash-ordered
+    rank within the group and w_g the group's mixing weight; reading rows
+    in position order yields the classic stride schedule — each source
+    appears with frequency proportional to its weight, evenly spread, with
+    no RNG state to coordinate across executors. Groups without a weight
+    are dropped.
+
+    This is the epoch-schedule construction step of a training pipeline
+    (after rebalancing, before packing). One window shuffle on the group
+    key; the position is a single IEEE division of exact values, so the
+    schedule is bit-identical across engines and cluster sizes. Consumers
+    sort by ``interleave_pos`` lazily (a distributed sort at write time) —
+    no global row-numbering funnel."""
+    from pyspark.sql.window import Window
+
+    wexpr: Column | None = None
+    for name, wt in weights.items():
+        branch = (F.col(group_col) == F.lit(name), F.lit(float(wt)))
+        wexpr = F.when(*branch) if wexpr is None else wexpr.when(*branch)
+    weight = F.lit(None).cast("double") if wexpr is None else wexpr
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform(F.col(key), salt).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("_w", weight)
+        .filter(F.col("_w").isNotNull() & (F.col("_w") > 0))
+        .withColumn(
+            "interleave_pos",
+            (F.row_number().over(w).cast("double") - F.lit(0.5)) / F.col("_w"),
+        )
+        .drop("_w")
     )
 
 
@@ -322,6 +366,29 @@ WHERE rn <= 5
 """
 
 
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3:1:1 mixing schedule over three sources (rest dropped): src0 every
+    other slot, src1/src2 alternating between — the deterministic epoch
+    order a trainer would read."""
+    docs = load_table(spark, "documents", sf_dir)
+    return interleave_sources(
+        docs, "doc_id", "source", {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+    ).select("doc_id", "source", "interleave_pos")
+
+
+INTERLEAVE_SQL = f"""
+SELECT doc_id, source,
+       (CAST(row_number() OVER (
+            PARTITION BY source
+            ORDER BY {_duck_uniform("doc_id", "mix-v1")} ASC, doc_id ASC
+        ) AS DOUBLE) - 0.5)
+       / CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0
+                     WHEN 'src2' THEN 1.0 END AS interleave_pos
+FROM documents
+WHERE source IN ('src0', 'src1', 'src2')
+"""
+
+
 QUERIES = {
     "sample_deterministic": q_deterministic_sample,
     "sample_stratified": q_stratified_sample,
@@ -329,6 +396,7 @@ QUERIES = {
     "split_train_val_test": q_split_counts,
     "pack_sequences_budget": q_pack_sequences,
     "sample_topk_per_group": q_topk_per_group,
+    "interleave_sources": q_interleave_sources,
 }
 
 
@@ -340,4 +408,5 @@ def oracles() -> dict[str, str]:
         "split_train_val_test": SPLIT_COUNTS_SQL,
         "pack_sequences_budget": PACK_SQL,
         "sample_topk_per_group": TOPK_GROUP_SQL,
+        "interleave_sources": INTERLEAVE_SQL,
     }

@@ -92,3 +92,23 @@ def test_topk_per_group_caps_and_determinism(spark):
         for r in topk_per_group(df, "doc_id", "source", 5, salt="other").collect()
         )
     assert a != c
+
+
+def test_interleave_sources_stride_schedule(spark):
+    from checkatron_spark.sampling import interleave_sources
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 30 else ("b" if i < 40 else "c")) for i in range(50)],
+        ["doc_id", "source"],
+    )
+    out = interleave_sources(df, "doc_id", "source", {"a": 3.0, "b": 1.0})
+    rows = out.collect()
+    assert {r.source for r in rows} == {"a", "b"}  # unweighted 'c' dropped
+    # per-group positions are the stride lattice (r - 0.5) / w
+    pos_a = sorted(r.interleave_pos for r in rows if r.source == "a")
+    assert pos_a[0] == 0.5 / 3.0 and abs(pos_a[1] - 1.5 / 3.0) < 1e-12
+    pos_b = sorted(r.interleave_pos for r in rows if r.source == "b")
+    assert pos_b[:2] == [0.5, 1.5]
+    # reading in position order, 'a' fills ~3 of every 4 slots early on
+    order = [r.source for r in sorted(rows, key=lambda r: r.interleave_pos)]
+    assert order[:8].count("a") == 6
