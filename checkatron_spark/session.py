@@ -35,6 +35,10 @@ def get_spark(app_name: str = "checkatron_spark", cpus: str | int | None = None)
         # events.parquet stores TIMESTAMP(NANOS): read as long, loader
         # converts to microsecond timestamps (sources/tables.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the loader's TIMESTAMP_NTZ -> TIMESTAMP normalization and the
+        # DuckDB oracles both assume UTC wall-clock; pin it rather than
+        # inherit whatever TZ the host happens to run in
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
