@@ -645,6 +645,54 @@ def stream_patch_apply_sql() -> str:
     return W.apply_delta_roundtrip_oracle_sql()
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the documents fixture (schema from a
+    batch peek, like read_events_stream)."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def q_stream_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus intake: micro-batched documents flow through the
+    SAME quality gate as the batch curation_filter (pipelines.py — quality
+    >= 0.5, stopword ratio <= 0.6, predicted-language allowlist) and roll
+    up kept-document counts per source in complete mode. This is the
+    continuously-maintained intake dashboard of a training-data pipeline:
+    at scale the identical plan tails a Kafka/file drop-zone, and the
+    aggregation state is one row per source. Oracle = the batch gate
+    aggregated the same way (streaming/batch parity is the point)."""
+    from checkatron_spark.functions import text as T
+
+    docs = read_documents_stream(spark, sf_dir)
+    t = F.col("text")
+    kept = docs.select(
+        "source",
+        T.quality_score(t).alias("quality"),
+        T.stopword_ratio(t).alias("stop_ratio"),
+        T.lang_id(t).alias("lang_pred"),
+    ).filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("stop_ratio") <= 0.6)
+        & F.col("lang_pred").isin("en", "es", "de")
+    )
+    counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return drain_to_batch(counts, output_mode="complete")
+
+
+def stream_corpus_curation_sql() -> str:
+    from checkatron_spark.pipelines import curation_filter_sql
+
+    return (
+        f"SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept FROM (\n"
+        f"{curation_filter_sql()}\n) kept GROUP BY source"
+    )
+
+
 QUERIES = {
     "stream_windowed_counts": q_stream_windowed,
     "stream_sessionize_stateful": q_stream_sessionize,
@@ -653,6 +701,7 @@ QUERIES = {
     "stream_dedup": _q_stream_dedup_drained,
     "stream_patch_apply": q_stream_patch_apply,
     "stream_ivm_totals": q_stream_ivm_totals,
+    "stream_corpus_curation": q_stream_corpus_curation,
 }
 
 
@@ -665,4 +714,5 @@ def oracles() -> dict[str, str]:
         "stream_dedup": STREAM_DEDUP_SQL,
         "stream_patch_apply": stream_patch_apply_sql(),
         "stream_ivm_totals": stream_ivm_totals_sql(),
+        "stream_corpus_curation": stream_corpus_curation_sql(),
     }
