@@ -42,6 +42,7 @@ __all__ = [
     "dup_ngram_profile",
     "chunk_documents",
     "repetition_profile",
+    "vocab_coverage",
     "corpus_card",
     "QUERIES",
     "oracles",
@@ -212,6 +213,53 @@ def repetition_profile(
                 / F.col("_n_bigrams").cast("double"),
                 6,
             ).alias("top_bigram_fraction"),
+        )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Per-document out-of-vocabulary profile against the corpus's own
+    top-``top_n`` token vocabulary — the OOV-rate signal a tokenizer/vocab
+    decision is checked with. Vocabulary selection is deterministic
+    (occurrence count desc, token asc) via a distributed top-N
+    (TakeOrdered), NOT a single-partition window — the ranked input is the
+    aggregated token table, and the chosen vocab is small enough to
+    broadcast back against the token stream. One shuffle on token, one on
+    doc_id. Returns (doc_id, n_tokens, n_oov, oov_fraction)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("tok").asc())
+        .limit(top_n)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("oov_fraction"),
         )
     )
 
@@ -407,6 +455,32 @@ FROM wstats w LEFT JOIN bstats b USING (doc_id)
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_coverage(load_table(spark, "documents", sf_dir), top_n=30)
+
+
+VOCAB_COVERAGE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS r FROM counts
+  ) WHERE r <= 30
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_fraction
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
+
+
 def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_card(load_table(spark, "documents", sf_dir))
 
@@ -429,6 +503,7 @@ QUERIES = {
     "repetition_profile": q_repetition_profile,
     "corpus_card": q_corpus_card,
     "corpus_snapshot_diff": corpus_snapshot_diff,
+    "vocab_coverage": q_vocab_coverage,
 }
 
 
@@ -439,4 +514,5 @@ def oracles() -> dict[str, str]:
         "repetition_profile": REPETITION_SQL,
         "corpus_card": CORPUS_CARD_SQL,
         "corpus_snapshot_diff": corpus_snapshot_diff_oracle_sql(),
+        "vocab_coverage": VOCAB_COVERAGE_SQL,
     }

@@ -98,3 +98,14 @@ def test_dup_ngram_profile_plan_is_single_pass(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_vocab_coverage_oov(spark):
+    from checkatron_spark.corpus import vocab_coverage
+
+    # vocab = top-2 tokens ("a" x4, "b" x3); "x"/"y"/"z" are OOV
+    docs = _docs(spark, [(1, "a a b x"), (2, "a a b b y z")])
+    out = {r.doc_id: r for r in vocab_coverage(docs, top_n=2).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_oov == 1
+    assert out[1].oov_fraction == 0.25
+    assert out[2].n_tokens == 6 and out[2].n_oov == 2
