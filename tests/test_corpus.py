@@ -109,3 +109,29 @@ def test_vocab_coverage_oov(spark):
     assert out[1].n_tokens == 4 and out[1].n_oov == 1
     assert out[1].oov_fraction == 0.25
     assert out[2].n_tokens == 6 and out[2].n_oov == 2
+
+
+def test_chunking_reassembly_invariant(spark):
+    # chunk i covers [i*stride, i*stride+size): first chunk + each later
+    # chunk minus its overlap prefix must rebuild the text exactly, for any
+    # (size, overlap) and text length (multiple of stride, shorter than
+    # size, tail shorter than overlap, unicode)
+    texts = ["", "q", "abcdefgh", "ab" * 50, "héllo wörld ünïcode" * 3]
+    cases = [(1, 0), (5, 2), (7, 6), (100, 20)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    for size, overlap in cases:
+        out = chunk_documents(
+            _docs(spark, rows), size=size, overlap=overlap
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for i, t in rows:
+            chunks = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+            if not t:
+                assert chunks == []
+                continue
+            rebuilt = chunks[0].chunk_text + "".join(
+                c.chunk_text[overlap:] for c in chunks[1:]
+            )
+            assert rebuilt == t, (size, overlap, i)
