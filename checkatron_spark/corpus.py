@@ -348,6 +348,52 @@ def corpus_snapshot_diff_oracle_sql() -> str:
     )
 
 
+_CORPUS_DRIFT_SPECS = {"doc_id": 1.0, "n_chars": 1.0}
+
+
+def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheap pre-diff gate over the same corpus snapshots: column-level
+    drift profile (count/nulls/exact sum/min/max per column, before vs
+    after) in two single-row aggregate scans, no join (operators/drift.py).
+    At 100 TB this answers "did the dataset move at all, and where?" before
+    paying for the row-level corpus_snapshot_diff."""
+    from checkatron_spark.operators.drift import drift_profile
+
+    docs = load_table(spark, "documents", sf_dir)
+    before = docs.filter(F.col("doc_id") % 17 != 2)
+    after = docs.filter(F.col("doc_id") % 29 != 5)
+    return drift_profile(before, after, _CORPUS_DRIFT_SPECS)
+
+
+def corpus_snapshot_drift_oracle_sql() -> str:
+    before_src = "(SELECT * FROM documents WHERE doc_id % 17 <> 2) b_src"
+    after_src = "(SELECT * FROM documents WHERE doc_id % 29 <> 5) a_src"
+
+    def side(src: str, c: str, scale: float) -> str:
+        sc = f"CAST(floor(CAST({c} AS DOUBLE) * {scale} + 0.5) AS BIGINT)"
+        return (
+            f"SELECT COUNT(*) AS n, "
+            f"COUNT(*) FILTER (WHERE {c} IS NULL) AS nulls, "
+            f"CAST(SUM({sc}) AS BIGINT) AS s, "
+            f"MIN({sc}) AS mn, MAX({sc}) AS mx "
+            f"FROM {src}"
+        )
+
+    arms = []
+    for c, scale in _CORPUS_DRIFT_SPECS.items():
+        arms.append(
+            f"SELECT '{c}' AS column_name, "
+            f"b.n AS n_before, a.n AS n_after, "
+            f"b.nulls AS nulls_before, a.nulls AS nulls_after, "
+            f"b.s AS sum_before, a.s AS sum_after, "
+            f"b.mn AS min_before, a.mn AS min_after, "
+            f"b.mx AS max_before, a.mx AS max_after "
+            f"FROM ({side(before_src, c, scale)}) b, "
+            f"({side(after_src, c, scale)}) a"
+        )
+    return "\nUNION ALL\n".join(arms)
+
+
 # ---------------------------------------------------------------------------
 # declared queries + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -504,6 +550,7 @@ QUERIES = {
     "corpus_card": q_corpus_card,
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "vocab_coverage": q_vocab_coverage,
+    "corpus_snapshot_drift": corpus_snapshot_drift,
 }
 
 
@@ -515,4 +562,5 @@ def oracles() -> dict[str, str]:
         "corpus_card": CORPUS_CARD_SQL,
         "corpus_snapshot_diff": corpus_snapshot_diff_oracle_sql(),
         "vocab_coverage": VOCAB_COVERAGE_SQL,
+        "corpus_snapshot_drift": corpus_snapshot_drift_oracle_sql(),
     }
