@@ -407,6 +407,65 @@ FROM documents CROSS JOIN range(0, 8) AS t(d)
 """
 
 
+def q_media_neardup_features(spark, sf_dir: str) -> DataFrame:
+    """Near-duplicate media via decoded feature vectors: the byte-histogram
+    features (the model-embedding stand-in from media_features) are compared
+    with BLOCKED cosine — block key = the document language, the metadata
+    blocking a real pipeline would use, so pair work is Σ block² instead of
+    n² and the join is equi-keyed on the block (operators/similarity.py per-
+    block self-join, nothing collected). Swap the featurizer for a real
+    image/audio model and the plan is unchanged — that's the point."""
+    from checkatron_spark.operators import similarity as S
+    from checkatron_spark.sources.tables import load_table
+
+    feats = media_features(_docs_media(spark, sf_dir), dims=8)
+    lang = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("media_id"), "lang"
+    )
+    vecs = feats.join(lang, "media_id")
+    return S.neardup_embedding_cosine(
+        vecs,
+        id_col="media_id",
+        vec_col="features",
+        threshold=0.995,
+        block_col="lang",
+    )
+
+
+def _media_hist_sql(tbl: str) -> str:
+    """Per-character ord() 8-bucket histogram as a DuckDB list expression
+    (single-byte payload fixtures, same recomputation as MEDIA_FEATURES_SQL)."""
+    return (
+        "list_transform(range(0,8), d -> "
+        f"CAST(len(list_filter(string_split({tbl}.text, ''), c -> ord(c) % 8 = d)) AS DOUBLE)"
+        f" / CAST(greatest(length({tbl}.text), 1) AS DOUBLE))"
+    )
+
+
+def _media_neardup_sql() -> str:
+    # same sequential list_reduce fold as the proven embedding oracles
+    # (pipelines._DOT) so the FP accumulation order matches Spark's
+    # F.aggregate exactly
+    fold = (
+        "list_reduce(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+    )
+    dot = fold.format(a="ha", b="hb")
+    na = "sqrt(" + fold.format(a="ha", b="ha") + ")"
+    nb = "sqrt(" + fold.format(a="hb", b="hb") + ")"
+    cos = f"({dot}) / (({na}) * ({nb}))"
+    return f"""
+WITH v AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         {_media_hist_sql('a')} AS ha, {_media_hist_sql('b')} AS hb
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round({cos}, 6) AS cosine_sim
+FROM v WHERE {cos} >= 0.995
+"""
+
+
 QUERIES = {
     "media_stats": q_media_stats,
     "media_decode_fake": q_media_decode,
@@ -414,6 +473,7 @@ QUERIES = {
     "media_dedup_exact": q_media_dedup,
     "media_resize": q_media_resize,
     "media_features": q_media_features,
+    "media_neardup_features": q_media_neardup_features,
 }
 
 
@@ -425,4 +485,5 @@ def oracles() -> dict[str, str]:
         "media_dedup_exact": MEDIA_DEDUP_SQL,
         "media_resize": MEDIA_RESIZE_SQL,
         "media_features": MEDIA_FEATURES_SQL,
+        "media_neardup_features": _media_neardup_sql(),
     }
