@@ -49,10 +49,19 @@ from checkatron_spark.operators.ivm import (
 from checkatron_spark.operators.scd import pit_join, scd2_delta
 from checkatron_spark.sampling import (
     deterministic_sample,
+    interleave_sources,
     pack_sequences,
     split_assign,
     stratified_sample,
+    topk_per_group,
     weighted_sample,
+)
+from checkatron_spark.corpus import (
+    chunk_documents,
+    corpus_card,
+    dup_ngram_profile,
+    repetition_profile,
+    vocab_coverage,
 )
 from checkatron_spark.operators.rangejoin import range_join_binned
 from checkatron_spark.operators.skew import salted_agg, salted_join
@@ -94,6 +103,13 @@ __all__ = [
     "decode_status",
     "decontaminate",
     "deterministic_sample",
+    "interleave_sources",
+    "topk_per_group",
+    "chunk_documents",
+    "corpus_card",
+    "dup_ngram_profile",
+    "repetition_profile",
+    "vocab_coverage",
     "diff",
     "diff3",
     "diff_drilldown",
