@@ -368,9 +368,12 @@ def neardup_simhash(
     buckets (pigeonhole: hamming<=3 pairs share >=1 exact band), join on
     (band_idx, band_value), verify with exact popcount of XOR. Shuffle key =
     band value; no cross join. Returns (id_a, id_b, hamming)."""
+    # both sides of the band self-join descend from fp; persist so the
+    # md5-per-word fingerprint fold (the expensive part) runs once — the
+    # persisted frame is just (id, 60-bit bigint), a few bytes per doc
     fp = df.select(
         F.col(id_col).alias("_id"), simhash64(text_col).alias("_fp")
-    )
+    ).persist()
     bands = fp.select(
         "_id",
         "_fp",
