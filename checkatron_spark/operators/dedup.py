@@ -213,10 +213,15 @@ def neardup_ngram_jaccard(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
+    # docs feeds the posting list AND both verify sides (3 consumers);
+    # prefix feeds both sides of the candidate self-join (2 consumers) —
+    # persist both so shingling and the freq+window prefix pipeline run
+    # once. This is the materialized ordered-postings index every
+    # PPJoin-family implementation builds; Spark evicts LRU.
     docs = df.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), n).alias("_sh"),
-    ).withColumn("_n", F.size("_sh"))
+    ).withColumn("_n", F.size("_sh")).persist()
     posts = docs.select("_id", "_n", F.explode("_sh").alias("_s"))
     if max_shingle_freq is not None:
         hot = (
@@ -237,6 +242,7 @@ def neardup_ngram_jaccard(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
         .select("_id", "_s")
+        .persist()
     )
     cand = (
         prefix.alias("pa")
