@@ -176,3 +176,26 @@ def test_wide_table_diff_300_cols(spark):
         F.sum("C7").alias("c7"), F.sum("C8").alias("c8")
     ).collect()[0]
     assert agg.c7 == 50 and agg.c8 == 0  # only c7 differs, every row
+
+
+def test_generated_sql_runs_on_spark_itself(spark):
+    """True SQL portability: the same generated diff SQL the DuckDB oracle
+    runs must also execute on Spark (double-quoted identifiers under the
+    ANSI flag) and reproduce the DataFrame operator's result exactly —
+    generator output is engine-portable, not DuckDB-flavored."""
+    import __spark_entry__ as entrymod
+    from checkatron_spark import workloads as W
+
+    prev = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", "false")
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    try:
+        load_table(spark, "orders", SF_DIR).createOrReplaceTempView("orders")
+        via_sql = spark.sql(W.diff_orders_oracle_sql())
+        via_df = entrymod.queries()["diff_orders"](spark, SF_DIR)
+        cols = sorted(via_df.columns)
+        assert sorted(via_sql.columns) == cols
+        a = {tuple(r[c] for c in cols) for r in via_df.collect()}
+        b = {tuple(r[c] for c in cols) for r in via_sql.collect()}
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", prev)
