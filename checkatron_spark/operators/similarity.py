@@ -32,6 +32,7 @@ __all__ = [
     "neardup_embedding_cosine",
     "ann_lsh_topk",
     "ivf_topk",
+    "fit_ivf_quantizer",
 ]
 
 
@@ -217,6 +218,47 @@ def neardup_embedding_cosine(
     )
 
 
+def _ivf_feats(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+
+
+def fit_ivf_quantizer(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+    fit_fraction: float | None = None,
+):
+    """Train the IVF coarse quantizer once (sample-fit KMeans) for reuse by
+    many ``ivf_topk`` searches — the production lifecycle: fit per corpus
+    version, search many times. Deterministic given the seed, so passing
+    the returned model to ``ivf_topk(model=...)`` yields exactly the result
+    an inline refit would."""
+    from pyspark.ml.clustering import KMeans
+
+    feats = _ivf_feats(vectors, id_col, vec_col)
+    n_vecs = feats.count()
+    if fit_fraction is None:
+        fit_fraction = min(1.0, (200.0 * n_cells) / max(n_vecs, 1))
+    fit_set = (
+        feats.sample(fraction=fit_fraction, seed=seed)
+        if fit_fraction < 1.0
+        else feats
+    )
+    return KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(fit_set)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -230,6 +272,7 @@ def ivf_topk(
     max_iter: int = 5,
     fit_fraction: float | None = None,
     exact: bool = False,
+    model=None,
 ) -> DataFrame:
     """IVF (inverted-file) top-k cosine search.
 
@@ -253,16 +296,9 @@ def ivf_topk(
 
     Returns (query_id, neighbor_id, rank, cosine_sim)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     spark = vectors.sparkSession
-    feats = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        array_to_vector(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        ).alias("features"),
-    )
+    feats = _ivf_feats(vectors, id_col, vec_col)
     # coarse quantizer: cell QUALITY barely moves recall (n_probe covers
     # boundary cases), so don't pay for convergence — 5 Lloyd iterations,
     # each a full job, vs the default 20. Fit on a SAMPLE: Lloyd iterations
@@ -270,16 +306,22 @@ def ivf_topk(
     # per cell match full-corpus centroids to well within cell-boundary
     # noise — at 100 TB the fit input must not be the corpus. Auto-sizes to
     # ~200 points per cell unless fit_fraction pins it.
-    n_vecs = feats.count()
-    if fit_fraction is None:
-        target = 200.0 * n_cells
-        fit_fraction = min(1.0, target / max(n_vecs, 1))
-    fit_set = (
-        feats.sample(fraction=fit_fraction, seed=seed)
-        if fit_fraction < 1.0
-        else feats
-    )
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(fit_set)
+    # a caller-supplied prefit quantizer (see fit_ivf_quantizer) skips the
+    # count + sample + Lloyd jobs entirely — the production pattern: the
+    # quantizer is trained once per corpus version and reused by every
+    # search; with fixed seed the refit would produce identical centroids
+    # anyway, so results are unchanged.
+    if model is None:
+        n_vecs = feats.count()
+        if fit_fraction is None:
+            target = 200.0 * n_cells
+            fit_fraction = min(1.0, target / max(n_vecs, 1))
+        fit_set = (
+            feats.sample(fraction=fit_fraction, seed=seed)
+            if fit_fraction < 1.0
+            else feats
+        )
+        model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(fit_set)
     assigned = model.transform(feats).select(
         "neighbor_id", "_cv", F.col("prediction").alias("_cell")
     )
