@@ -117,10 +117,15 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_revenue_cents()).alias("_rev_c"))
     )
+    # Distributed top-k: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition heaps + driver merge) — no single-task global window
+    # funnel.  The rank window then runs over the <=10 surviving rows.
+    top = grouped.orderBy(
+        F.col("_rev_c").desc(), F.col("l_orderkey").asc()
+    ).limit(10)
     w = Window.orderBy(F.col("_rev_c").desc(), F.col("l_orderkey").asc())
     return (
-        grouped.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("l_orderkey", "o_orderdate", "o_orderpriority",
                 _dollars(F.col("_rev_c")).alias("revenue"),
                 F.col("rnk").cast("int").alias("rnk"))

@@ -81,22 +81,27 @@ def dup_ngram_profile(
 
     Returns (doc_id, n_shingles, n_dup, dup_fraction) — one row per
     document that has at least one shingle."""
-    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
 
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("_w"),
     )
+    # persisted because BOTH the docfreq aggregation and the join probe
+    # consume it — one scan+explode+distinct, not two
     shingles = (
         words.select("doc_id", F.explode(_word_ngrams("_w", n)).alias("shingle"))
         .distinct()  # document frequency, not occurrence frequency
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # document frequency as a COUNT window over the shingle key — one
-    # shuffle on shingle, versus the groupBy+self-join formulation that
-    # scans and explodes the corpus twice
-    docfreq = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    # Document frequency via groupBy + join-back, NOT count-over-window:
+    # a window partitioned on shingle sends every posting of a hot shingle
+    # (boilerplate n-grams at corpus scale) to ONE reducer with no partial
+    # aggregation. The groupBy combines map-side, and the join is a
+    # standard equi-join AQE can skew-split.
+    docfreq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     return (
-        shingles.withColumn("_df", docfreq)
+        shingles.join(docfreq, "shingle")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -288,6 +288,8 @@ def pack_sequences(
     budget: int,
     partition_col: str | None = None,
     order_col: str,
+    shard_buckets: int | None = None,
+    shard_salt: str = "pack-shard-v1",
 ) -> DataFrame:
     """Greedy sequential packing: walk rows in ``order_col`` order (within
     ``partition_col`` if given) and assign each to the pack its cumulative
@@ -295,11 +297,32 @@ def pack_sequences(
     budget)``. The sequence-packing step of a training pipeline (fill each
     batch to a token budget), as one window cumsum — a single shuffle on the
     partition key. Deterministic given the ordering; a row larger than the
-    budget simply spans packs (standard greedy semantics)."""
+    budget simply spans packs (standard greedy semantics).
+
+    The walk is inherently sequential per partition, so with only a
+    low-cardinality ``partition_col`` (or none) one task walks an entire
+    group — a whole language at 100 TB. ``shard_buckets`` bounds that: rows
+    are hash-sharded into ``shard`` = floor(md5-uniform(order_col) * n)
+    (the same engine-portable draw the samplers use, so shard membership is
+    reproducible everywhere) and each (group, shard) packs independently.
+    A ``shard`` column is added; pack_id is then unique per (group, shard).
+    """
     from pyspark.sql.window import Window
 
+    keys: list[Column] = []
     if partition_col is not None:
-        w = Window.partitionBy(partition_col).orderBy(F.col(order_col).asc())
+        keys.append(F.col(partition_col))
+    if shard_buckets is not None:
+        df = df.withColumn(
+            "shard",
+            F.floor(
+                hash_uniform(F.col(order_col), shard_salt)
+                * F.lit(float(shard_buckets))
+            ).cast("int"),
+        )
+        keys.append(F.col("shard"))
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
     else:
         w = Window.orderBy(F.col(order_col).asc())
     cum_excl = F.sum(F.col(cost_col)).over(
@@ -312,14 +335,16 @@ def pack_sequences(
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack documents into ~32k-char batches per language (n_chars as the
-    token-cost proxy — a fixture column, so the oracle is unambiguous);
-    report per-pack fill stats."""
+    """Pack documents into ~32k-char batches per (language, hash-shard)
+    (n_chars as the token-cost proxy — a fixture column, so the oracle is
+    unambiguous); report per-pack fill stats. The 4 shards keep the greedy
+    walk parallel — no single task ever walks a whole language."""
     docs = load_table(spark, "documents", sf_dir)
     packed = pack_sequences(
-        docs, "n_chars", budget=32768, partition_col="lang", order_col="doc_id"
+        docs, "n_chars", budget=32768, partition_col="lang",
+        order_col="doc_id", shard_buckets=4,
     )
-    return packed.groupBy("lang", "pack_id").agg(
+    return packed.groupBy("lang", "shard", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("pack_chars"),
         F.min("doc_id").alias("first_doc"),
@@ -327,19 +352,24 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PACK_SQL = """
-SELECT lang, pack_id, COUNT(*) AS n_docs,
+PACK_SQL = f"""
+SELECT lang, shard, pack_id, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS pack_chars,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM (
-    SELECT lang, doc_id, n_chars,
+    SELECT lang, shard, doc_id, n_chars,
            CAST(floor(COALESCE(SUM(n_chars) OVER (
-                PARTITION BY lang ORDER BY doc_id
+                PARTITION BY lang, shard ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                 / 32768.0) AS BIGINT) AS pack_id
-    FROM documents
+    FROM (
+        SELECT lang, doc_id, n_chars,
+               CAST(floor({_duck_uniform("doc_id", "pack-shard-v1")} * 4.0)
+                    AS INTEGER) AS shard
+        FROM documents
+    )
 )
-GROUP BY lang, pack_id
+GROUP BY lang, shard, pack_id
 """
 
 

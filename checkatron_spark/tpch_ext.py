@@ -138,10 +138,14 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
         .agg(F.sum(_revenue_cents()).alias("_rev_c"))
     )
+    # Distributed top-k (TakeOrderedAndProject), then rank over <=20 rows —
+    # avoids funnelling one-row-per-customer through a single window task.
+    top = grouped.orderBy(
+        F.col("_rev_c").desc(), F.col("c_custkey").asc()
+    ).limit(20)
     w = Window.orderBy(F.col("_rev_c").desc(), F.col("c_custkey").asc())
     return (
-        grouped.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(w))
         .select(
             "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
             _dollars(F.col("_rev_c")).alias("revenue"),

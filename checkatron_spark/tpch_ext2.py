@@ -45,7 +45,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from checkatron_spark.analytics import _REV_SQL, _cents, _dollars, _revenue_cents
 from checkatron_spark.sources.tables import load_table
@@ -408,8 +407,10 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "numwait")
     )
-    w = F.row_number().over(Window.orderBy(F.col("numwait").desc(), F.col("s_name")))
-    return counted.withColumn("_rn", w).filter(F.col("_rn") <= 20).drop("_rn")
+    # Distributed top-20 (TakeOrderedAndProject) — the final rank used to be
+    # a partition-less window over one-row-per-supplier, a single-task
+    # funnel at scale.
+    return counted.orderBy(F.col("numwait").desc(), F.col("s_name")).limit(20)
 
 
 Q21_SQL = """

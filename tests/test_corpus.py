@@ -90,14 +90,19 @@ def test_corpus_card_rollup(spark):
     assert out[("srcB", "de")].n_docs == 1
 
 
-def test_dup_ngram_profile_plan_is_single_pass(spark):
-    # the window formulation must not regress to the groupBy+self-join
-    # shape that reads and explodes the corpus twice: no join operator at
-    # all, and at most 3 exchanges (distinct, shingle window, doc rollup)
+def test_dup_ngram_profile_plan_is_skew_safe(spark):
+    # docfreq must be a groupBy (map-side partial aggregation) joined back
+    # on shingle — NOT a count-over-window, which funnels every posting of
+    # a hot boilerplate shingle through one reducer. The shingle frame is
+    # persisted so the corpus is scanned and exploded once, not twice.
     df = dup_ngram_profile(_docs(spark, [(1, "a b c d e f"), (2, "a b c d e g")]))
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan, plan
-    assert plan.count("Exchange") <= 3, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, plan
+    assert plan.count("InMemoryTableScan") == 2, plan  # both branches cached
 
 
 def test_vocab_coverage_oov(spark):

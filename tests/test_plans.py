@@ -132,6 +132,38 @@ def test_no_cartesian_in_any_query(spark):
             )
 
 
+def _iter_jnodes(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _iter_jnodes(ch.apply(i))
+
+
+def test_no_global_window_funnel_in_any_query(spark):
+    """A partition-less window funnels the whole input through ONE task —
+    the classic scale-killer hidden behind a correct answer. Allowed only
+    over a bounded input: a Limit descendant in the plan means a
+    distributed TakeOrdered already shrank the data to <=N rows before the
+    window runs."""
+    for name, q in entrymod.queries().items():
+        if name.startswith("stream_"):
+            continue  # streaming drains run eagerly; plan asserted elsewhere
+        df = q(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for node in _iter_jnodes(plan):
+            if node.getClass().getSimpleName() != "Window":
+                continue
+            if not node.partitionSpec().isEmpty():
+                continue
+            bounded = any(
+                d.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit")
+                for d in _iter_jnodes(node)
+            )
+            assert bounded, (
+                f"{name}: partition-less Window over unbounded input"
+            )
+
+
 def test_partition_pruning(spark, tmp_path):
     """Date-partitioned layout: a day filter must prune partitions at plan
     time (PartitionFilters on the scan), not read-then-filter."""
