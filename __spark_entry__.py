@@ -189,59 +189,14 @@ def _q_orders_filtered(spark, sf_dir):
 # _CHECK_FIRST that are already green AND unchanged can be pruned each round;
 # leaving them costs a window slot, nothing else.
 _CHECK_FIRST = [
-    # fixed since round 2 — re-grade
-    "table_checksum_orders",
-    "drift_orders",
-    "corpus_pipeline",
-    "neardup_minhash_lsh",
-    "neardup_simhash",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    # never driver-checked families, whole-family first
-    "stream_windowed_counts",
-    "stream_sessionize_stateful",
-    "stream_diff_vs_baseline",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_patch_apply",
-    "stream_ivm_totals",
-    "sample_deterministic",
-    "sample_stratified",
-    "sample_weighted",
-    "split_train_val_test",
-    "pack_sequences_budget",
-    "media_stats",
-    "media_decode_fake",
-    "media_frame_sample",
-    "media_dedup_exact",
-    "media_resize",
-    "media_features",
-    "events_windowed",
-    "events_json_extract",
-    "events_sessionize",
-    "events_interarrival",
-    "events_ewma",
-    "events_pit_join",
-    "sketch_users_daily",
-    "events_session_window",
-    "events_resample_gapfill",
-    "label_centroids",
-    "quantize_embeddings_int8",
-    "events_asof_join",
-    "events_range_join",
-    # TPC-H completions
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q20_excess_suppliers",
-    "q21_sole_late_supplier",
-    "q1_pricing_summary",
+    # implementations changed this round (de-funnelled top-k, skew-safe
+    # docfreq, sharded packing) — their round-1/3 greens are stale, re-grade
     "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
+    "q21_sole_late_supplier",
+    "dup_ngram_profile",
+    "pack_sequences_budget",
+    # (q10_returned_items also changed but has never been green, so the
+    # auto-rotation fronts it anyway)
 ]
 
 
@@ -259,6 +214,8 @@ def _greens_on_disk() -> set[str]:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue  # a malformed round file must not break queries()
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match") is True:
                 green.add(name)
