@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from checkatron_spark.functions.text import fingerprint
 
@@ -221,7 +222,7 @@ def neardup_ngram_jaccard(
     docs = df.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), n).alias("_sh"),
-    ).withColumn("_n", F.size("_sh")).persist()
+    ).withColumn("_n", F.size("_sh")).persist(StorageLevel.MEMORY_AND_DISK)
     posts = docs.select("_id", "_n", F.explode("_sh").alias("_s"))
     if max_shingle_freq is not None:
         hot = (
@@ -242,7 +243,7 @@ def neardup_ngram_jaccard(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
         .select("_id", "_s")
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand = (
         prefix.alias("pa")
@@ -304,7 +305,7 @@ def neardup_minhash_lsh(
     feats = tf.transform(docs).filter(F.col("_sh") != F.array())
     # both sides of the self-join and the LSH fit consume feats — persist so
     # the scan + shingling + HashingTF pipeline runs once, not three times
-    feats = feats.persist()
+    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
     mh = MinHashLSH(
         inputCol="_features", outputCol="_sig", numHashTables=num_hashes,
         seed=seed,
@@ -379,7 +380,7 @@ def neardup_simhash(
     # persisted frame is just (id, 60-bit bigint), a few bytes per doc
     fp = df.select(
         F.col(id_col).alias("_id"), simhash64(text_col).alias("_fp")
-    ).persist()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = fp.select(
         "_id",
         "_fp",

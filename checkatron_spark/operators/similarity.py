@@ -364,12 +364,21 @@ def ivf_topk(
         # radius agg, extra-probe scoring) and the phase-1 candidates twice
         # (kth-best agg, final union) — persist both so the KMeans transform
         # + corpus scan run once, the same reuse a production deployment
-        # gets by materializing the IVF index as a table. Spark evicts LRU;
-        # no explicit unpersist because consumers run lazily after return.
-        assigned = assigned.persist()
-        scored = scored.persist()
+        # gets by materializing the IVF index as a table. MEMORY_AND_DISK
+        # is deliberate: consumers run lazily after return, so there is no
+        # safe unpersist point — oversized frames spill instead of evicting
+        # a sibling query's cache under LRU pressure.
+        from pyspark.storagelevel import StorageLevel
+
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
         # index-time per-cell angular radius: max angle(member, centroid)
         # == acos(min cosine). One agg over the corpus, n_cells rows out.
+        # _EPS absorbs the acos/cos round-trip error (~1e-8 rad near
+        # cos≈1), which is LARGER than FP ulp — a tighter slack could prune
+        # a cell holding a true top-k neighbor sitting on the bound. 1e-6
+        # only costs a few extra probed cells.
+        _EPS = 1e-6
         clamp = lambda c: F.greatest(F.lit(-1.0), F.least(F.lit(1.0), c))  # noqa: E731
         radius = (
             assigned.join(F.broadcast(centroids), "_cell")
@@ -380,7 +389,7 @@ def ivf_topk(
                 ),
             )
             .groupBy("_cell")
-            .agg(F.max("_ang").alias("_radius"))
+            .agg((F.max("_ang") + F.lit(_EPS)).alias("_radius"))
         )
         # per-query kth-best similarity from the first probe; queries with
         # fewer than k candidates get the -1 floor (probe everything).
@@ -412,7 +421,7 @@ def ivf_topk(
             ranked_cells.filter(F.col("_crank") > n_probe)
             .join(F.broadcast(radius), "_cell")
             .join(F.broadcast(kth), "query_id", "left")
-            .filter(bound >= F.coalesce(F.col("_sk"), F.lit(-1.0)) - F.lit(1e-9))
+            .filter(bound >= F.coalesce(F.col("_sk"), F.lit(-1.0)) - F.lit(_EPS))
             .select("query_id", "_qv", "_cell")
         )
         scored = scored.unionByName(_score(extra))
