@@ -54,24 +54,26 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "neardup_embedding_cosine",
+    # near-dup clustering (iterative label propagation — heavy, was unbenched)
+    "neardup_clusters",
     # text analysis
-    "text_stats",
     "tfidf_top_terms",
+    # analytics windows (heavy window shapes — were unbenched)
+    "top_orders_per_customer",
+    "trailing_30d_revenue",
     # events / temporal
     "events_sessionize",
     "events_asof_join",
-    "events_interarrival",
+    "events_pit_join",
     # streaming
     "stream_windowed_counts",
     "stream_ivm_totals",
     "stream_patch_apply",
     # sampling / packing / multimodal
-    "sample_stratified",
     "pack_sequences_budget",
     "media_features",
     # corpus curation
     "dup_ngram_profile",
-    "chunk_documents",
     "corpus_snapshot_diff",
     "sample_topk_per_group",
 ]
