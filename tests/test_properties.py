@@ -81,6 +81,119 @@ def test_self_diff_clean_on_unique_keys(spark, kv):
     assert got == 0
 
 
+# ---------------------------------------------------------------------------
+# corpus-family properties: random small documents over a tiny vocabulary
+# (to force shingle/token collisions) checked against exact Python mirrors
+# of each operator's definition.
+# ---------------------------------------------------------------------------
+
+_WORDS = ["a", "b", "c", "d", "e"]
+
+_docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _shingle_set(text: str, n: int) -> set[str]:
+    w = text.split(" ")
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+@given(_docs_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dup_ngram_profile_matches_python_mirror(spark, texts):
+    from checkatron_spark.corpus import dup_ngram_profile
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in dup_ngram_profile(docs, n=2, min_docs=2).collect()
+    }
+    sets = {i: _shingle_set(t, 2) for i, t in enumerate(texts)}
+    df_count = {}
+    for s in set().union(*sets.values()):
+        df_count[s] = sum(1 for v in sets.values() if s in v)
+    for i, shingles in sets.items():
+        if not shingles:
+            assert i not in got
+            continue
+        n_dup = sum(1 for s in shingles if df_count[s] >= 2)
+        assert got[i].n_shingles == len(shingles)
+        assert got[i].n_dup == n_dup
+        assert abs(got[i].dup_fraction - n_dup / len(shingles)) < 1e-6
+
+
+@given(_docs_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_vocab_coverage_matches_python_mirror(spark, texts):
+    from checkatron_spark.corpus import vocab_coverage
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in vocab_coverage(docs, top_n=3).collect()}
+    counts: dict[str, int] = {}
+    for t in texts:
+        for tok in t.split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+    vocab = {
+        tok for tok, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        n_oov = sum(1 for tok in toks if tok not in vocab)
+        assert got[i].n_tokens == len(toks)
+        assert got[i].n_oov == n_oov
+        assert abs(got[i].oov_fraction - n_oov / len(toks)) < 1e-6
+
+
+@given(_docs_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_repetition_profile_matches_python_mirror(spark, texts):
+    from checkatron_spark.corpus import repetition_profile
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        wc: dict[str, int] = {}
+        for w in words:
+            wc[w] = wc.get(w, 0) + 1
+        row = got[i]
+        assert row.n_words == len(words)
+        assert row.n_unique_words == len(wc)
+        assert abs(row.unique_ratio - len(wc) / len(words)) < 1e-6
+        assert abs(row.top_word_fraction - max(wc.values()) / len(words)) < 1e-6
+        bigrams = [" ".join(words[j:j + 2]) for j in range(len(words) - 1)]
+        if not bigrams:
+            assert row.top_bigram_fraction is None
+        else:
+            bc: dict[str, int] = {}
+            for b in bigrams:
+                bc[b] = bc.get(b, 0) + 1
+            assert abs(
+                row.top_bigram_fraction - max(bc.values()) / len(bigrams)
+            ) < 1e-6
+
+
 @given(perturbations())
 @settings(
     max_examples=10,
