@@ -182,12 +182,13 @@ def _q_orders_filtered(spark, sf_dir):
 # the window must rotate: queries without a green CORRECTNESS row go first,
 # ever-green ones go last. Rotation is AUTOMATIC — _greens_on_disk() reads
 # every CORRECTNESS_r*.json committed to the repo root, and queries() demotes
-# anything that has ever hash-matched. _CHECK_FIRST is the manual priority
-# override on top: it fronts (a) queries whose implementation changed since
-# their last green row (stale green must be re-graded), and (b) this round's
-# preferred whole-family ordering for the not-yet-checked backlog. Entries in
-# _CHECK_FIRST that are already green AND unchanged can be pruned each round;
-# leaving them costs a window slot, nothing else.
+# anything that has ever hash-matched — UNLESS its implementation changed
+# since the green was recorded (_stale_greens, git-derived), in which case it
+# re-enters the window after the never-checked backlog. _CHECK_FIRST is the
+# manual priority override on top: it fronts queries whose re-grade must land
+# THIS round (a stale green that cannot wait behind the backlog). Entries
+# that are already green AND unchanged can be pruned each round; leaving
+# them costs a window slot, nothing else.
 _CHECK_FIRST = [
     # implementations changed this round (de-funnelled top-k, skew-safe
     # docfreq, sharded packing) — their round-1/3 greens are stale, re-grade
@@ -200,14 +201,14 @@ _CHECK_FIRST = [
 ]
 
 
-def _greens_on_disk() -> set[str]:
-    """Names with a hash-green row in any committed CORRECTNESS_r*.json."""
+def _greens_on_disk() -> dict[str, str]:
+    """Latest hash-green CORRECTNESS_r*.json path per query name."""
     import glob
     import json
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    green: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -218,8 +219,88 @@ def _greens_on_disk() -> set[str]:
             continue  # a malformed round file must not break queries()
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match") is True:
-                green.add(name)
+                green[name] = os.path.basename(path)
     return green
+
+
+def _query_source_files(fn) -> set[str]:
+    """Repo-relative source files whose edits invalidate a query's green:
+    the defining module plus any package modules it directly references
+    (a workloads.py query composed from operators/diff.py is stale when
+    either file changes)."""
+    import inspect
+    import os
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _rel(mod) -> str | None:
+        f = getattr(mod, "__file__", None)
+        if not f:
+            return None
+        f = os.path.abspath(f)
+        return os.path.relpath(f, here) if f.startswith(here + os.sep) else None
+
+    while hasattr(fn, "__wrapped__"):
+        fn = fn.__wrapped__
+    mod = sys.modules.get(getattr(fn, "__module__", ""), None)
+    if mod is None:
+        return set()
+    files = {_rel(mod)}
+    for v in vars(mod).values():
+        dep = v if inspect.ismodule(v) else sys.modules.get(
+            getattr(v, "__module__", ""), None
+        )
+        if dep is not None:
+            files.add(_rel(dep))
+    files.discard(None)
+    return files  # type: ignore[return-value]
+
+
+def _stale_greens(
+    full: dict[str, Callable], green: dict[str, str]
+) -> set[str]:
+    """Green queries whose implementation changed since the commit that
+    recorded their latest green row — their proof is stale and they must
+    re-enter the check window. Derived from git (the driver commits each
+    CORRECTNESS_r*.json); best-effort, empty on any git failure so
+    queries() can never crash over it."""
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _git(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], cwd=here, capture_output=True, text=True,
+            timeout=30, check=True,
+        ).stdout
+
+    try:
+        changed_since: dict[str, set[str]] = {}
+        for round_file in set(green.values()):
+            # the newest commit touching the round file IS the recording
+            # commit (the driver writes each file once)
+            commit = _git("log", "-n1", "--format=%H", "--", round_file).strip()
+            if not commit:
+                changed_since[round_file] = set()  # untracked -> assume fresh
+                continue
+            # diff vs working tree so uncommitted edits also count as stale
+            changed = set(
+                _git("diff", "--name-only", commit).splitlines()
+            )
+            changed_since[round_file] = {c.strip() for c in changed if c.strip()}
+    except Exception:
+        return set()
+
+    stale: set[str] = set()
+    for name, round_file in green.items():
+        if name not in full:
+            continue
+        changed = changed_since.get(round_file, set())
+        if changed and (_query_source_files(full[name]) & changed):
+            stale.add(name)
+    return stale
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -227,10 +308,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green = _greens_on_disk()
     front = [n for n in _CHECK_FIRST if n in full]
     rest = [n for n in full if n not in front]
+    # stale greens (implementation changed since the green was recorded)
+    # re-enter the window AFTER the never-checked backlog: a big module
+    # refactor must not crowd out first-time coverage, but it may not hide
+    # behind an outdated green row either
+    stale = _stale_greens(full, green)
     ordered_names = (
         front
         + [n for n in rest if n not in green]  # never green -> into the window
-        + [n for n in rest if n in green]  # proven -> back of the line
+        + [n for n in rest if n in stale]  # changed since green -> re-grade
+        + [n for n in rest if n in green and n not in stale]  # proven
     )
     return {n: full[n] for n in ordered_names}
 

@@ -102,6 +102,32 @@ def test_check_window_rotation():
     tail = names[len(names) - len(demoted):]
     assert tail == demoted, "green queries must sit contiguously at the back"
     assert len(names) == len(set(names))
+    # within the green tail, stale greens (implementation changed since the
+    # green was recorded) must precede fresh greens so they re-grade first
+    stale = entrymod._stale_greens(entrymod._queries_unordered(), green)
+    flags = [n in stale for n in demoted]
+    assert flags == sorted(flags, reverse=True), (
+        "stale greens must precede fresh greens in the re-check order"
+    )
+
+
+def test_stale_green_detection(monkeypatch):
+    full = entrymod._queries_unordered()
+    green = entrymod._greens_on_disk()
+    # source attribution: a workloads-defined diff query must be tied to
+    # both its defining module and the operators it composes
+    files = entrymod._query_source_files(full["diff_orders"])
+    assert any(f.endswith("workloads.py") for f in files)
+    assert any("operators" in f for f in files)
+    # git failure must degrade to "nothing stale", never crash queries()
+    import subprocess
+
+    def _boom(*a, **k):
+        raise OSError("no git")
+
+    monkeypatch.setattr(subprocess, "run", _boom)
+    assert entrymod._stale_greens(full, green) == set()
+    assert len(entrymod.queries()) == len(full)
 
 
 def test_every_query_has_an_oracle():
