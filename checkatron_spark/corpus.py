@@ -43,6 +43,8 @@ __all__ = [
     "chunk_documents",
     "repetition_profile",
     "vocab_coverage",
+    "strip_boilerplate",
+    "gopher_quality_profile",
     "corpus_card",
     "QUERIES",
     "oracles",
@@ -266,6 +268,123 @@ def vocab_coverage(
                 6,
             ).alias("oov_fraction"),
         )
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4/CCNet-style cross-document boilerplate removal, adapted to the
+    fixtures' single-line documents: tile each document into NON-overlapping
+    ``k``-word chunks, count in how many distinct documents each chunk text
+    occurs, strip every chunk occurring in ≥ ``min_docs`` documents, and
+    reassemble the surviving chunks in order. (C4 does this at line level
+    with "lines seen in ≥3 pages"; the unit here is the word tile because
+    the corpus has no line structure.) Non-overlapping tiles make the
+    rebuild well-defined — every word belongs to exactly one chunk.
+
+    Plan: chunking is a narrow per-row transform; document frequency is one
+    map-side-combining groupBy on chunk text (high cardinality — no hot
+    reducer); rates join back on chunk text and the rebuild re-aggregates
+    per document. Two high-cardinality shuffles, nothing collected — the
+    shape that survives 100 TB. Returns (doc_id, clean_text, n_chunks,
+    n_removed); a fully-boilerplate document yields clean_text = ''."""
+    tiles = F.expr(
+        f"transform(sequence(0, CAST((size(split({text_col}, ' ')) - 1) "
+        f"/ {k} AS INT)), i -> array_join(slice(split({text_col}, ' '), "
+        f"i * {k} + 1, {k}), ' '))"
+    )
+    chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tiles).alias("chunk_idx", "chunk_text"),
+    )
+    docfreq = chunks.groupBy("chunk_text").agg(
+        F.countDistinct("doc_id").alias("_df")
+    )
+    return (
+        chunks.join(docfreq, "chunk_text")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN _df < "
+                    f"{min_docs} THEN struct(chunk_idx, chunk_text) END)), "
+                    "s -> s.chunk_text)"
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("_df") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
+def gopher_quality_profile(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100000,
+    stopwords: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is"),
+) -> DataFrame:
+    """Gopher-style per-document quality rule bundle: word-count bounds,
+    mean word length in [3, 10], ≥80% of words containing an alphabetic
+    character, and ≥2 stop words — each emitted as its own flag plus the
+    combined keep decision, so a pipeline can report WHY documents were
+    dropped, not just how many.
+
+    Every flag is derived from integer comparisons only (mean-word-length
+    ∈ [3,10] is checked as ``3·n ≤ Σlen ≤ 10·n``, the 80% alpha rule as
+    ``5·n_alpha ≥ 4·n``), so the booleans are bit-identical on any engine
+    — no float threshold can flip on a rounding difference. All signals
+    are array-lambda expressions over the split text (whole-stage codegen,
+    no explode, no UDF): a zero-shuffle scan at any scale."""
+    stops = ", ".join(f"'{s}'" for s in stopwords)
+    n_words = F.expr(f"size(split({text_col}, ' '))")
+    sum_len = F.expr(
+        f"aggregate(split({text_col}, ' '), 0L, (acc, x) -> acc + length(x))"
+    )
+    n_alpha = F.expr(
+        f"size(filter(split({text_col}, ' '), x -> x rlike '[a-zA-Z]'))"
+    )
+    n_stop = F.expr(
+        f"size(filter(split({text_col}, ' '), "
+        f"x -> array_contains(array({stops}), x)))"
+    )
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("bigint").alias("n_words"),
+        sum_len.cast("bigint").alias("sum_word_chars"),
+        n_alpha.cast("bigint").alias("n_alpha_words"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+    )
+    flag_count = (F.col("n_words") >= min_words) & (
+        F.col("n_words") <= max_words
+    )
+    flag_mwl = (
+        F.col("sum_word_chars") >= 3 * F.col("n_words")
+    ) & (F.col("sum_word_chars") <= 10 * F.col("n_words"))
+    flag_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    flag_stop = F.col("n_stopwords") >= 2
+    return d.select(
+        "doc_id",
+        "n_words",
+        "sum_word_chars",
+        "n_alpha_words",
+        "n_stopwords",
+        flag_count.alias("flag_word_count"),
+        flag_mwl.alias("flag_mean_word_len"),
+        flag_alpha.alias("flag_alpha_words"),
+        flag_stop.alias("flag_stopwords"),
+        (flag_count & flag_mwl & flag_alpha & flag_stop).alias("keep"),
     )
 
 
@@ -548,6 +667,73 @@ GROUP BY source, lang
 """
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return strip_boilerplate(
+        load_table(spark, "documents", sf_dir), k=3, min_docs=2
+    )
+
+
+STRIP_BOILERPLATE_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+starts AS (
+  SELECT doc_id, w, unnest(range(0, (len(w) - 1) // 3 + 1)) AS i
+  FROM words
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS cid,
+         array_to_string(list_slice(w, CAST(i * 3 + 1 AS INTEGER),
+                                    CAST(i * 3 + 3 AS INTEGER)), ' ') AS chunk
+  FROM starts
+),
+docfreq AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
+)
+SELECT c.doc_id,
+       COALESCE(string_agg(c.chunk, ' ' ORDER BY c.cid)
+                  FILTER (WHERE d.df < 2), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM chunks c JOIN docfreq d USING (chunk)
+GROUP BY c.doc_id
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_quality_profile(load_table(spark, "documents", sf_dir))
+
+
+GOPHER_QUALITY_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+                                      x -> length(x))) AS BIGINT)
+           AS sum_word_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_filter(string_split(text, ' '),
+                              x -> x IN ('the','a','of','and','to','in','is')))
+              AS BIGINT) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_stopwords,
+       (n_words >= 20 AND n_words <= 100000) AS flag_word_count,
+       (sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words)
+         AS flag_mean_word_len,
+       (5 * n_alpha_words >= 4 * n_words) AS flag_alpha_words,
+       (n_stopwords >= 2) AS flag_stopwords,
+       ((n_words >= 20 AND n_words <= 100000)
+        AND (sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words)
+        AND (5 * n_alpha_words >= 4 * n_words)
+        AND (n_stopwords >= 2)) AS keep
+FROM base
+"""
+
+
 QUERIES = {
     "dup_ngram_profile": q_dup_ngram_profile,
     "chunk_documents": q_chunk_documents,
@@ -556,6 +742,8 @@ QUERIES = {
     "corpus_snapshot_diff": corpus_snapshot_diff,
     "vocab_coverage": q_vocab_coverage,
     "corpus_snapshot_drift": corpus_snapshot_drift,
+    "strip_boilerplate": q_strip_boilerplate,
+    "gopher_quality_profile": q_gopher_quality,
 }
 
 
@@ -568,4 +756,6 @@ def oracles() -> dict[str, str]:
         "corpus_snapshot_diff": corpus_snapshot_diff_oracle_sql(),
         "vocab_coverage": VOCAB_COVERAGE_SQL,
         "corpus_snapshot_drift": corpus_snapshot_drift_oracle_sql(),
+        "strip_boilerplate": STRIP_BOILERPLATE_SQL,
+        "gopher_quality_profile": GOPHER_QUALITY_SQL,
     }

@@ -28,6 +28,9 @@ __all__ = [
     "rolling_hash",
     "winnow_min_hash",
     "normalize_text",
+    "pii_count",
+    "pii_scrub",
+    "PII_PATTERNS",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -202,3 +205,32 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (portable across
     engines; used for exact dedup and content addressing)."""
     return F.md5(normalize_text(col))
+
+
+# PII patterns, written to the COMMON subset of Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, and ASCII \b only — no
+# lookaround (RE2 has none), no \d shorthand (identical, but [0-9] leaves
+# no unicode-digit ambiguity between engines).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    "phone": (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Number of matches of one PII pattern (before scrubbing)."""
+    pattern, _ = PII_PATTERNS[kind]
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def pii_scrub(col: Column) -> Column:
+    """Replace every PII match with its redaction token, in the fixed
+    PII_PATTERNS order (email before the numeric patterns so an address's
+    digits can't be half-eaten first). Pure regexp_replace chain —
+    JVM-side, zero shuffle; scrubbing 100 TB is a scan."""
+    out = col
+    for pattern, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, token)
+    return out

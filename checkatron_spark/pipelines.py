@@ -210,6 +210,44 @@ def curation_filter_sql() -> str:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and scrub emails / SSNs / phone numbers /
+    IPv4 addresses (functions/text.py PII_PATTERNS — the common Java/RE2
+    regex subset so the DuckDB oracle matches bit-for-bit). The fixtures'
+    word-salad documents contain no PII — the corpus-level result proves
+    the no-op path (scrub must not mangle clean text); the positive-match
+    behavior is pinned by unit tests on crafted strings. Zero-shuffle
+    regexp projection — scrubbing 100 TB is a scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    counts = {k: T.pii_count(t, k) for k in T.PII_PATTERNS}
+    total = sum(counts.values())
+    return docs.select(
+        "doc_id",
+        *[c.cast("int").alias(f"n_{k}") for k, c in counts.items()],
+        (total > 0).alias("redacted"),
+        F.length(T.pii_scrub(t)).cast("bigint").alias("clean_len"),
+    )
+
+
+def pii_scrub_sql() -> str:
+    counts = {
+        k: f"len(regexp_extract_all(text, '{pat}'))"
+        for k, (pat, _) in T.PII_PATTERNS.items()
+    }
+    scrub = "text"
+    for pat, token in T.PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    total = " + ".join(counts.values())
+    count_cols = ", ".join(
+        f"CAST({expr} AS INTEGER) AS n_{k}" for k, expr in counts.items()
+    )
+    return (
+        f"SELECT doc_id, {count_cols}, ({total}) > 0 AS redacted, "
+        f"CAST(length({scrub}) AS BIGINT) AS clean_len FROM documents"
+    )
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone: the full corpus-assembly pipeline in ONE dataflow —
     curation gate (quality/stopword/lang-id) -> exact content dedup
@@ -1261,6 +1299,7 @@ QUERIES = {
     "doc_length_percentiles": q_doc_length_percentiles,
     "tfidf_top_terms": q_tfidf_top_terms,
     "curation_filter": q_curation_filter,
+    "pii_scrub_profile": q_pii_scrub,
     "dedup_exact": q_dedup_exact,
     "split_sentences_udtf": q_split_sentences,
     "corpus_pipeline": q_corpus_pipeline,
@@ -1301,6 +1340,7 @@ def oracles() -> dict[str, str]:
         "doc_length_percentiles": DOC_LENGTH_PERCENTILES_SQL,
         "tfidf_top_terms": TFIDF_TOP_TERMS_SQL,
         "curation_filter": curation_filter_sql(),
+        "pii_scrub_profile": pii_scrub_sql(),
         "dedup_exact": DEDUP_EXACT_SQL,
         "split_sentences_udtf": SPLIT_SENTENCES_SQL,
         "corpus_pipeline": corpus_pipeline_sql(),

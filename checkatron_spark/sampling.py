@@ -32,6 +32,7 @@ __all__ = [
     "split_assign",
     "topk_per_group",
     "interleave_sources",
+    "temperature_sample",
     "pack_sequences",
     "QUERIES",
     "oracles",
@@ -334,6 +335,50 @@ def pack_sequences(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    *,
+    budget_frac: float,
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-flattened group rebalancing (α = 0.5): keep fraction
+    ``min(1, budget_frac * sqrt(n_max / n_g))`` of every group, where n_g
+    is the group's row count and n_max the largest group's — the standard
+    sqrt-temperature resampling of multilingual/multi-source corpora (rare
+    groups kept whole, the dominant group thinned to ``budget_frac``),
+    anchored at the dominant group so no normalizing sum is needed.
+
+    The anchor matters for engine portability: a Σ sqrt(n_g) normalizer is
+    a floating sum whose value depends on accumulation order, so Spark and
+    a SQL oracle could disagree in the last ulp and flip a boundary row.
+    ``max`` over integers is order-independent and exact, sqrt and one
+    divide/multiply are IEEE-correctly-rounded, so the per-group rate —
+    and therefore membership — is bit-identical across engines. Plan: one
+    tiny integer groupBy, rates broadcast back onto a zero-shuffle hash
+    filter; at 100 TB the scan runs at full pushdown speed."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
+    # 1-row broadcast crossJoin (scalar-subquery shape): the nested-loop
+    # probe side is the per-GROUP count table, not the data — O(#groups)
+    n_max = counts.agg(F.max("_n_g").alias("_n_max"))
+    rates = counts.crossJoin(F.broadcast(n_max)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_frac))
+            * F.sqrt(
+                F.col("_n_max").cast("double") / F.col("_n_g").cast("double")
+            ),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(hash_uniform(F.col(key), salt) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into ~32k-char batches per (language, hash-shard)
     (n_chars as the token-cost proxy — a fixture column, so the oracle is
@@ -419,6 +464,33 @@ WHERE source IN ('src0', 'src1', 'src2')
 """
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-temperature language rebalancing at an 0.8 budget: the dominant
+    language keeps ~80% of its documents, rare languages are kept whole —
+    the corpus-mixing step before schedule interleaving."""
+    docs = load_table(spark, "documents", sf_dir)
+    return temperature_sample(
+        docs, "doc_id", "lang", budget_frac=0.8
+    ).select("doc_id", "lang", "source")
+
+
+TEMPERATURE_SQL = f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n_g FROM documents GROUP BY lang
+),
+mx AS (SELECT MAX(n_g) AS n_max FROM counts),
+rates AS (
+    SELECT lang,
+           least(1.0, 0.8 * sqrt(CAST(n_max AS DOUBLE)
+                                 / CAST(n_g AS DOUBLE))) AS rate
+    FROM counts, mx
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rates r USING (lang)
+WHERE {_duck_uniform("d.doc_id", "temp-v1")} < r.rate
+"""
+
+
 QUERIES = {
     "sample_deterministic": q_deterministic_sample,
     "sample_stratified": q_stratified_sample,
@@ -427,6 +499,7 @@ QUERIES = {
     "pack_sequences_budget": q_pack_sequences,
     "sample_topk_per_group": q_topk_per_group,
     "interleave_sources": q_interleave_sources,
+    "sample_temperature_mix": q_temperature_sample,
 }
 
 
@@ -439,4 +512,5 @@ def oracles() -> dict[str, str]:
         "pack_sequences_budget": PACK_SQL,
         "sample_topk_per_group": TOPK_GROUP_SQL,
         "interleave_sources": INTERLEAVE_SQL,
+        "sample_temperature_mix": TEMPERATURE_SQL,
     }

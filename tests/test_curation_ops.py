@@ -1,0 +1,137 @@
+"""Unit tests for the round-4 curation additions: PII scrubbing,
+cross-document boilerplate stripping, the Gopher-style quality rule
+bundle, and sqrt-temperature group rebalancing.
+
+The declared queries' DuckDB oracles pin engine parity on the fixtures;
+these tests pin the POSITIVE-match / boundary behavior the word-salad
+fixtures never exercise (the fixtures contain no PII, and every fixture
+doc passes most Gopher rules)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from checkatron_spark.corpus import gopher_quality_profile, strip_boilerplate
+from checkatron_spark.functions.text import PII_PATTERNS, pii_count, pii_scrub
+from checkatron_spark.sampling import temperature_sample
+
+
+def _pii_row(spark, text):
+    t = F.col("text")
+    df = spark.createDataFrame([(1, text)], ["id", "text"]).select(
+        *[pii_count(t, k).alias(k) for k in PII_PATTERNS],
+        pii_scrub(t).alias("clean"),
+    )
+    return df.collect()[0]
+
+
+def test_pii_scrub_positive_matches(spark):
+    r = _pii_row(spark, "mail a.b+c@ex-ample.co.uk ip 10.0.255.3 ssn 123-45-6789")
+    assert (r["email"], r["ipv4"], r["ssn"], r["phone"]) == (1, 1, 1, 0)
+    assert r["clean"] == "mail <EMAIL> ip <IP> ssn <SSN>"
+
+
+def test_pii_scrub_boundary_negatives(spark):
+    # \b guards: digits glued to more digits are NOT an SSN/phone; a
+    # 4-octet-looking version string inside a longer dotted run is not an IP
+    r = _pii_row(spark, "not ssn 1234-56-7890 phone 555.123.4567 v 1.2.3.4.5")
+    assert r["ssn"] == 0
+    assert r["phone"] == 1  # dotted phone matches phone, not ipv4
+    assert "1234-56-7890" in r["clean"]
+
+
+def test_pii_scrub_is_noop_on_clean_text(spark):
+    clean = "just plain words with numbers 123 and dots. end"
+    r = _pii_row(spark, clean)
+    assert r["clean"] == clean
+    assert all(r[k] == 0 for k in PII_PATTERNS)
+
+
+def test_strip_boilerplate_removes_shared_tiles_only(spark):
+    # docs 1 and 2 share their first 3-word tile ("buy our product");
+    # every other tile is unique and must survive in original order
+    docs = spark.createDataFrame(
+        [
+            (1, "buy our product alpha beta gamma delta epsilon zeta"),
+            (2, "buy our product one two three four five six"),
+            (3, "totally unrelated text with nine distinct words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate(docs, k=3, min_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon zeta"
+    assert out[2]["clean_text"] == "one two three four five six"
+    assert out[3]["clean_text"] == docs.collect()[2]["text"]
+    assert out[1]["n_removed"] == 1 and out[3]["n_removed"] == 0
+    assert out[1]["n_chunks"] == 3
+
+
+def test_strip_boilerplate_fully_boilerplate_doc_yields_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam"), (2, "spam spam spam")], ["doc_id", "text"]
+    )
+    for r in strip_boilerplate(docs, k=3, min_docs=2).collect():
+        assert r["clean_text"] == "" and r["n_removed"] == 1
+
+
+def test_strip_boilerplate_ragged_tail_tile(spark):
+    # 5 words with k=3 -> tiles of 3 and 2 words; reassembly must restore
+    # the exact original text when nothing is duplicated
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    r = strip_boilerplate(docs, k=3, min_docs=2).collect()[0]
+    assert r["clean_text"] == "a b c d e" and r["n_chunks"] == 2
+
+
+def test_gopher_flags_integer_boundaries(spark):
+    mk = {
+        # exactly 20 words of length 5 -> all-pass (with 2 stopwords)
+        "pass": "the a " + " ".join(["vwxyz"] * 18),
+        # 19 words -> word-count flag fails, everything else passes
+        "short": "the a " + " ".join(["vwxyz"] * 17),
+        # mean word length 2 (< 3): 20 two-char words incl two stopwords
+        "tiny_words": "ab cd " + " ".join(["ef"] * 16) + " in is",
+        # only one stopword
+        "one_stop": "the " + " ".join(["vwxyz"] * 19),
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in mk.items()], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_profile(docs).collect()}
+    assert out["pass"]["keep"] is True
+    assert out["short"]["flag_word_count"] is False
+    assert out["short"]["flag_mean_word_len"] is True
+    assert out["tiny_words"]["flag_mean_word_len"] is False
+    assert out["one_stop"]["flag_stopwords"] is False
+    assert out["one_stop"]["keep"] is False
+
+
+def test_gopher_alpha_rule(spark):
+    # 10 of 20 words numeric -> 50% alpha < 80% threshold
+    text = " ".join(["the"] * 10 + ["12345"] * 10)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = gopher_quality_profile(docs).collect()[0]
+    assert r["flag_alpha_words"] is False and r["n_alpha_words"] == 10
+
+
+def test_temperature_sample_keeps_rare_groups_whole(spark):
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "rare") for i in range(16)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    kept = temperature_sample(df, "k", "g", budget_frac=0.5).collect()
+    by_g = {}
+    for r in kept:
+        by_g[r["g"]] = by_g.get(r["g"], 0) + 1
+    # rare rate = min(1, 0.5*sqrt(400/16)) = 2.5 -> capped at 1: all kept
+    assert by_g["rare"] == 16
+    # big rate = 0.5 exactly; hash draw keeps roughly half
+    assert 150 < by_g["big"] < 250
+
+
+def test_temperature_sample_is_deterministic(spark):
+    rows = [(i, "a" if i % 3 else "b") for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    a = sorted(r["k"] for r in temperature_sample(df, "k", "g", budget_frac=0.7).collect())
+    b = sorted(r["k"] for r in temperature_sample(df, "k", "g", budget_frac=0.7).collect())
+    assert a == b and len(a) > 0

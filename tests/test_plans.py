@@ -119,6 +119,11 @@ def test_no_cartesian_in_any_query(spark):
         # because its filter is an equality.)
         "q22_global_balance",
         "q11_important_parts",
+        # scalar shape again, one step removed from the data: the 1-row
+        # n_max broadcast is nested-looped against the per-GROUP count
+        # table (O(#groups) probe); the data itself sees only the
+        # broadcast equi-join of the resulting rates
+        "sample_temperature_mix",
     }
     for name, q in entrymod.queries().items():
         if name.startswith("stream_"):
