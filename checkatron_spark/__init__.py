@@ -22,7 +22,9 @@ from checkatron_spark.operators.asof import asof_join
 from checkatron_spark.operators.dedup import (
     connected_components,
     decontaminate,
+    dedup_incremental,
     fuzzy_pairs_blocked,
+    neardup_incremental,
 )
 from checkatron_spark.operators.diff import DiffSpec, diff, diff_from_spec
 from checkatron_spark.operators.incremental import (
@@ -53,6 +55,7 @@ from checkatron_spark.sampling import (
     pack_sequences,
     split_assign,
     stratified_sample,
+    temperature_sample,
     topk_per_group,
     weighted_sample,
 )
@@ -60,9 +63,12 @@ from checkatron_spark.corpus import (
     chunk_documents,
     corpus_card,
     dup_ngram_profile,
+    gopher_quality_profile,
     repetition_profile,
+    strip_boilerplate,
     vocab_coverage,
 )
+from checkatron_spark.functions.text import pii_count, pii_scrub
 from checkatron_spark.operators.rangejoin import range_join_binned
 from checkatron_spark.operators.skew import salted_agg, salted_join
 from checkatron_spark.operators.guard import (
@@ -102,14 +108,20 @@ __all__ = [
     "connected_components",
     "decode_status",
     "decontaminate",
+    "dedup_incremental",
+    "neardup_incremental",
     "deterministic_sample",
     "interleave_sources",
     "topk_per_group",
     "chunk_documents",
     "corpus_card",
     "dup_ngram_profile",
+    "gopher_quality_profile",
+    "strip_boilerplate",
     "repetition_profile",
     "vocab_coverage",
+    "pii_count",
+    "pii_scrub",
     "diff",
     "diff3",
     "diff_drilldown",
@@ -131,6 +143,7 @@ __all__ = [
     "salted_agg",
     "scd2_delta",
     "stratified_sample",
+    "temperature_sample",
     "weighted_sample",
 ]
 

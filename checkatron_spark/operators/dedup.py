@@ -37,6 +37,8 @@ __all__ = [
     "dedup_keyed",
     "shingles",
     "neardup_ngram_jaccard",
+    "dedup_incremental",
+    "neardup_incremental",
     "neardup_minhash_lsh",
     "simhash64",
     "neardup_simhash",
@@ -269,6 +271,140 @@ def neardup_ngram_jaccard(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental-ingestion exact dedup: classify every NEW document
+    against the already-ingested base corpus — ``dup_of_base`` when its
+    content fingerprint already exists in the base, ``dup_in_batch`` for
+    second-and-later occurrences within the new batch itself (first
+    occurrence by id wins), ``new`` otherwise. This is the admission gate
+    of a continuously-growing corpus: the base is never re-deduped, only
+    its fingerprint set is consulted.
+
+    Plan: base collapses to DISTINCT fingerprints (in production a
+    persisted fingerprint table — the base text is never re-read); one
+    shuffle on fp serves BOTH the left join and the within-batch
+    row_number window (same key, Spark reuses the exchange). Work scales
+    with |new| + |base fingerprints|, not |base text| — the property that
+    makes daily ingestion into a 100 TB corpus cheap."""
+    new_fp = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    base_fp = (
+        base_docs.select(fingerprint(F.col(text_col)).alias("fp"))
+        .distinct()
+        .withColumn("_in_base", F.lit(1))
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    return (
+        new_fp.join(base_fp, "fp", "left")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("_in_base") == 1, F.lit("dup_of_base"))
+            .when(F.col("_rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+def neardup_incremental(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup detection: exact n-gram Jaccard pairs between a
+    NEW batch and the existing base corpus (bipartite variant of
+    ``neardup_ngram_jaccard`` — same prefix-filtering lemma, the global
+    shingle order is document frequency over the UNION of both sides, and
+    candidates come from joining new-side prefixes against base-side
+    prefixes only). New-vs-new pairs are ``neardup_ngram_jaccard`` on the
+    batch; base-vs-base was settled when the base was admitted.
+
+    Shuffle work scales with the new batch's postings plus the base
+    prefix index (persistable across batches in production), never with
+    all-pairs. Returns (new_id, base_id, jaccard >= threshold)."""
+    tagged = new_docs.select(
+        F.lit(0).alias("_side"),
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+    ).unionByName(
+        base_docs.select(
+            F.lit(1).alias("_side"),
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_t"),
+        )
+    )
+    docs = (
+        tagged.select(
+            "_side", "_id", shingles(F.col("_t"), n).alias("_sh")
+        )
+        .withColumn("_n", F.size("_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    posts = docs.select("_side", "_id", "_n", F.explode("_sh").alias("_s"))
+    freq = posts.groupBy("_s").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.partitionBy("_side", "_id").orderBy(
+        F.col("_f").asc(), F.col("_s").asc()
+    )
+    prefix_len = (
+        F.floor((F.lit(1.0) - F.lit(threshold)) * F.col("_n")).cast("int")
+        + F.lit(1)
+    )
+    prefix = (
+        posts.join(freq, "_s")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .select("_side", "_id", "_s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = (
+        prefix.filter(F.col("_side") == 0)
+        .select(F.col("_id").alias("new_id"), "_s")
+        .join(
+            prefix.filter(F.col("_side") == 1).select(
+                F.col("_id").alias("base_id"), "_s"
+            ),
+            "_s",
+        )
+        .select("new_id", "base_id")
+        .distinct()
+    )
+    a = docs.filter(F.col("_side") == 0).select(
+        F.col("_id").alias("new_id"),
+        F.col("_sh").alias("_sha"),
+        F.col("_n").alias("_na"),
+    )
+    b = docs.filter(F.col("_side") == 1).select(
+        F.col("_id").alias("base_id"),
+        F.col("_sh").alias("_shb"),
+        F.col("_n").alias("_nb"),
+    )
+    return (
+        cand.join(a, "new_id")
+        .join(b, "base_id")
+        .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "base_id", "jaccard")
     )
 
 

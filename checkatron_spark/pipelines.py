@@ -560,6 +560,77 @@ WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= {t}
 
 NEARDUP_JACCARD_SQL = neardup_jaccard_sql(0.8)
 
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission-gate exact dedup of a new ingest batch (doc_id % 17 == 2,
+    the corpus-snapshot split convention) against the already-ingested
+    base: every new doc labeled new / dup_of_base / dup_in_batch."""
+    docs = load_table(spark, "documents", sf_dir)
+    new = docs.filter(F.col("doc_id") % 17 == 2)
+    base = docs.filter(F.col("doc_id") % 17 != 2)
+    return D.dedup_incremental(new, base, "text", "doc_id")
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH new_fp AS (
+    SELECT doc_id, {_FP} AS fp FROM documents WHERE doc_id % 17 = 2
+),
+base_fp AS (
+    SELECT DISTINCT {_FP} AS fp FROM documents WHERE doc_id % 17 <> 2
+),
+j AS (
+    SELECT n.doc_id, n.fp, (b.fp IS NOT NULL) AS in_base,
+           row_number() OVER (PARTITION BY n.fp ORDER BY n.doc_id) AS rn
+    FROM new_fp n LEFT JOIN base_fp b USING (fp)
+)
+SELECT doc_id, fp,
+       CASE WHEN in_base THEN 'dup_of_base'
+            WHEN rn > 1 THEN 'dup_in_batch'
+            ELSE 'new' END AS status
+FROM j
+"""
+
+
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup admission gate: exact bipartite n-gram Jaccard pairs
+    between the new ingest batch and the base corpus (prefix-filtered —
+    work scales with the batch, never all-pairs over the base)."""
+    docs = load_table(spark, "documents", sf_dir)
+    new = docs.filter(F.col("doc_id") % 17 == 2)
+    base = docs.filter(F.col("doc_id") % 17 != 2)
+    return D.neardup_incremental(
+        new, base, "text", "doc_id", n=3, threshold=0.8
+    )
+
+
+NEARDUP_INCREMENTAL_SQL = r"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+docs AS (
+    SELECT doc_id,
+        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(w) - 2 + 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        END AS sh
+    FROM w
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+inter AS (
+    SELECT a.doc_id AS new_id, b.doc_id AS base_id, COUNT(*) AS i
+    FROM ex a JOIN ex b ON a.s = b.s
+    WHERE a.doc_id % 17 = 2 AND b.doc_id % 17 <> 2
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(sh) AS n FROM docs)
+SELECT new_id, base_id,
+       CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = new_id
+JOIN sizes nb ON nb.doc_id = base_id
+WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= 0.8
+"""
+
 # the MinHash-LSH declared query (threshold 0.7, 8 OR-amplified tables) has
 # measured recall 1.0 on the fixtures, so its pair set is graded against the
 # exact prefix-filtered Jaccard twin at the same threshold
@@ -1305,6 +1376,8 @@ QUERIES = {
     "corpus_pipeline": q_corpus_pipeline,
     "dedup_keyed": q_dedup_keyed,
     "neardup_ngram_jaccard": q_neardup_jaccard,
+    "dedup_incremental_status": q_dedup_incremental,
+    "neardup_incremental_batch": q_neardup_incremental,
     "fuzzy_part_names": q_fuzzy_part_names,
     "decontaminate_corpus": q_decontaminate,
     "neardup_clusters": q_neardup_clusters,
@@ -1346,6 +1419,8 @@ def oracles() -> dict[str, str]:
         "corpus_pipeline": corpus_pipeline_sql(),
         "dedup_keyed": DEDUP_KEYED_SQL,
         "neardup_ngram_jaccard": NEARDUP_JACCARD_SQL,
+        "dedup_incremental_status": DEDUP_INCREMENTAL_SQL,
+        "neardup_incremental_batch": NEARDUP_INCREMENTAL_SQL,
         "fuzzy_part_names": FUZZY_PART_SQL,
         "decontaminate_corpus": DECONTAMINATE_SQL,
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,

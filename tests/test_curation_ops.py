@@ -135,3 +135,57 @@ def test_temperature_sample_is_deterministic(spark):
     a = sorted(r["k"] for r in temperature_sample(df, "k", "g", budget_frac=0.7).collect())
     b = sorted(r["k"] for r in temperature_sample(df, "k", "g", budget_frac=0.7).collect())
     assert a == b and len(a) > 0
+
+
+def test_dedup_incremental_statuses(spark):
+    from checkatron_spark.operators.dedup import dedup_incremental
+
+    base = spark.createDataFrame(
+        [(1, "seen before text"), (2, "other base text")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "seen before text"),     # exact dup of base doc 1
+            (11, "fresh content one"),    # genuinely new
+            (12, "fresh content two"),
+            (13, "fresh content two"),    # dup WITHIN the batch (13 > 12)
+            (14, "Seen  BEFORE text!"),   # normalization-equal to base
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["status"]
+           for r in dedup_incremental(new, base, "text", "doc_id").collect()}
+    assert out == {
+        10: "dup_of_base",
+        11: "new",
+        12: "new",
+        13: "dup_in_batch",
+        14: "dup_of_base",
+    }
+
+
+def test_neardup_incremental_finds_cross_pairs_only(spark):
+    from checkatron_spark.operators.dedup import neardup_incremental
+
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            # one word changed vs base doc 1 -> high jaccard cross pair
+            (10, "alpha beta gamma delta epsilon zeta eta iota"),
+            # unrelated; also near-dup of ANOTHER NEW doc (must NOT pair)
+            (11, "red orange yellow green blue indigo violet pink"),
+            (12, "red orange yellow green blue indigo violet navy"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = neardup_incremental(
+        new, base, "text", "doc_id", n=3, threshold=0.5
+    ).collect()
+    assert [(p["new_id"], p["base_id"]) for p in pairs] == [(10, 1)]
+    assert pairs[0]["jaccard"] > 0.5
