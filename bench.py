@@ -76,6 +76,12 @@ HEADLINE = [
     "dup_ngram_profile",
     "corpus_snapshot_diff",
     "sample_topk_per_group",
+    # round-4 curation additions (boilerplate strip = 2 corpus-wide
+    # shuffles; incremental near-dup = bipartite prefix-filter join;
+    # funnel = all five new operators composed)
+    "strip_boilerplate",
+    "neardup_incremental_batch",
+    "curation_funnel",
 ]
 
 

@@ -300,6 +300,140 @@ FROM assigned GROUP BY split
 """
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone v2: the round-4 curation operators composed into one
+    admission funnel, reported as a per-stage survival table —
+    ingest -> Gopher rule gate -> PII scrub (counts redactions, drops
+    nothing) -> cross-document boilerplate strip (drops fully-boilerplate
+    docs) -> exact dedup on the CLEANED text -> sqrt-temperature language
+    rebalance. Each stage is an operator proven by its own driver query;
+    this pins their composition and the funnel shape a pipeline dashboard
+    reports. Stage rows carry (n_docs, n_chars at that stage)."""
+    from checkatron_spark.corpus import gopher_quality_profile, strip_boilerplate
+    from checkatron_spark.sampling import temperature_sample
+
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, "documents", sf_dir)
+    keep_ids = gopher_quality_profile(docs).filter("keep").select("doc_id")
+    s1 = docs.join(keep_ids, "doc_id").select("doc_id", "lang", "text")
+    # each surviving frame feeds its own stage aggregate AND every later
+    # stage — persist the two expensive-to-recompute ones, or the 6-way
+    # union re-runs the whole upstream chain per stage (at 100 TB that is
+    # five redundant corpus passes)
+    s2 = s1.select(
+        "doc_id", "lang", T.pii_scrub(F.col("text")).alias("text")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    stripped = strip_boilerplate(s2, k=3, min_docs=2).filter(
+        F.col("clean_text") != ""
+    )
+    s3 = stripped.join(s2.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", F.col("clean_text").alias("text")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    s4 = D.dedup_keyed(
+        s3.withColumn("_fp", T.fingerprint(F.col("text"))), ["_fp"], "doc_id"
+    ).select("doc_id", "lang", "text").persist(StorageLevel.MEMORY_AND_DISK)
+    s5 = temperature_sample(
+        s4, "doc_id", "lang", budget_frac=0.8, salt="funnel-v1"
+    ).select("doc_id", "lang", "text")
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0))
+            .cast("bigint")
+            .alias("n_chars"),
+        )
+
+    return (
+        stage(docs.select(F.col("text")), 0, "ingest")
+        .unionByName(stage(s1, 1, "gopher_gate"))
+        .unionByName(stage(s2, 2, "pii_scrub"))
+        .unionByName(stage(s3, 3, "boilerplate_strip"))
+        .unionByName(stage(s4, 4, "exact_dedup"))
+        .unionByName(stage(s5, 5, "temperature_mix"))
+    )
+
+
+def curation_funnel_sql() -> str:
+    from checkatron_spark.corpus import GOPHER_QUALITY_SQL
+    from checkatron_spark.sampling import _duck_uniform
+
+    scrub = "text"
+    for pat, token in T.PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    fp = (
+        "md5(trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+    )
+    u = _duck_uniform("doc_id", "funnel-v1")
+    return rf"""
+WITH gate AS (
+    SELECT doc_id FROM ({GOPHER_QUALITY_SQL}) g WHERE g.keep
+),
+s1 AS (
+    SELECT d.doc_id, d.lang, d.text FROM documents d JOIN gate USING (doc_id)
+),
+s2 AS (
+    SELECT doc_id, lang, {scrub} AS text FROM s1
+),
+w AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM s2
+),
+starts AS (
+    SELECT doc_id, w, unnest(range(0, (len(w) - 1) // 3 + 1)) AS i FROM w
+),
+chunks AS (
+    SELECT doc_id, CAST(i AS INTEGER) AS cid,
+           array_to_string(list_slice(w, CAST(i * 3 + 1 AS INTEGER),
+                                      CAST(i * 3 + 3 AS INTEGER)), ' ') AS chunk
+    FROM starts
+),
+docfreq AS (
+    SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
+),
+rebuilt AS (
+    SELECT c.doc_id,
+           COALESCE(string_agg(c.chunk, ' ' ORDER BY c.cid)
+                      FILTER (WHERE d.df < 2), '') AS clean_text
+    FROM chunks c JOIN docfreq d USING (chunk)
+    GROUP BY c.doc_id
+),
+s3 AS (
+    SELECT r.doc_id, s.lang, r.clean_text AS text
+    FROM rebuilt r JOIN s2 s USING (doc_id)
+    WHERE r.clean_text <> ''
+),
+s4 AS (
+    SELECT doc_id, lang, text FROM (
+        SELECT *, row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+        FROM s3
+    ) WHERE rn = 1
+),
+counts AS (SELECT lang, COUNT(*) AS n_g FROM s4 GROUP BY lang),
+mx AS (SELECT MAX(n_g) AS n_max FROM counts),
+rates AS (
+    SELECT lang, least(1.0, 0.8 * sqrt(CAST(n_max AS DOUBLE)
+                                       / CAST(n_g AS DOUBLE))) AS rate
+    FROM counts, mx
+),
+s5 AS (
+    SELECT s.doc_id, s.lang, s.text
+    FROM s4 s JOIN rates r USING (lang)
+    WHERE {u} < r.rate
+)
+SELECT 0 AS stage_idx, 'ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars FROM documents
+UNION ALL SELECT 1, 'gopher_gate', COUNT(*), COALESCE(SUM(length(text)), 0) FROM s1
+UNION ALL SELECT 2, 'pii_scrub', COUNT(*), COALESCE(SUM(length(text)), 0) FROM s2
+UNION ALL SELECT 3, 'boilerplate_strip', COUNT(*), COALESCE(SUM(length(text)), 0) FROM s3
+UNION ALL SELECT 4, 'exact_dedup', COUNT(*), COALESCE(SUM(length(text)), 0) FROM s4
+UNION ALL SELECT 5, 'temperature_mix', COUNT(*), COALESCE(SUM(length(text)), 0) FROM s5
+"""
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf: top-3 terms per document. The classic three-shuffle text
     pipeline — tf by (doc, token), document frequency by token, idf join
@@ -1374,6 +1508,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "split_sentences_udtf": q_split_sentences,
     "corpus_pipeline": q_corpus_pipeline,
+    "curation_funnel": q_curation_funnel,
     "dedup_keyed": q_dedup_keyed,
     "neardup_ngram_jaccard": q_neardup_jaccard,
     "dedup_incremental_status": q_dedup_incremental,
@@ -1417,6 +1552,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": DEDUP_EXACT_SQL,
         "split_sentences_udtf": SPLIT_SENTENCES_SQL,
         "corpus_pipeline": corpus_pipeline_sql(),
+        "curation_funnel": curation_funnel_sql(),
         "dedup_keyed": DEDUP_KEYED_SQL,
         "neardup_ngram_jaccard": NEARDUP_JACCARD_SQL,
         "dedup_incremental_status": DEDUP_INCREMENTAL_SQL,

@@ -124,6 +124,7 @@ def test_no_cartesian_in_any_query(spark):
         # table (O(#groups) probe); the data itself sees only the
         # broadcast equi-join of the resulting rates
         "sample_temperature_mix",
+        "curation_funnel",  # embeds the same temperature-rate scalar shape
     }
     for name, q in entrymod.queries().items():
         if name.startswith("stream_"):
