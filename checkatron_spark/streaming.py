@@ -693,6 +693,60 @@ def stream_corpus_curation_sql() -> str:
     )
 
 
+def q_stream_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the incremental-ingestion admission gate
+    (operators/dedup.dedup_incremental): the new-batch documents arrive as
+    a micro-batched stream, each computes its content fingerprint
+    in-flight, and a stream-static LEFT join against the base corpus's
+    DISTINCT fingerprint table labels it dup_of_base or new. Stateless —
+    the static side broadcasts (or hash-joins) per micro-batch and the
+    stream carries no aggregation state, so the gate runs at ingest speed
+    forever. (The within-batch first-wins tiebreak is batch-side only: it
+    needs an order, and a stream's arrival order is processing-time —
+    admitted docs are deduped against the base, then batch-deduped
+    downstream at compaction.)"""
+    from checkatron_spark.functions.text import fingerprint
+
+    docs = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 17 == 2
+    )
+    base_fp = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 17 != 2)
+        .select(fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("_in_base", F.lit(1))
+    )
+    gated = (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .join(base_fp, "fp", "left")
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("_in_base") == 1, F.lit("dup_of_base"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+    return drain_to_batch(gated, output_mode="append")
+
+
+def stream_admission_gate_sql() -> str:
+    from checkatron_spark.pipelines import _FP
+
+    return f"""
+WITH new_fp AS (
+    SELECT doc_id, {_FP} AS fp FROM documents WHERE doc_id % 17 = 2
+),
+base_fp AS (
+    SELECT DISTINCT {_FP} AS fp FROM documents WHERE doc_id % 17 <> 2
+)
+SELECT n.doc_id, n.fp,
+       CASE WHEN b.fp IS NOT NULL THEN 'dup_of_base' ELSE 'new' END AS status
+FROM new_fp n LEFT JOIN base_fp b USING (fp)
+"""
+
+
 QUERIES = {
     "stream_windowed_counts": q_stream_windowed,
     "stream_sessionize_stateful": q_stream_sessionize,
@@ -702,6 +756,7 @@ QUERIES = {
     "stream_patch_apply": q_stream_patch_apply,
     "stream_ivm_totals": q_stream_ivm_totals,
     "stream_corpus_curation": q_stream_corpus_curation,
+    "stream_admission_gate": q_stream_admission_gate,
 }
 
 
@@ -715,4 +770,5 @@ def oracles() -> dict[str, str]:
         "stream_patch_apply": stream_patch_apply_sql(),
         "stream_ivm_totals": stream_ivm_totals_sql(),
         "stream_corpus_curation": stream_corpus_curation_sql(),
+        "stream_admission_gate": stream_admission_gate_sql(),
     }

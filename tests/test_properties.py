@@ -231,3 +231,83 @@ def test_scd2_delta_matches_perturbation_log(spark, plan):
         | {("insert", k) for k in add | touched}
     )
     assert got == expect
+
+
+@given(_docs_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_strip_boilerplate_matches_python_mirror(spark, texts):
+    """Random word-salad corpora: strip_boilerplate must equal a direct
+    python mirror of the spec (non-overlapping k-word tiles, docfreq >=
+    min_docs removed, in-order rebuild)."""
+    from checkatron_spark.corpus import strip_boilerplate
+
+    k = 2
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        r.doc_id: r for r in strip_boilerplate(docs, k=k, min_docs=2).collect()
+    }
+    tiles = {
+        i: [
+            " ".join(t.split(" ")[j:j + k])
+            for j in range(0, len(t.split(" ")), k)
+        ]
+        for i, t in enumerate(texts)
+    }
+    df_count = {}
+    for ts in tiles.values():
+        for c in set(ts):
+            df_count[c] = df_count.get(c, 0) + 1
+    for i, ts in tiles.items():
+        kept = [c for c in ts if df_count[c] < 2]
+        assert got[i].clean_text == " ".join(kept)
+        assert got[i].n_chunks == len(ts)
+        assert got[i].n_removed == len(ts) - len(kept)
+
+
+@given(
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=5, max_size=40),
+    st.floats(min_value=0.1, max_value=1.0),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_temperature_sample_rate_law(spark, groups, frac):
+    """For every group: kept subset of input, and the DOMINANT group's
+    acceptance rate is exactly budget_frac (its hash draws below frac are
+    kept, the rest dropped) — mirrored row-by-row in python via the same
+    md5 draw."""
+    import hashlib
+
+    from checkatron_spark.sampling import temperature_sample
+
+    rows = [(i, g) for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "k int, g string")
+    kept = {
+        (r.k, r.g)
+        for r in temperature_sample(
+            df, "k", "g", budget_frac=frac, salt="prop-v1"
+        ).collect()
+    }
+    assert kept <= set(rows)
+    from collections import Counter
+
+    sizes = Counter(g for _, g in rows)
+    n_max = max(sizes.values())
+
+    def draw(key: int) -> float:
+        h = hashlib.md5(f"prop-v1:{key}".encode()).hexdigest()[:8]
+        return int(h, 16) / 2**32
+
+    import math
+
+    for i, g in rows:
+        rate = min(1.0, frac * math.sqrt(n_max / sizes[g]))
+        assert ((i, g) in kept) == (draw(i) < rate)
