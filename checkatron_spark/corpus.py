@@ -294,9 +294,13 @@ def strip_boilerplate(
     per document. Two high-cardinality shuffles, nothing collected — the
     shape that survives 100 TB. Returns (doc_id, clean_text, n_chunks,
     n_removed); a fully-boilerplate document yields clean_text = ''."""
+    # NULL text folds to '' — posexplode of a NULL tile array would
+    # silently DROP the document from the output, which a cleaning pass
+    # must never do
+    t = f"coalesce({text_col}, '')"
     tiles = F.expr(
-        f"transform(sequence(0, CAST((size(split({text_col}, ' ')) - 1) "
-        f"/ {k} AS INT)), i -> array_join(slice(split({text_col}, ' '), "
+        f"transform(sequence(0, CAST((size(split({t}, ' ')) - 1) "
+        f"/ {k} AS INT)), i -> array_join(slice(split({t}, ' '), "
         f"i * {k} + 1, {k}), ' '))"
     )
     chunks = docs.select(
@@ -348,15 +352,18 @@ def gopher_quality_profile(
     are array-lambda expressions over the split text (whole-stage codegen,
     no explode, no UDF): a zero-shuffle scan at any scale."""
     stops = ", ".join(f"'{s}'" for s in stopwords)
-    n_words = F.expr(f"size(split({text_col}, ' '))")
+    # NULL text folds to '' so every flag is a definite boolean (a NULL
+    # keep would silently vanish from a .filter("keep") gate)
+    t = f"coalesce({text_col}, '')"
+    n_words = F.expr(f"size(split({t}, ' '))")
     sum_len = F.expr(
-        f"aggregate(split({text_col}, ' '), 0L, (acc, x) -> acc + length(x))"
+        f"aggregate(split({t}, ' '), 0L, (acc, x) -> acc + length(x))"
     )
     n_alpha = F.expr(
-        f"size(filter(split({text_col}, ' '), x -> x rlike '[a-zA-Z]'))"
+        f"size(filter(split({t}, ' '), x -> x rlike '[a-zA-Z]'))"
     )
     n_stop = F.expr(
-        f"size(filter(split({text_col}, ' '), "
+        f"size(filter(split({t}, ' '), "
         f"x -> array_contains(array({stops}), x)))"
     )
     d = docs.select(

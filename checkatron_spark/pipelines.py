@@ -421,7 +421,7 @@ rates AS (
 ),
 s5 AS (
     SELECT s.doc_id, s.lang, s.text
-    FROM s4 s JOIN rates r USING (lang)
+    FROM s4 s JOIN rates r ON s.lang IS NOT DISTINCT FROM r.lang
     WHERE {u} < r.rate
 )
 SELECT 0 AS stage_idx, 'ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,

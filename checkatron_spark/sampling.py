@@ -372,10 +372,16 @@ def temperature_sample(
             ),
         ).alias("_rate"),
     )
+    # null-safe join: a NULL group is a group like any other (groupBy
+    # already counts it) — a plain equi-join would silently DROP every
+    # null-group row instead of sampling it at its own rate
+    rates = rates.withColumnRenamed(group_col, "_g")
     return (
-        df.join(F.broadcast(rates), group_col)
+        df.join(
+            F.broadcast(rates), F.col(group_col).eqNullSafe(F.col("_g"))
+        )
         .filter(hash_uniform(F.col(key), salt) < F.col("_rate"))
-        .drop("_rate")
+        .drop("_rate", "_g")
     )
 
 
@@ -486,7 +492,7 @@ rates AS (
     FROM counts, mx
 )
 SELECT d.doc_id, d.lang, d.source
-FROM documents d JOIN rates r USING (lang)
+FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
 WHERE {_duck_uniform("d.doc_id", "temp-v1")} < r.rate
 """
 

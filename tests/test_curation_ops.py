@@ -189,3 +189,31 @@ def test_neardup_incremental_finds_cross_pairs_only(spark):
     ).collect()
     assert [(p["new_id"], p["base_id"]) for p in pairs] == [(10, 1)]
     assert pairs[0]["jaccard"] > 0.5
+
+
+def test_null_text_never_drops_documents(spark):
+    """A cleaning pass must not lose rows: NULL text folds to '' in
+    strip_boilerplate (doc retained, empty clean_text) and
+    gopher_quality_profile (definite False keep, never NULL)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "normal words here")],
+        "doc_id int, text string",
+    )
+    stripped = {r.doc_id: r for r in
+                strip_boilerplate(docs, k=3, min_docs=2).collect()}
+    assert set(stripped) == {1, 2, 3}
+    assert stripped[1]["clean_text"] == ""
+    flags = {r.doc_id: r for r in gopher_quality_profile(docs).collect()}
+    assert flags[1]["keep"] is False  # definite boolean, not NULL
+
+
+def test_temperature_sample_null_group_is_a_group(spark):
+    """groupBy counts the NULL group, so the join back must be null-safe —
+    a plain equi-join would silently drop every null-group row."""
+    rows = [(i, None if i < 4 else "a") for i in range(20)]
+    df = spark.createDataFrame(rows, "k int, g string")
+    kept = temperature_sample(df, "k", "g", budget_frac=1.0).collect()
+    # budget_frac=1.0: every group's rate is >= 1 -> nothing drops at all
+    assert sorted((r.k, r.g) for r in kept) == sorted(rows)
+    assert sorted(temperature_sample(df, "k", "g", budget_frac=1.0).columns) \
+        == ["g", "k"]
