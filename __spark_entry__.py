@@ -198,6 +198,23 @@ _CHECK_FIRST = [
     "pack_sequences_budget",
     # (q10_returned_items also changed but has never been green, so the
     # auto-rotation fronts it anyway)
+    #
+]
+
+# Queries DECLARED this round: they sit at the END of the never-checked
+# segment so the round-3 backlog (corpus profiles, media/stream/sampling
+# stragglers — waiting since last round) grades first instead of being
+# displaced by module merge order. Remove entries once they earn a green
+# row (harmless to leave: a green row demotes them anyway).
+_CHECK_LAST = [
+    "sample_temperature_mix",
+    "strip_boilerplate",
+    "gopher_quality_profile",
+    "pii_scrub_profile",
+    "dedup_incremental_status",
+    "neardup_incremental_batch",
+    "curation_funnel",
+    "stream_admission_gate",
 ]
 
 
@@ -313,9 +330,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # refactor must not crowd out first-time coverage, but it may not hide
     # behind an outdated green row either
     stale = _stale_greens(full, green)
+    last = set(_CHECK_LAST)
     ordered_names = (
         front
-        + [n for n in rest if n not in green]  # never green -> into the window
+        # never green -> into the window, oldest-declared before this
+        # round's additions (_CHECK_LAST)
+        + [n for n in rest if n not in green and n not in last]
+        + [n for n in rest if n not in green and n in last]
         + [n for n in rest if n in stale]  # changed since green -> re-grade
         + [n for n in rest if n in green and n not in stale]  # proven
     )

@@ -109,6 +109,13 @@ def test_check_window_rotation():
     assert flags == sorted(flags, reverse=True), (
         "stale greens must precede fresh greens in the re-check order"
     )
+    # within the never-checked segment, this round's additions
+    # (_CHECK_LAST) must come after the older backlog
+    nevers = [n for n in names[len(front):] if n not in green]
+    last_flags = [n in set(entrymod._CHECK_LAST) for n in nevers]
+    assert last_flags == sorted(last_flags), (
+        "new-this-round queries must not displace the older backlog"
+    )
 
 
 def test_stale_green_detection(monkeypatch):
