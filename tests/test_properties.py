@@ -311,3 +311,84 @@ def test_temperature_sample_rate_law(spark, groups, frac):
     for i, g in rows:
         rate = min(1.0, frac * math.sqrt(n_max / sizes[g]))
         assert ((i, g) in kept) == (draw(i) < rate)
+
+
+@given(_docs_strategy, _docs_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_neardup_incremental_matches_python_mirror(spark, new_texts, base_texts):
+    """The bipartite prefix-filter join must find EXACTLY the cross pairs a
+    naive python all-pairs Jaccard finds — the prefix lemma may prune
+    candidates but never a qualifying pair."""
+    from checkatron_spark.operators.dedup import neardup_incremental
+
+    t = 0.5
+    new = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(new_texts)], "doc_id int, text string"
+    )
+    base = spark.createDataFrame(
+        [(100 + i, s) for i, s in enumerate(base_texts)],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.new_id, r.base_id): r.jaccard
+        for r in neardup_incremental(
+            new, base, "text", "doc_id", n=2, threshold=t
+        ).collect()
+    }
+    def sh(s):
+        w = s.split(" ")
+        if len(w) < 2:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 2]) for i in range(len(w) - 1)}
+    want = {}
+    for i, a in enumerate(new_texts):
+        for j, b in enumerate(base_texts):
+            inter = len(sh(a) & sh(b))
+            union = len(sh(a) | sh(b))
+            if union and inter / union >= t:
+                want[(i, 100 + j)] = inter / union
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+@given(_docs_strategy, _docs_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_incremental_matches_python_mirror(spark, new_texts, base_texts):
+    from checkatron_spark.operators.dedup import dedup_incremental
+
+    def norm(s):
+        import re as _re
+        s = _re.sub(r"[^a-z0-9 ]", "", s.lower())
+        return _re.sub(r" +", " ", s).strip()
+
+    new = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(new_texts)], "doc_id int, text string"
+    )
+    base = spark.createDataFrame(
+        [(100 + i, s) for i, s in enumerate(base_texts)],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.status
+           for r in dedup_incremental(new, base, "text", "doc_id").collect()}
+    base_norms = {norm(s) for s in base_texts}
+    seen = {}
+    want = {}
+    for i, s in enumerate(new_texts):
+        k = norm(s)
+        if k in base_norms:
+            want[i] = "dup_of_base"
+        elif k in seen:
+            want[i] = "dup_in_batch"
+        else:
+            want[i] = "new"
+        seen.setdefault(k, i)
+    assert got == want
