@@ -242,10 +242,12 @@ def _greens_on_disk() -> dict[str, str]:
 
 def _query_source_files(fn) -> set[str]:
     """Repo-relative source files whose edits invalidate a query's green:
-    the defining module plus any package modules it directly references
-    (a workloads.py query composed from operators/diff.py is stale when
-    either file changes)."""
-    import inspect
+    the defining module plus any package modules it imports ANYWHERE in its
+    source — module level or inside a function body (several queries import
+    their operators locally, e.g. curation_funnel pulls corpus/sampling
+    inside the function; scanning only module-level names would leave those
+    dependencies invisible and their stale greens undetected)."""
+    import ast
     import os
     import sys
 
@@ -258,18 +260,44 @@ def _query_source_files(fn) -> set[str]:
         f = os.path.abspath(f)
         return os.path.relpath(f, here) if f.startswith(here + os.sep) else None
 
+    def _mod_file(dotted: str) -> str | None:
+        mod = sys.modules.get(dotted)
+        if mod is not None:
+            return _rel(mod)
+        try:
+            import importlib.util
+
+            spec = importlib.util.find_spec(dotted)
+        except (ImportError, ValueError):
+            return None
+        if spec is None or not spec.origin:
+            return None
+        f = os.path.abspath(spec.origin)
+        return os.path.relpath(f, here) if f.startswith(here + os.sep) else None
+
     while hasattr(fn, "__wrapped__"):
         fn = fn.__wrapped__
     mod = sys.modules.get(getattr(fn, "__module__", ""), None)
-    if mod is None:
+    mod_file = _rel(mod) if mod is not None else None
+    if mod is None or mod_file is None:
         return set()
-    files = {_rel(mod)}
-    for v in vars(mod).values():
-        dep = v if inspect.ismodule(v) else sys.modules.get(
-            getattr(v, "__module__", ""), None
-        )
-        if dep is not None:
-            files.add(_rel(dep))
+    files: set[str | None] = {mod_file}
+    try:
+        tree = ast.parse(open(os.path.join(here, mod_file)).read())
+    except (OSError, SyntaxError):
+        return {mod_file}
+    pkg = "checkatron_spark"
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(pkg):
+                    files.add(_mod_file(a.name))
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            if node.module.startswith(pkg):
+                files.add(_mod_file(node.module))
+                # `from pkg import submodule` — the names may be modules
+                for a in node.names:
+                    files.add(_mod_file(f"{node.module}.{a.name}"))
     files.discard(None)
     return files  # type: ignore[return-value]
 
@@ -296,9 +324,13 @@ def _stale_greens(
     try:
         changed_since: dict[str, set[str]] = {}
         for round_file in set(green.values()):
-            # the newest commit touching the round file IS the recording
-            # commit (the driver writes each file once)
-            commit = _git("log", "-n1", "--format=%H", "--", round_file).strip()
+            # the commit that ADDED the round file is the recording commit;
+            # anchoring on the newest touch instead would let any later
+            # cleanup commit touching the file shrink the staleness window
+            commit = _git(
+                "log", "--diff-filter=A", "-n1", "--format=%H",
+                "--", round_file,
+            ).strip()
             if not commit:
                 changed_since[round_file] = set()  # untracked -> assume fresh
                 continue

@@ -680,23 +680,33 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STRIP_BOILERPLATE_SQL = """
-WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+def strip_boilerplate_ctes(source: str, k: int = 3) -> str:
+    """The tile/docfreq CTE block of the strip_boilerplate oracle,
+    parameterized by source relation so the curation-funnel oracle reuses
+    it verbatim instead of carrying a drift-prone copy. coalesce(text,'')
+    mirrors the operator's NULL fold — string_split(NULL) would otherwise
+    silently DROP NULL-text documents from the oracle."""
+    return f"""words AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM {source}
 ),
 starts AS (
-  SELECT doc_id, w, unnest(range(0, (len(w) - 1) // 3 + 1)) AS i
+  SELECT doc_id, w, unnest(range(0, (len(w) - 1) // {k} + 1)) AS i
   FROM words
 ),
 chunks AS (
   SELECT doc_id, CAST(i AS INTEGER) AS cid,
-         array_to_string(list_slice(w, CAST(i * 3 + 1 AS INTEGER),
-                                    CAST(i * 3 + 3 AS INTEGER)), ' ') AS chunk
+         array_to_string(list_slice(w, CAST(i * {k} + 1 AS INTEGER),
+                                    CAST(i * {k} + {k} AS INTEGER)), ' ')
+           AS chunk
   FROM starts
 ),
 docfreq AS (
   SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
-)
+)"""
+
+
+STRIP_BOILERPLATE_SQL = f"""
+WITH {strip_boilerplate_ctes("documents")}
 SELECT c.doc_id,
        COALESCE(string_agg(c.chunk, ' ' ORDER BY c.cid)
                   FILTER (WHERE d.df < 2), '') AS clean_text,
@@ -715,14 +725,14 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_QUALITY_SQL = """
 WITH base AS (
   SELECT doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         CAST(list_sum(list_transform(string_split(text, ' '),
+         CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(string_split(coalesce(text, ''), ' '),
                                       x -> length(x))) AS BIGINT)
            AS sum_word_chars,
-         CAST(len(list_filter(string_split(text, ' '),
+         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
                               x -> regexp_matches(x, '[a-zA-Z]')))
               AS BIGINT) AS n_alpha_words,
-         CAST(len(list_filter(string_split(text, ' '),
+         CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
                               x -> x IN ('the','a','of','and','to','in','is')))
               AS BIGINT) AS n_stopwords
   FROM documents

@@ -215,7 +215,12 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
     "phone": (r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
-    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    # {3,} consumes the WHOLE dotted-digit run: without it, '1.2.3.4.5'
+    # (a version/section number) would have its first four octets redacted
+    # to '<IP>.5'. RE2 has no lookaround to exclude longer runs, so the
+    # fail-safe choice for a scrubber is to over-redact the full run —
+    # never to leave a trailing fragment or skip a real address.
+    "ipv4": (r"\b[0-9]{1,3}(\.[0-9]{1,3}){3,}\b", "<IP>"),
 }
 
 

@@ -236,8 +236,15 @@ def neardup_ngram_jaccard(
         posts = posts.join(F.broadcast(hot), "_s", "left_anti")
     freq = posts.groupBy("_s").agg(F.count(F.lit(1)).alias("_f"))
     w = Window.partitionBy("_id").orderBy(F.col("_f").asc(), F.col("_s").asc())
+    # +1e-9 before floor: (1-t)*n is an IEEE product and lands a hair BELOW
+    # the true value whenever it is mathematically an integer (e.g. t=0.8,
+    # n=5 -> 0.999...8, floor 0 instead of 1) — the lemma then gets a prefix
+    # one element short and can MISS a qualifying pair. One extra prefix
+    # element only adds candidates; one missing breaks exactness.
     prefix_len = (
-        F.floor((F.lit(1.0) - F.lit(threshold)) * F.col("_n")).cast("int")
+        F.floor(
+            (F.lit(1.0) - F.lit(threshold)) * F.col("_n") + F.lit(1e-9)
+        ).cast("int")
         + F.lit(1)
     )
     prefix = (
@@ -361,8 +368,15 @@ def neardup_incremental(
     w = Window.partitionBy("_side", "_id").orderBy(
         F.col("_f").asc(), F.col("_s").asc()
     )
+    # +1e-9 before floor: (1-t)*n is an IEEE product and lands a hair BELOW
+    # the true value whenever it is mathematically an integer (e.g. t=0.8,
+    # n=5 -> 0.999...8, floor 0 instead of 1) — the lemma then gets a prefix
+    # one element short and can MISS a qualifying pair. One extra prefix
+    # element only adds candidates; one missing breaks exactness.
     prefix_len = (
-        F.floor((F.lit(1.0) - F.lit(threshold)) * F.col("_n")).cast("int")
+        F.floor(
+            (F.lit(1.0) - F.lit(threshold)) * F.col("_n") + F.lit(1e-9)
+        ).cast("int")
         + F.lit(1)
     )
     prefix = (

@@ -230,14 +230,22 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_scrub_sql_expr(col: str = "text") -> str:
+    """DuckDB regexp_replace chain equivalent of pii_scrub — single source
+    for every oracle that embeds the scrub (pattern/order changes apply
+    everywhere at once)."""
+    scrub = col
+    for pat, token in T.PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return scrub
+
+
 def pii_scrub_sql() -> str:
     counts = {
         k: f"len(regexp_extract_all(text, '{pat}'))"
         for k, (pat, _) in T.PII_PATTERNS.items()
     }
-    scrub = "text"
-    for pat, token in T.PII_PATTERNS.values():
-        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    scrub = _pii_scrub_sql_expr()
     total = " + ".join(counts.values())
     count_cols = ", ".join(
         f"CAST({expr} AS INTEGER) AS n_{k}" for k, expr in counts.items()
@@ -358,16 +366,15 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def curation_funnel_sql() -> str:
-    from checkatron_spark.corpus import GOPHER_QUALITY_SQL
+    from checkatron_spark.corpus import (
+        GOPHER_QUALITY_SQL,
+        strip_boilerplate_ctes,
+    )
     from checkatron_spark.sampling import _duck_uniform
 
-    scrub = "text"
-    for pat, token in T.PII_PATTERNS.values():
-        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
-    fp = (
-        "md5(trim(regexp_replace(regexp_replace(lower(text), "
-        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
-    )
+    # every building block reused from its owning oracle — the funnel must
+    # drift together with the component operators, never apart from them
+    scrub = _pii_scrub_sql_expr()
     u = _duck_uniform("doc_id", "funnel-v1")
     return rf"""
 WITH gate AS (
@@ -379,21 +386,7 @@ s1 AS (
 s2 AS (
     SELECT doc_id, lang, {scrub} AS text FROM s1
 ),
-w AS (
-    SELECT doc_id, string_split(text, ' ') AS w FROM s2
-),
-starts AS (
-    SELECT doc_id, w, unnest(range(0, (len(w) - 1) // 3 + 1)) AS i FROM w
-),
-chunks AS (
-    SELECT doc_id, CAST(i AS INTEGER) AS cid,
-           array_to_string(list_slice(w, CAST(i * 3 + 1 AS INTEGER),
-                                      CAST(i * 3 + 3 AS INTEGER)), ' ') AS chunk
-    FROM starts
-),
-docfreq AS (
-    SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
-),
+{strip_boilerplate_ctes("s2")},
 rebuilt AS (
     SELECT c.doc_id,
            COALESCE(string_agg(c.chunk, ' ' ORDER BY c.cid)
@@ -408,7 +401,7 @@ s3 AS (
 ),
 s4 AS (
     SELECT doc_id, lang, text FROM (
-        SELECT *, row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+        SELECT *, row_number() OVER (PARTITION BY {_FP} ORDER BY doc_id) AS rn
         FROM s3
     ) WHERE rn = 1
 ),

@@ -33,11 +33,17 @@ def test_pii_scrub_positive_matches(spark):
 
 def test_pii_scrub_boundary_negatives(spark):
     # \b guards: digits glued to more digits are NOT an SSN/phone; a
-    # 4-octet-looking version string inside a longer dotted run is not an IP
+    # dotted run LONGER than 4 octets (version/section number) is consumed
+    # whole — over-redaction is the fail-safe direction, a partial match
+    # leaving '<IP>.5' fragments would be worse than either extreme
     r = _pii_row(spark, "not ssn 1234-56-7890 phone 555.123.4567 v 1.2.3.4.5")
     assert r["ssn"] == 0
     assert r["phone"] == 1  # dotted phone matches phone, not ipv4
     assert "1234-56-7890" in r["clean"]
+    assert r["ipv4"] == 1 and r["clean"].endswith("v <IP>")
+    # two adjacent genuine IPs both redact (no boundary-consumption miss)
+    r2 = _pii_row(spark, "hosts 10.0.0.1 10.0.0.2 up")
+    assert r2["ipv4"] == 2 and r2["clean"] == "hosts <IP> <IP> up"
 
 
 def test_pii_scrub_is_noop_on_clean_text(spark):
@@ -217,3 +223,41 @@ def test_temperature_sample_null_group_is_a_group(spark):
     assert sorted((r.k, r.g) for r in kept) == sorted(rows)
     assert sorted(temperature_sample(df, "k", "g", budget_frac=1.0).columns) \
         == ["g", "k"]
+
+
+def test_prefix_filter_integer_boundary_t08(spark):
+    """Regression: floor((1-0.8)*5) computes floor(0.999...8) = 0 in IEEE
+    arithmetic, shortening the lemma's prefix by one exactly when (1-t)*n
+    is an integer. Construction that MISSED before the epsilon fix: new
+    doc's shingle set X (|X|=4) vs base doc X ∪ {u} (|X∪{u}|=5, Jaccard
+    exactly 0.8); u is unique, so it sorts first in the base's
+    rarest-first order and a 1-element prefix is {u} — disjoint from the
+    new doc's prefix, no candidate, pair lost."""
+    from checkatron_spark.operators.dedup import (
+        neardup_incremental,
+        neardup_ngram_jaccard,
+    )
+
+    # with n=1 the shingle set IS the word set: new = 4 shared words,
+    # base = the same 4 plus a unique 5th
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    base = spark.createDataFrame(
+        [(100, "alpha beta gamma delta unique")], ["doc_id", "text"]
+    )
+    pairs = neardup_incremental(
+        new, base, "text", "doc_id", n=1, threshold=0.8
+    ).collect()
+    assert [(p.new_id, p.base_id) for p in pairs] == [(1, 100)]
+    assert abs(pairs[0].jaccard - 0.8) < 1e-12
+
+    # same boundary through the self-join variant
+    both = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta unique")],
+        ["doc_id", "text"],
+    )
+    self_pairs = neardup_ngram_jaccard(
+        both, "text", "doc_id", n=1, threshold=0.8
+    ).collect()
+    assert [(p.id_a, p.id_b) for p in self_pairs] == [(1, 2)]

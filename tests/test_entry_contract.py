@@ -126,6 +126,15 @@ def test_stale_green_detection(monkeypatch):
     files = entrymod._query_source_files(full["diff_orders"])
     assert any(f.endswith("workloads.py") for f in files)
     assert any("operators" in f for f in files)
+    # function-LOCAL imports must be traced too: curation_funnel pulls
+    # corpus/sampling inside its body, stream_admission_gate pulls
+    # functions/text — missing them would leave their stale greens
+    # undetectable, the exact hazard the mechanism exists for
+    funnel = entrymod._query_source_files(full["curation_funnel"])
+    assert any(f.endswith("corpus.py") for f in funnel)
+    assert any(f.endswith("sampling.py") for f in funnel)
+    gate = entrymod._query_source_files(full["stream_admission_gate"])
+    assert any(f.endswith("functions/text.py") for f in gate)
     # git failure must degrade to "nothing stale", never crash queries()
     import subprocess
 
