@@ -261,3 +261,42 @@ def test_prefix_filter_integer_boundary_t08(spark):
         both, "text", "doc_id", n=1, threshold=0.8
     ).collect()
     assert [(p.id_a, p.id_b) for p in self_pairs] == [(1, 2)]
+
+
+def test_null_fold_parity_with_duckdb(spark, duck):
+    """The NULL-text fold must agree ACROSS ENGINES, not just within Spark:
+    strip_boilerplate and gopher_quality_profile graded against their
+    oracles on a corpus that contains NULL and empty text."""
+    from checkatron_spark.corpus import (
+        GOPHER_QUALITY_SQL,
+        STRIP_BOILERPLATE_SQL,
+        gopher_quality_profile,
+        strip_boilerplate,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "the a shared tile words here shared tile words extra"),
+        (4, "other doc with shared tile words inside it too yes"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    duck.sql("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    duck.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+    got = sorted(
+        (r.doc_id, r.clean_text, r.n_chunks, r.n_removed)
+        for r in strip_boilerplate(docs, k=3, min_docs=2).collect()
+    )
+    want = sorted(
+        tuple(t) for t in duck.sql(STRIP_BOILERPLATE_SQL).fetchall()
+    )
+    assert got == want and len(got) == 4  # NULL doc present on BOTH sides
+
+    gq = gopher_quality_profile(docs)
+    cols = gq.columns
+    got2 = sorted(tuple(r[c] for c in cols) for r in gq.collect())
+    res = duck.sql(GOPHER_QUALITY_SQL)
+    idx = [res.columns.index(c) for c in cols]
+    want2 = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
+    assert got2 == want2
