@@ -215,6 +215,7 @@ _CHECK_LAST = [
     "neardup_incremental_batch",
     "curation_funnel",
     "stream_admission_gate",
+    "neardup_hybrid_semantic",
 ]
 
 

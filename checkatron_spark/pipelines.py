@@ -913,6 +913,56 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.45
 """
 
 
+def q_neardup_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid (SemDeDup-style) near-dup report: cheap text-shingle
+    candidates first — the exact prefix-filtered Jaccard join at a LOW
+    recall threshold — then every candidate pair re-scored with embedding
+    cosine, emitting both signals plus the semantic confirmation flag. The
+    two-stage shape is the modern semantic-dedup pipeline: the lexical
+    stage bounds candidate count (work ∝ shared content, never all-pairs
+    over the corpus), the embedding stage only ever scores those
+    candidates. Emitted as a REPORT (caller filters on the flag): on these
+    fixtures text duplicates are not embedding duplicates, and a pipeline
+    must see both scores to tune its thresholds.
+
+    Plan: candidate join as neardup_ngram_jaccard; embeddings join back on
+    each side's id (two hash joins); cosine is the sequential-fold dot
+    product shared with the ANN operators — bit-identical to the oracle's
+    list_reduce."""
+    from checkatron_spark.operators.similarity import cosine
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    cand = D.neardup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.3)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(cos, 6).alias("cosine_sim"),
+            (cos >= 0.9).alias("semantic_confirmed"),
+        )
+    )
+
+
+def neardup_hybrid_sql() -> str:
+    return f"""
+WITH pairs AS ({neardup_jaccard_sql(0.3)})
+SELECT p.id_a, p.id_b, p.jaccard,
+       round({_cos_sql('ea.embedding', 'eb.embedding')}, 6) AS cosine_sim,
+       ({_cos_sql('ea.embedding', 'eb.embedding')}) >= 0.9
+         AS semantic_confirmed
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.id_a
+JOIN embeddings eb ON eb.vec_id = p.id_b
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate LSH ANN. 16 OR-amplified tables with unit bucket length
     reach measured recall 1.0 vs brute force on the fixtures (candidate
@@ -1511,6 +1561,7 @@ QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "neardup_minhash_lsh": q_neardup_minhash,
     "neardup_simhash": q_neardup_simhash,
+    "neardup_hybrid_semantic": q_neardup_hybrid,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "neardup_embedding_cosine": q_neardup_embedding,
     "ann_lsh_topk": q_ann_lsh,
@@ -1557,6 +1608,7 @@ def oracles() -> dict[str, str]:
         # fixtures and graded against their exact twins' SQL
         "neardup_minhash_lsh": MINHASH_ORACLE_SQL,
         "neardup_simhash": SIMHASH_ORACLE_SQL,
+        "neardup_hybrid_semantic": neardup_hybrid_sql(),
         "ann_lsh_topk": ANN_BRUTEFORCE_SQL,
         "ann_ivf_topk": ANN_BRUTEFORCE_SQL,
         "sketch_users_daily": SKETCH_USERS_SQL,
