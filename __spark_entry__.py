@@ -189,34 +189,18 @@ def _q_orders_filtered(spark, sf_dir):
 # THIS round (a stale green that cannot wait behind the backlog). Entries
 # that are already green AND unchanged can be pruned each round; leaving
 # them costs a window slot, nothing else.
-_CHECK_FIRST = [
-    # implementations changed this round (de-funnelled top-k, skew-safe
-    # docfreq, sharded packing) — their round-1/3 greens are stale, re-grade
-    "q3_top_revenue_orders",
-    "q21_sole_late_supplier",
-    "dup_ngram_profile",
-    "pack_sequences_budget",
-    # (q10_returned_items also changed but has never been green, so the
-    # auto-rotation fronts it anyway)
-    #
+_CHECK_FIRST: list[str] = [
+    # (round 5: empty — the round-4 stale greens re-graded green in r04, and
+    # the two oracle-layer fixes this round, qty_price_corr and
+    # curation_funnel, have never been hash-green so the auto-rotation
+    # fronts them without an override)
 ]
 
-# Queries DECLARED this round: they sit at the END of the never-checked
-# segment so the round-3 backlog (corpus profiles, media/stream/sampling
-# stragglers — waiting since last round) grades first instead of being
-# displaced by module merge order. Remove entries once they earn a green
-# row (harmless to leave: a green row demotes them anyway).
-_CHECK_LAST = [
-    "sample_temperature_mix",
-    "strip_boilerplate",
-    "gopher_quality_profile",
-    "pii_scrub_profile",
-    "dedup_incremental_status",
-    "neardup_incremental_batch",
-    "curation_funnel",
-    "stream_admission_gate",
-    "neardup_hybrid_semantic",
-]
+# Queries declared in the CURRENT round sit at the END of the never-checked
+# segment so an older backlog grades first instead of being displaced by
+# module merge order. Round 5: empty — the round-4 backlog is exactly the
+# 10 never-checked queries and they all fit in one 50-slot window.
+_CHECK_LAST: list[str] = []
 
 
 def _greens_on_disk() -> dict[str, str]:
@@ -224,10 +208,19 @@ def _greens_on_disk() -> dict[str, str]:
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     green: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+
+    def _round_no(p: str) -> int:
+        # numeric, not lexicographic: r100 must sort after r11, else the
+        # "latest green" winner is wrong once rounds reach three digits
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    paths = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    for path in sorted(paths, key=_round_no):
         try:
             with open(path) as f:
                 rows = json.load(f)

@@ -219,7 +219,10 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior is pinned by unit tests on crafted strings. Zero-shuffle
     regexp projection — scrubbing 100 TB is a scan."""
     docs = load_table(spark, "documents", sf_dir)
-    t = F.col("text")
+    # NULL-fold before scrubbing: Spark's size(regexp_extract_all(NULL)) is
+    # -1 (legacy sizeOfNull) vs DuckDB's NULL — cleaning must never yield
+    # NULL, same principle as strip_boilerplate/gopher_quality_profile
+    t = F.coalesce(F.col("text"), F.lit(""))
     counts = {k: T.pii_count(t, k) for k in T.PII_PATTERNS}
     total = sum(counts.values())
     return docs.select(
@@ -241,11 +244,12 @@ def _pii_scrub_sql_expr(col: str = "text") -> str:
 
 
 def pii_scrub_sql() -> str:
+    # coalesce mirrors the Spark side's NULL fold (see q_pii_scrub)
     counts = {
-        k: f"len(regexp_extract_all(text, '{pat}'))"
+        k: f"len(regexp_extract_all(coalesce(text, ''), '{pat}'))"
         for k, (pat, _) in T.PII_PATTERNS.items()
     }
-    scrub = _pii_scrub_sql_expr()
+    scrub = _pii_scrub_sql_expr("coalesce(text, '')")
     total = " + ".join(counts.values())
     count_cols = ", ".join(
         f"CAST({expr} AS INTEGER) AS n_{k}" for k, expr in counts.items()
@@ -419,11 +423,11 @@ s5 AS (
 )
 SELECT 0 AS stage_idx, 'ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars FROM documents
-UNION ALL SELECT 1, 'gopher_gate', COUNT(*), COALESCE(SUM(length(text)), 0) FROM s1
-UNION ALL SELECT 2, 'pii_scrub', COUNT(*), COALESCE(SUM(length(text)), 0) FROM s2
-UNION ALL SELECT 3, 'boilerplate_strip', COUNT(*), COALESCE(SUM(length(text)), 0) FROM s3
-UNION ALL SELECT 4, 'exact_dedup', COUNT(*), COALESCE(SUM(length(text)), 0) FROM s4
-UNION ALL SELECT 5, 'temperature_mix', COUNT(*), COALESCE(SUM(length(text)), 0) FROM s5
+UNION ALL SELECT 1, 'gopher_gate', COUNT(*), CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) FROM s1
+UNION ALL SELECT 2, 'pii_scrub', COUNT(*), CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'boilerplate_strip', COUNT(*), CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'exact_dedup', COUNT(*), CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) FROM s4
+UNION ALL SELECT 5, 'temperature_mix', COUNT(*), CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) FROM s5
 """
 
 
@@ -629,7 +633,7 @@ _BENCH_U = (
 
 DECONTAMINATE_SQL = rf"""
 WITH w AS (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w FROM documents
 ),
 sh AS (
     SELECT doc_id,
@@ -659,7 +663,7 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_jaccard_sql(threshold: float = 0.8) -> str:
     return r"""
 WITH w AS (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w FROM documents
 ),
 docs AS (
     SELECT doc_id,
@@ -732,7 +736,7 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEARDUP_INCREMENTAL_SQL = r"""
 WITH w AS (
-    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w FROM documents
 ),
 docs AS (
     SELECT doc_id,

@@ -52,10 +52,15 @@ _FEED_CACHE: dict[tuple[str, str, str], str] = {}
 def _cached_feed(spark: SparkSession, key: str, sf_dir: str, delta) -> str:
     """Write ``delta`` as a 4-file changefeed once per (app, key, sf_dir);
     later calls replay the existing parquet."""
+    import os
     import tempfile
 
     cache_key = (spark.sparkContext.applicationId, key, sf_dir)
     feed = _FEED_CACHE.get(cache_key)
+    if feed is not None and not os.path.isdir(feed):
+        # /tmp may be reaped under a long-lived app — re-write, don't hand
+        # the stream a vanished path
+        feed = None
     if feed is None:
         work = tempfile.mkdtemp(prefix=f"stream_{key}_")
         feed = f"{work}/feed"

@@ -544,7 +544,7 @@ def q_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QTY_PRICE_CORR_SQL = """
-SELECT l_returnflag, n,
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
        round((n * sqp - sq * sp)
              / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
            AS qty_price_corr

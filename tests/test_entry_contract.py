@@ -154,3 +154,27 @@ def test_every_query_has_an_oracle():
     osql = set(entrymod.oracle_sql())
     assert qs - osql == set(), f"queries without oracle: {sorted(qs - osql)}"
     assert osql - qs == set(), f"orphan oracles: {sorted(osql - qs)}"
+
+
+def test_no_risky_oracle_output_types(duck_views):
+    # The driver hashes values at the Arrow level, so a DuckDB output column
+    # typed HUGEINT/UHUGEINT/DECIMAL can NEVER bit-match the Spark side's
+    # BIGINT/DOUBLE — the classic trap is a bare SUM(BIGINT) (-> HUGEINT),
+    # especially inside one branch of a UNION ALL where DuckDB widens the
+    # union column to the supremum over ALL branches (the round-4
+    # curation_funnel bug). Static scan: con.sql() is lazy, so this types
+    # every oracle without executing anything. No Spark needed.
+    risky = {}
+    for name, sql in sorted(entrymod.oracle_sql().items()):
+        rel = duck_views.sql(sql)
+        bad = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))
+        ]
+        if bad:
+            risky[name] = bad
+    assert risky == {}, (
+        "oracle output columns with no bit-identical Spark counterpart "
+        f"(cast them to BIGINT/DOUBLE in the SQL): {risky}"
+    )
