@@ -366,7 +366,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         + [n for n in rest if n in stale]  # changed since green -> re-grade
         + [n for n in rest if n in green and n not in stale]  # proven
     )
-    return {n: full[n] for n in ordered_names}
+    return {n: _with_scratch_release(full[n]) for n in ordered_names}
+
+
+def _with_scratch_release(fn):
+    """Unpersist the PREVIOUS query's scratch frames when the next query
+    starts: operators persist intermediates their caller still needs at
+    collect time, so the only safe release point in the driver's
+    run-150-queries-in-one-JVM session is the start of the next call
+    (session.release_scratch — by then the prior result has been drained,
+    the current query hasn't cached anything yet)."""
+    import functools
+
+    from checkatron_spark.session import release_scratch
+
+    @functools.wraps(fn)
+    def _wrapped(spark, sf_dir):
+        release_scratch()
+        return fn(spark, sf_dir)
+
+    return _wrapped
 
 
 def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -83,7 +83,7 @@ def dup_ngram_profile(
 
     Returns (doc_id, n_shingles, n_dup, dup_fraction) — one row per
     document that has at least one shingle."""
-    from pyspark.storagelevel import StorageLevel
+    from checkatron_spark.session import scratch_persist
 
     words = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -94,7 +94,7 @@ def dup_ngram_profile(
     shingles = (
         words.select("doc_id", F.explode(_word_ngrams("_w", n)).alias("shingle"))
         .distinct()  # document frequency, not occurrence frequency
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(scratch_persist)
     )
     # Document frequency via groupBy + join-back, NOT count-over-window:
     # a window partitioned on shingle sends every posting of a hot shingle

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
+from checkatron_spark.session import scratch_persist
 
 from checkatron_spark.functions.text import fingerprint
 
@@ -224,7 +224,7 @@ def neardup_ngram_jaccard(
     docs = df.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), n).alias("_sh"),
-    ).withColumn("_n", F.size("_sh")).persist(StorageLevel.MEMORY_AND_DISK)
+    ).withColumn("_n", F.size("_sh")).transform(scratch_persist)
     posts = docs.select("_id", "_n", F.explode("_sh").alias("_s"))
     if max_shingle_freq is not None:
         hot = (
@@ -252,7 +252,7 @@ def neardup_ngram_jaccard(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
         .select("_id", "_s")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(scratch_persist)
     )
     cand = (
         prefix.alias("pa")
@@ -361,7 +361,7 @@ def neardup_incremental(
             "_side", "_id", shingles(F.col("_t"), n).alias("_sh")
         )
         .withColumn("_n", F.size("_sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(scratch_persist)
     )
     posts = docs.select("_side", "_id", "_n", F.explode("_sh").alias("_s"))
     freq = posts.groupBy("_s").agg(F.count(F.lit(1)).alias("_f"))
@@ -384,7 +384,7 @@ def neardup_incremental(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
         .select("_side", "_id", "_s")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(scratch_persist)
     )
     cand = (
         prefix.filter(F.col("_side") == 0)
@@ -455,7 +455,7 @@ def neardup_minhash_lsh(
     feats = tf.transform(docs).filter(F.col("_sh") != F.array())
     # both sides of the self-join and the LSH fit consume feats — persist so
     # the scan + shingling + HashingTF pipeline runs once, not three times
-    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    feats = feats.transform(scratch_persist)
     mh = MinHashLSH(
         inputCol="_features", outputCol="_sig", numHashTables=num_hashes,
         seed=seed,
@@ -530,7 +530,7 @@ def neardup_simhash(
     # persisted frame is just (id, 60-bit bigint), a few bytes per doc
     fp = df.select(
         F.col(id_col).alias("_id"), simhash64(text_col).alias("_fp")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(scratch_persist)
     bands = fp.select(
         "_id",
         "_fp",

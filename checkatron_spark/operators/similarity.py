@@ -368,10 +368,10 @@ def ivf_topk(
         # is deliberate: consumers run lazily after return, so there is no
         # safe unpersist point — oversized frames spill instead of evicting
         # a sibling query's cache under LRU pressure.
-        from pyspark.storagelevel import StorageLevel
+        from checkatron_spark.session import scratch_persist
 
-        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
-        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        assigned = assigned.transform(scratch_persist)
+        scored = scored.transform(scratch_persist)
         # index-time per-cell angular radius: max angle(member, centroid)
         # == acos(min cosine). One agg over the corpus, n_cells rows out.
         # _EPS absorbs the acos/cos round-trip error (~1e-8 rad near

@@ -324,7 +324,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from checkatron_spark.corpus import gopher_quality_profile, strip_boilerplate
     from checkatron_spark.sampling import temperature_sample
 
-    from pyspark.storagelevel import StorageLevel
+    from checkatron_spark.session import scratch_persist
 
     docs = load_table(spark, "documents", sf_dir)
     keep_ids = gopher_quality_profile(docs).filter("keep").select("doc_id")
@@ -335,16 +335,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # five redundant corpus passes)
     s2 = s1.select(
         "doc_id", "lang", T.pii_scrub(F.col("text")).alias("text")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(scratch_persist)
     stripped = strip_boilerplate(s2, k=3, min_docs=2).filter(
         F.col("clean_text") != ""
     )
     s3 = stripped.join(s2.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", F.col("clean_text").alias("text")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(scratch_persist)
     s4 = D.dedup_keyed(
         s3.withColumn("_fp", T.fingerprint(F.col("text"))), ["_fp"], "doc_id"
-    ).select("doc_id", "lang", "text").persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("doc_id", "lang", "text").transform(scratch_persist)
     s5 = temperature_sample(
         s4, "doc_id", "lang", budget_frac=0.8, salt="funnel-v1"
     ).select("doc_id", "lang", "text")

@@ -44,3 +44,41 @@ def get_spark(app_name: str = "checkatron_spark", cpus: str | int | None = None)
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
+
+
+# ---------------------------------------------------------------------------
+# Scratch-cache registry: operators persist intermediate frames that are
+# consumed several times WITHIN one query's DAG (shingle tables, LSH
+# features, funnel stages).  The frames have no terminal action inside the
+# operator — the caller collects — so the operator can't unpersist them
+# itself.  Left alone they accumulate in the CacheManager across a long
+# driver session (150 queries, one JVM).  Operators register through
+# scratch_persist(); release_scratch() drops everything registered so far
+# and is invoked at the START of every __spark_entry__ queries() call —
+# the previous query has been collected by then, the current one hasn't
+# persisted anything yet.
+# ---------------------------------------------------------------------------
+
+_SCRATCH: list = []
+
+
+def scratch_persist(df, level=None):
+    """persist() + register for release before the next contract query."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    _SCRATCH.append(df)
+    return df
+
+
+def release_scratch() -> int:
+    """Unpersist every registered scratch frame; returns how many."""
+    n = 0
+    while _SCRATCH:
+        df = _SCRATCH.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:  # noqa: BLE001  (dead session — nothing to free)
+            pass
+    return n

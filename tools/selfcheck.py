@@ -87,7 +87,13 @@ def main() -> int:
     ap.add_argument("--exact", action="store_true",
                     help="no float rounding + flag HUGEINT/DECIMAL oracle "
                          "output columns (driver bit-hash emulation)")
+    ap.add_argument("--allow", default=None,
+                    help="comma-separated queries EXPECTED to diverge at "
+                         "this SF (e.g. the HLL sketches outside their "
+                         "set/coupon regime, see SCALE.md 'Aggregation'); "
+                         "a mismatch is reported ALLOW, not FAIL")
     args = ap.parse_args()
+    allowed = set(args.allow.split(",")) if args.allow else set()
 
     import __spark_entry__ as entry
     from checkatron_spark.session import get_spark
@@ -157,6 +163,8 @@ def main() -> int:
                 print(f"      duck : {dn[bad] if bad >= 0 else '?'}")
         if ok:
             print(f"OK    {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+        elif name in allowed:
+            print(f"ALLOW {name}: expected divergence at this SF")
         else:
             failures.append(name)
 
