@@ -43,6 +43,7 @@ __all__ = [
     "simhash64",
     "neardup_simhash",
     "connected_components",
+    "dedup_corpus",
 ]
 
 
@@ -624,3 +625,35 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_iter: int = 25,
+) -> DataFrame:
+    """End-to-end near-dup removal — the artifact a training pipeline
+    actually consumes: near-dup pairs (prefix-filtered n-gram jaccard) ->
+    connected components -> keep ONE representative per cluster -> the
+    surviving corpus rows, all columns intact.
+
+    The representative is free: ``connected_components`` labels every node
+    with its component's minimum id, so "keep min-id per cluster" is just
+    ``id == cluster_id`` — no extra aggregation. The final semi-join back
+    to the corpus shuffles only ids against full rows (one exchange on
+    ``id_col``); pair generation and clustering never carry the text
+    payload, so at 100 TB the heavy stages move shingle/label tuples, not
+    documents.
+    """
+    pairs = neardup_ngram_jaccard(
+        docs, text_col, id_col, n=n, threshold=threshold
+    )
+    labels = connected_components(
+        docs.select(id_col), pairs, id_col=id_col, max_iter=max_iter
+    )
+    keep = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

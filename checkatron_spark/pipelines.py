@@ -799,6 +799,38 @@ SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def q_dedup_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal (operators/dedup.py dedup_corpus): pair
+    graph -> connected components -> keep the min-id member per cluster ->
+    surviving corpus rows with all columns. The deliverable a training
+    pipeline consumes — everything upstream of the final semi-join moves
+    shingle/label tuples only, never the text payload."""
+    return D.dedup_corpus(
+        load_table(spark, "documents", sf_dir), "text", "doc_id",
+        n=3, threshold=0.8,
+    )
+
+
+DEDUP_CORPUS_E2E_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({NEARDUP_JACCARD_SQL}) t),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.* FROM documents d
+JOIN lab ON d.doc_id = lab.node
+WHERE lab.node = lab.cluster_id
+"""
+
+
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic MinHash-LSH near-dup (no SQL oracle: hash family is
     Spark-side). Exact ground truth = q_neardup_jaccard.
@@ -1563,6 +1595,7 @@ QUERIES = {
     "fuzzy_part_names": q_fuzzy_part_names,
     "decontaminate_corpus": q_decontaminate,
     "neardup_clusters": q_neardup_clusters,
+    "dedup_corpus_e2e": q_dedup_corpus_e2e,
     "neardup_minhash_lsh": q_neardup_minhash,
     "neardup_simhash": q_neardup_simhash,
     "neardup_hybrid_semantic": q_neardup_hybrid,
@@ -1608,6 +1641,7 @@ def oracles() -> dict[str, str]:
         "fuzzy_part_names": FUZZY_PART_SQL,
         "decontaminate_corpus": DECONTAMINATE_SQL,
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,
+        "dedup_corpus_e2e": DEDUP_CORPUS_E2E_SQL,
         # probabilistic operators are tuned to measured recall 1.0 on the
         # fixtures and graded against their exact twins' SQL
         "neardup_minhash_lsh": MINHASH_ORACLE_SQL,

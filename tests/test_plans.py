@@ -237,3 +237,20 @@ def test_generated_sql_runs_on_spark_itself(spark):
         assert a == b
     finally:
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", prev)
+
+
+def test_apply_delta_broadcasts_churn(spark):
+    """SCALE.md 'CDC patch': the delta side of apply_delta is churn-sized,
+    so AQE must broadcast it and the base snapshot is never shuffled for
+    the anti join — at 100 TB a sort-merge anti join here would shuffle
+    the whole base to drop 1% of its keys. Static planning can't see the
+    delta's size (it descends from a join), so the pin is on the FINAL
+    adaptive plan after execution, not the initial one."""
+    df = entrymod.queries()["apply_delta_roundtrip"](spark, SF_DIR)
+    df.collect()  # finalize AQE (count() would plan a separate execution)
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan, plan[:500]
+    final = plan.split("== Initial Plan ==")[0]
+    anti_joins = [ln for ln in final.splitlines() if "LeftAnti" in ln]
+    assert anti_joins, final
+    assert all("BroadcastHashJoin" in ln for ln in anti_joins), anti_joins
