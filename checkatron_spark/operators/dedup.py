@@ -44,6 +44,7 @@ __all__ = [
     "neardup_simhash",
     "connected_components",
     "dedup_corpus",
+    "substring_dup_pairs",
 ]
 
 
@@ -657,3 +658,81 @@ def dedup_corpus(
     )
     keep = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 40,
+    w: int = 10,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Exact-substring near-dup candidates via WINNOWING fingerprints
+    (Schleimer et al., SIGMOD'03 — the MOSS document-fingerprinting
+    scheme; the long-verbatim-overlap signal of suffix-array training-data
+    dedup, re-expressed as a bounded fingerprint join).
+
+    Per doc: hash every character ``k``-gram (md5 prefix as 60-bit
+    bigint — engine-portable, so the DuckDB oracle recomputes identical
+    values), then keep the MINIMUM hash of each window of ``w``
+    consecutive positions (docs with fewer than ``w`` grams keep one
+    global min). Guarantee: two docs sharing any exact substring of
+    length >= k + w - 1 share at least one selected fingerprint, and a
+    shared fingerprint IS a shared k-char substring (the hash preimage),
+    not a probabilistic signal. Catches boilerplate/quotation overlap
+    between documents that word-level jaccard dilutes below threshold.
+
+    Scale shape: fingerprints per doc ~ len/w (the winnowing density
+    bound), the self-join shuffles on the fingerprint value — work is
+    proportional to shared content, never all-pairs. ``max_fp_freq``
+    drops ultra-hot fingerprints (site-wide boilerplate) from the index,
+    the same skew guard as ``max_shingle_freq``.
+
+    Returns (id_a, id_b, n_shared_fps) with id_a < id_b.
+    """
+    from pyspark.sql.types import ArrayType as _Arr
+    from pyspark.sql.types import LongType as _Long
+
+    @F.pandas_udf(_Arr(_Long()))
+    def _fps(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = []
+        for t in texts:
+            s = t or ""
+            ng = len(s) - k + 1
+            if ng <= 0:
+                out.append([])
+                continue
+            h = [
+                int(
+                    hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()[:15],
+                    16,
+                )
+                for i in range(ng)
+            ]
+            sel = {min(h[p : p + w]) for p in range(max(ng - w, 0) + 1)}
+            out.append(sorted(sel))
+        return pd.Series(out)
+
+    fps = df.select(
+        F.col(id_col).alias("_id"), F.explode(_fps(F.col(text_col))).alias("fp")
+    )
+    if max_fp_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a = fps.select(F.col("_id").alias("id_a"), "fp")
+    b = fps.select(F.col("_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )

@@ -831,6 +831,46 @@ WHERE lab.node = lab.cluster_id
 """
 
 
+def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing exact-substring near-dup (operators/dedup.py
+    substring_dup_pairs): docs sharing a verbatim character run of
+    >= k + w - 1 = 49 chars are guaranteed a shared fingerprint; each
+    shared fingerprint is a witnessed shared 40-char substring. The
+    long-verbatim-overlap signal word-level jaccard dilutes away."""
+    return D.substring_dup_pairs(
+        load_table(spark, "documents", sf_dir), "text", "doc_id", k=40, w=10
+    )
+
+
+SUBSTRING_DUP_SQL = """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+pos AS (
+    SELECT doc_id, text, unnest(range(1, length(text) - 40 + 2)) AS pos
+    FROM t WHERE length(text) >= 40
+),
+grams AS (
+    SELECT doc_id, pos,
+           ('0x' || substring(md5(substring(text, pos, 40)), 1, 15))::BIGINT AS h
+    FROM pos
+),
+win AS (
+    SELECT doc_id, pos,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id) AS ng
+    FROM grams
+),
+fps AS (
+    SELECT DISTINCT doc_id, fp FROM win
+    WHERE pos <= greatest(ng - 10 + 1, 1)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic MinHash-LSH near-dup (no SQL oracle: hash family is
     Spark-side). Exact ground truth = q_neardup_jaccard.
@@ -1596,6 +1636,7 @@ QUERIES = {
     "decontaminate_corpus": q_decontaminate,
     "neardup_clusters": q_neardup_clusters,
     "dedup_corpus_e2e": q_dedup_corpus_e2e,
+    "substring_dup_pairs": q_substring_dup_pairs,
     "neardup_minhash_lsh": q_neardup_minhash,
     "neardup_simhash": q_neardup_simhash,
     "neardup_hybrid_semantic": q_neardup_hybrid,
@@ -1642,6 +1683,7 @@ def oracles() -> dict[str, str]:
         "decontaminate_corpus": DECONTAMINATE_SQL,
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,
         "dedup_corpus_e2e": DEDUP_CORPUS_E2E_SQL,
+        "substring_dup_pairs": SUBSTRING_DUP_SQL,
         # probabilistic operators are tuned to measured recall 1.0 on the
         # fixtures and graded against their exact twins' SQL
         "neardup_minhash_lsh": MINHASH_ORACLE_SQL,

@@ -1,0 +1,73 @@
+"""Winnowing exact-substring dedup: positive/negative guarantees on crafted
+strings (the fixture corpus only proves the realistic path), the density
+bound, and the hot-fingerprint skew guard."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from checkatron_spark.operators.dedup import substring_dup_pairs
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _rand(n, seed):
+    rng = random.Random(seed)
+    return "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(n))
+
+
+def test_guaranteed_detection_above_k_plus_w(spark):
+    # two otherwise-random docs sharing one verbatim run of k + w - 1 = 49
+    # chars: the winnowing guarantee says at least one shared fingerprint
+    shared = _rand(49, seed=7)
+    rows = [
+        (1, _rand(120, seed=1) + shared + _rand(120, seed=2)),
+        (2, _rand(120, seed=3) + shared + _rand(120, seed=4)),
+        (3, _rand(300, seed=5)),  # bystander
+    ]
+    out = substring_dup_pairs(_docs(spark, rows), "text", "doc_id", k=40, w=10)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_no_pairs_without_shared_substring(spark):
+    rows = [(i, _rand(300, seed=100 + i)) for i in range(6)]
+    out = substring_dup_pairs(_docs(spark, rows), "text", "doc_id", k=40, w=10)
+    assert out.count() == 0
+
+
+def test_short_and_empty_docs_yield_no_fingerprints(spark):
+    rows = [(1, ""), (2, "short"), (3, "x" * 39), (4, None)]
+    out = substring_dup_pairs(_docs(spark, rows), "text", "doc_id", k=40, w=10)
+    assert out.count() == 0
+
+
+def test_identical_docs_share_all_fingerprints(spark):
+    text = _rand(300, seed=42)
+    out = substring_dup_pairs(
+        _docs(spark, [(1, text), (2, text)]), "text", "doc_id", k=40, w=10
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # density bound: winnowing selects ~ng/w distinct mins; identical docs
+    # share every one, and there must be at least ceil(ng/w) of them
+    ng = len(text) - 40 + 1
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.n_shared_fps >= ng // 10
+
+
+def test_max_fp_freq_drops_boilerplate(spark):
+    # the same 49-char boilerplate in EVERY doc -> its fingerprints hit all
+    # 5 docs; capping fp frequency below that removes the all-pairs clique
+    shared = _rand(49, seed=9)
+    rows = [(i, _rand(100, seed=200 + i) + shared) for i in range(5)]
+    dense = substring_dup_pairs(_docs(spark, rows), "text", "doc_id", k=40, w=10)
+    assert dense.count() == 10  # 5 choose 2
+    capped = substring_dup_pairs(
+        _docs(spark, rows), "text", "doc_id", k=40, w=10, max_fp_freq=3
+    )
+    assert capped.count() == 0
