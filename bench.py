@@ -82,6 +82,10 @@ HEADLINE = [
     "strip_boilerplate",
     "neardup_incremental_batch",
     "curation_funnel",
+    # round-5 dedup additions (keep-list e2e = pairs + clustering + semi-
+    # join composed; winnowing = char-gram hash UDF + fingerprint join)
+    "dedup_corpus_e2e",
+    "substring_dup_pairs",
 ]
 
 
