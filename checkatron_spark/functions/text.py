@@ -30,6 +30,7 @@ __all__ = [
     "normalize_text",
     "pii_count",
     "pii_scrub",
+    "hashed_linear_score",
     "PII_PATTERNS",
     "STOPWORDS",
     "LANG_MARKERS",
@@ -239,3 +240,35 @@ def pii_scrub(col: Column) -> Column:
     for pattern, token in PII_PATTERNS.values():
         out = F.regexp_replace(out, pattern, token)
     return out
+
+
+def hashed_linear_score(col: Column, *, n_buckets: int = 1024) -> Column:
+    """Linear classifier inference over hashing-trick bag-of-words — the
+    fasttext-style quality-scorer shape: token -> md5 bucket -> weight ->
+    mean. A pure JVM expression chain (split + transform + aggregate
+    fold), so scoring 100 TB is a scan with the "model" riding along as a
+    closed-form weight function; swapping in real trained weights means
+    broadcasting a weight array and indexing it in the same fold — the
+    plan is unchanged, which is the point.
+
+    Determinism across engines: the bucket is the first 8 md5 hex digits
+    as an integer mod ``n_buckets``, the weight is pure bigint arithmetic
+    (Knuth multiplicative hash mod 2000, shifted to [-1, 1)), and the
+    mean is one double division at the end — every step is bit-portable
+    to the DuckDB oracle. NULL folds to '' (one ''-token, like SQL
+    split), honoring the cleaning-never-yields-NULL rule."""
+    toks = F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+")
+
+    def _weight(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+            % n_buckets
+        )
+        return (
+            ((bucket * F.lit(2654435761)) % 2000).cast("double") / 1000.0
+            - 1.0
+        )
+
+    w_arr = F.transform(toks, _weight)
+    s = F.aggregate(w_arr, F.lit(0.0), lambda acc, v: acc + v)
+    return F.round(s / F.size(w_arr), 6)

@@ -33,6 +33,7 @@ __all__ = [
     "ann_lsh_topk",
     "ivf_topk",
     "fit_ivf_quantizer",
+    "decontaminate_semantic",
 ]
 
 
@@ -488,4 +489,53 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank",
                 F.round("cosine_sim", 6).alias("cosine_sim"))
+    )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SEMANTIC decontamination: corpus items whose embedding is too close
+    to any evaluation/benchmark item (cosine >= threshold) — the
+    paraphrase-leakage complement of the n-gram `decontaminate` pass,
+    which only catches verbatim overlap.
+
+    Same broadcast shape as the lexical pass: eval sets are tiny relative
+    to the corpus, so the benchmark vectors BROADCAST and the corpus side
+    is one scan — each corpus row scored against the (in-memory) benchmark
+    set, then a per-item aggregate. No corpus-sized shuffle; at 100 TB the
+    cost is |corpus| x |benchmark| fused into the scan. Compiles to a
+    broadcast nested loop with the similarity predicate pushed into the
+    join — deliberate probe-all against the small build side, the same
+    class as ``ann_bruteforce_topk`` (plan-pinned in tests/test_plans.py's
+    BNLJ allow-list).
+
+    Returns (id_col, n_bench_hits, max_bench_sim) for contaminated items
+    only; anti-join the corpus against it to clean.
+    """
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        dv.alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    b = benchmark.select(
+        dv.alias("_bv"),
+        l2_norm(F.col(vec_col)).alias("_bn"),
+    )
+    sim = dot(F.col("_cv"), F.col("_bv")) / (F.col("_cn") * F.col("_bn"))
+    return (
+        c.crossJoin(F.broadcast(b))
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= threshold)
+        .groupBy(F.col("_cid").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            F.round(F.max("_sim"), 6).alias("max_bench_sim"),
+        )
     )

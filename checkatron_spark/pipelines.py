@@ -260,6 +260,40 @@ def pii_scrub_sql() -> str:
     )
 
 
+def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring at scale (functions/text.py
+    hashed_linear_score): fasttext-shaped linear inference over
+    hashing-trick bag-of-words, entirely JVM-side — the 100 TB plan is a
+    zero-shuffle scan with the weights riding along (here a closed-form
+    weight function; a trained model is a broadcast array in the same
+    fold)."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(t), r"\s+")).alias("n_tokens"),
+        T.hashed_linear_score(F.col("text")).alias("quality_linear"),
+    )
+
+
+_W_SQL = (
+    "(('0x' || substring(md5(t), 1, 8))::BIGINT % 1024) "
+    "* 2654435761 % 2000 / 1000.0 - 1.0"
+)
+
+QUALITY_LINEAR_SQL = rf"""
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       round(list_reduce(list_transform(toks, t -> {_W_SQL}),
+                         (x, y) -> x + y) / len(toks), 6) AS quality_linear
+FROM (
+    SELECT doc_id,
+           string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+    FROM documents
+)
+"""
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone: the full corpus-assembly pipeline in ONE dataflow —
     curation gate (quality/stopword/lang-id) -> exact content dedup
@@ -967,6 +1001,28 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (operators/similarity.py
+    decontaminate_semantic): ~5% of embeddings (vec_id % 20) play the eval
+    set; corpus vectors with cosine >= 0.3 to ANY eval vector are reported
+    as paraphrase-leakage suspects. Eval vectors broadcast — the corpus is
+    scanned once, never shuffled."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    return S.decontaminate_semantic(corpus, bench, threshold=0.3)
+
+
+DECONTAMINATE_SEMANTIC_SQL = f"""
+WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id % 20 = 0),
+c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id % 20 <> 0),
+s AS (SELECT vec_id, {_cos_sql('cv', 'bv')} AS sim FROM c, b)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+       round(MAX(sim), 6) AS max_bench_sim
+FROM s WHERE sim >= 0.3 GROUP BY vec_id
+"""
+
+
 def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via the DISTRIBUTED per-block self-join: blocking
     on the ``label`` column (a cluster id — the stand-in for an LSH bucket /
@@ -1637,6 +1693,8 @@ QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "dedup_corpus_e2e": q_dedup_corpus_e2e,
     "substring_dup_pairs": q_substring_dup_pairs,
+    "decontaminate_semantic": q_decontaminate_semantic,
+    "quality_linear_score": q_quality_linear,
     "neardup_minhash_lsh": q_neardup_minhash,
     "neardup_simhash": q_neardup_simhash,
     "neardup_hybrid_semantic": q_neardup_hybrid,
@@ -1684,6 +1742,8 @@ def oracles() -> dict[str, str]:
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,
         "dedup_corpus_e2e": DEDUP_CORPUS_E2E_SQL,
         "substring_dup_pairs": SUBSTRING_DUP_SQL,
+        "decontaminate_semantic": DECONTAMINATE_SEMANTIC_SQL,
+        "quality_linear_score": QUALITY_LINEAR_SQL,
         # probabilistic operators are tuned to measured recall 1.0 on the
         # fixtures and graded against their exact twins' SQL
         "neardup_minhash_lsh": MINHASH_ORACLE_SQL,

@@ -113,6 +113,9 @@ def test_no_cartesian_in_any_query(spark):
     allowed_bnl = {
         "ann_bruteforce_topk", "neardup_embedding_cosine", "ann_ivf_topk",
         "tfidf_top_terms",
+        # probe-all against the broadcast eval set IS the semantics (tiny
+        # build side, similarity predicate pushed into the join)
+        "decontaminate_semantic",
         # scalar-subquery shape: 1-row broadcast build side + inequality
         # predicate (bal*n > sum). O(n) probe — the BNLJ is against ONE row.
         # (q15's crossJoin-a-scalar compiles to BroadcastHashJoin instead
