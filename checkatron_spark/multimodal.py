@@ -450,19 +450,26 @@ def _media_neardup_sql() -> str:
         "list_reduce(list_transform(range(1, len({a}) + 1), "
         "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
     )
-    dot = fold.format(a="ha", b="hb")
-    na = "sqrt(" + fold.format(a="ha", b="ha") + ")"
-    nb = "sqrt(" + fold.format(a="hb", b="hb") + ")"
-    cos = f"({dot}) / (({na}) * ({nb}))"
+    # histograms and norms are MATERIALIZED per document before the pair
+    # join: the original per-pair formulation recomputed the char-split
+    # histogram (and the whole cosine, twice) for every one of the
+    # O(sum block^2) pairs — fine at sf0.01, a multi-hour stall at sf0.1.
+    # Same expressions, same bits, evaluated once per doc instead.
+    dot = fold.format(a="a.hv", b="b.hv")
     return f"""
-WITH v AS (
+WITH h AS MATERIALIZED (
+  SELECT doc_id, lang, {_media_hist_sql('documents')} AS hv FROM documents
+),
+hn AS MATERIALIZED (
+  SELECT doc_id, lang, hv, sqrt({fold.format(a="hv", b="hv")}) AS nrm FROM h
+),
+v AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         {_media_hist_sql('a')} AS ha, {_media_hist_sql('b')} AS hb
-  FROM documents a JOIN documents b
-    ON a.lang = b.lang AND a.doc_id < b.doc_id
+         ({dot}) / (a.nrm * b.nrm) AS cos
+  FROM hn a JOIN hn b ON a.lang = b.lang AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, round({cos}, 6) AS cosine_sim
-FROM v WHERE {cos} >= 0.995
+SELECT id_a, id_b, round(cos, 6) AS cosine_sim
+FROM v WHERE cos >= 0.995
 """
 
 
