@@ -71,3 +71,57 @@ def test_max_fp_freq_drops_boilerplate(spark):
         _docs(spark, rows), "text", "doc_id", k=40, w=10, max_fp_freq=3
     )
     assert capped.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# property tests vs a pure-python mirror (same recipe as tests/
+# test_properties.py: hypothesis generates corpora, the mirror recomputes
+# the exact expected pair set)
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _mirror_fps(s: str, k: int, w: int) -> set[int]:
+    ng = len(s) - k + 1
+    if ng <= 0:
+        return set()
+    h = [
+        int(hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()[:15], 16)
+        for i in range(ng)
+    ]
+    return {min(h[p : p + w]) for p in range(max(ng - w, 0) + 1)}
+
+
+@st.composite
+def corpora(draw):
+    alphabet = "ab "  # tiny alphabet -> real collisions/overlaps happen
+    n_docs = draw(st.integers(2, 5))
+    return [
+        (i, draw(st.text(alphabet=alphabet, min_size=0, max_size=40)))
+        for i in range(n_docs)
+    ]
+
+
+@given(corpora())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pairs_match_python_mirror(spark, docs):
+    k, w = 8, 3
+    expected = {}
+    fps = {i: _mirror_fps(t, k, w) for i, t in docs}
+    for i, _ in docs:
+        for j, _ in docs:
+            if i < j and fps[i] & fps[j]:
+                expected[(i, j)] = len(fps[i] & fps[j])
+    out = substring_dup_pairs(
+        _docs(spark, docs), "text", "doc_id", k=k, w=w
+    ).collect()
+    got = {(r.id_a, r.id_b): r.n_shared_fps for r in out}
+    assert got == expected
