@@ -44,6 +44,7 @@ __all__ = [
     "repetition_profile",
     "vocab_coverage",
     "strip_boilerplate",
+    "strip_repeated_sentences",
     "gopher_quality_profile",
     "corpus_card",
     "QUERIES",
@@ -680,6 +681,64 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def strip_repeated_sentences(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """WITHIN-document self-repetition strip (the C4/Gopher post-processing
+    pass that drops consecutively duplicated lines): split into trimmed
+    non-empty '.'-sentences, drop each sentence equal to its immediate
+    predecessor, rejoin. Purely per-row array algebra — zero shuffles,
+    scrubbing 100 TB is a scan.
+
+    The predecessor comparison avoids Spark's index-0 ``element_at`` trap
+    by zipping the sentence array against a null-prepended shifted copy
+    (``zip_with`` pads the shorter side, so empty docs fall out clean).
+    NULL folds to '' per the cleaning-never-yields-NULL rule."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sents = F.filter(
+        F.transform(F.split(t, r"\."), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(sents, 1, F.greatest(F.size(sents) - 1, F.lit(0))),
+    )
+    kept = F.filter(
+        F.zip_with(sents, prev, lambda c, p: F.when(p.isNull() | (c != p), c)),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(sents).alias("n_sentences"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, ". ").alias("clean_text"),
+    )
+
+
+def q_strip_repeated_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return strip_repeated_sentences(load_table(spark, "documents", sf_dir))
+
+
+STRIP_REPEATED_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(coalesce(text, ''), '.'),
+                                    x -> trim(x)), x -> x <> '') AS sents
+  FROM documents
+),
+k AS (
+  SELECT doc_id, sents,
+         list_filter(sents,
+                     (x, i) -> i = 1 OR x IS DISTINCT FROM sents[i-1]) AS kept
+  FROM s
+)
+SELECT doc_id, CAST(len(sents) AS INTEGER) AS n_sentences,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       array_to_string(kept, '. ') AS clean_text
+FROM k
+"""
+
+
 def strip_boilerplate_ctes(source: str, k: int = 3) -> str:
     """The tile/docfreq CTE block of the strip_boilerplate oracle,
     parameterized by source relation so the curation-funnel oracle reuses
@@ -760,6 +819,7 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "corpus_snapshot_drift": corpus_snapshot_drift,
     "strip_boilerplate": q_strip_boilerplate,
+    "strip_repeated_sentences": q_strip_repeated_sentences,
     "gopher_quality_profile": q_gopher_quality,
 }
 
@@ -774,5 +834,6 @@ def oracles() -> dict[str, str]:
         "vocab_coverage": VOCAB_COVERAGE_SQL,
         "corpus_snapshot_drift": corpus_snapshot_drift_oracle_sql(),
         "strip_boilerplate": STRIP_BOILERPLATE_SQL,
+        "strip_repeated_sentences": STRIP_REPEATED_SQL,
         "gopher_quality_profile": GOPHER_QUALITY_SQL,
     }

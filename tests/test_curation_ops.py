@@ -300,3 +300,46 @@ def test_null_fold_parity_with_duckdb(spark, duck):
     idx = [res.columns.index(c) for c in cols]
     want2 = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
     assert got2 == want2
+
+
+# ---------------------------------------------------------------------------
+# within-document self-repetition strip (round 5) — positive paths the
+# word-salad fixtures never hit
+# ---------------------------------------------------------------------------
+
+def _strip_rep(spark, text):
+    from checkatron_spark.corpus import strip_repeated_sentences
+
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    return strip_repeated_sentences(df).collect()[0]
+
+
+def test_consecutive_repeats_dropped_nonconsecutive_kept(spark):
+    r = _strip_rep(spark, "buy now. buy now. quality text. buy now.")
+    assert (r.n_sentences, r.n_kept) == (4, 3)
+    assert r.clean_text == "buy now. quality text. buy now"
+
+
+def test_run_of_identical_sentences_collapses_to_one(spark):
+    r = _strip_rep(spark, "spam. spam. spam. spam. spam.")
+    assert (r.n_sentences, r.n_kept) == (5, 1)
+    assert r.clean_text == "spam"
+
+
+def test_clean_doc_untouched(spark):
+    r = _strip_rep(spark, "one. two. three.")
+    assert (r.n_sentences, r.n_kept) == (3, 3)
+    assert r.clean_text == "one. two. three"
+
+
+def test_empty_and_null_docs(spark):
+    for text in ("", None, " . . "):
+        r = _strip_rep(spark, text)
+        assert (r.n_sentences, r.n_kept, r.clean_text) == (0, 0, "")
+
+
+def test_whitespace_variants_count_as_repeats(spark):
+    # trimming happens before comparison, so '  spam ' == 'spam'
+    r = _strip_rep(spark, "spam.   spam . end.")
+    assert (r.n_sentences, r.n_kept) == (3, 2)
+    assert r.clean_text == "spam. end"
