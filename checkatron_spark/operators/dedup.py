@@ -717,9 +717,12 @@ def substring_dup_pairs(
             out.append(sorted(sel))
         return pd.Series(out)
 
+    # both self-join sides (and the optional hot-fp count) consume fps —
+    # persist so the winnowing UDF runs ONCE, not once per consumer
+    # (measured 2x at sf0.1; the frame is (id, bigint), bytes per doc)
     fps = df.select(
         F.col(id_col).alias("_id"), F.explode(_fps(F.col(text_col))).alias("fp")
-    )
+    ).transform(scratch_persist)
     if max_fp_freq is not None:
         hot = (
             fps.groupBy("fp")
