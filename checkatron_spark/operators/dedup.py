@@ -636,6 +636,7 @@ def dedup_corpus(
     n: int = 3,
     threshold: float = 0.8,
     max_iter: int = 25,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup removal — the artifact a training pipeline
     actually consumes: near-dup pairs (prefix-filtered n-gram jaccard) ->
@@ -649,10 +650,16 @@ def dedup_corpus(
     ``id_col``); pair generation and clustering never carry the text
     payload, so at 100 TB the heavy stages move shingle/label tuples, not
     documents.
+
+    Pass ``pairs=`` to swap the pair generator (any frame with id_a/id_b —
+    e.g. ``substring_dup_pairs`` for verbatim-overlap dedup, or
+    ``neardup_minhash_lsh`` when even prefix joins run hot); the default
+    is the exact prefix-filtered n-gram jaccard join.
     """
-    pairs = neardup_ngram_jaccard(
-        docs, text_col, id_col, n=n, threshold=threshold
-    )
+    if pairs is None:
+        pairs = neardup_ngram_jaccard(
+            docs, text_col, id_col, n=n, threshold=threshold
+        )
     labels = connected_components(
         docs.select(id_col), pairs, id_col=id_col, max_iter=max_iter
     )

@@ -905,6 +905,36 @@ GROUP BY 1, 2
 """
 
 
+def q_dedup_corpus_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-list dedup driven by the winnowing pair generator: documents
+    sharing long verbatim runs collapse to one representative (the
+    pairs= seam of operators/dedup.py dedup_corpus — same clustering and
+    semi-join, different similarity signal)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.substring_dup_pairs(docs, "text", "doc_id", k=40, w=10)
+    return D.dedup_corpus(docs, "text", "doc_id", pairs=pairs)
+
+
+DEDUP_CORPUS_SUBSTRING_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({SUBSTRING_DUP_SQL}) t),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.* FROM documents d
+JOIN lab ON d.doc_id = lab.node
+WHERE lab.node = lab.cluster_id
+"""
+
+
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic MinHash-LSH near-dup (no SQL oracle: hash family is
     Spark-side). Exact ground truth = q_neardup_jaccard.
@@ -1695,6 +1725,7 @@ QUERIES = {
     "substring_dup_pairs": q_substring_dup_pairs,
     "decontaminate_semantic": q_decontaminate_semantic,
     "quality_linear_score": q_quality_linear,
+    "dedup_corpus_substring": q_dedup_corpus_substring,
     "neardup_minhash_lsh": q_neardup_minhash,
     "neardup_simhash": q_neardup_simhash,
     "neardup_hybrid_semantic": q_neardup_hybrid,
@@ -1744,6 +1775,7 @@ def oracles() -> dict[str, str]:
         "substring_dup_pairs": SUBSTRING_DUP_SQL,
         "decontaminate_semantic": DECONTAMINATE_SEMANTIC_SQL,
         "quality_linear_score": QUALITY_LINEAR_SQL,
+        "dedup_corpus_substring": DEDUP_CORPUS_SUBSTRING_SQL,
         # probabilistic operators are tuned to measured recall 1.0 on the
         # fixtures and graded against their exact twins' SQL
         "neardup_minhash_lsh": MINHASH_ORACLE_SQL,
