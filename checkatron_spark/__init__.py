@@ -22,9 +22,11 @@ from checkatron_spark.operators.asof import asof_join
 from checkatron_spark.operators.dedup import (
     connected_components,
     decontaminate,
+    dedup_corpus,
     dedup_incremental,
     fuzzy_pairs_blocked,
     neardup_incremental,
+    substring_dup_pairs,
 )
 from checkatron_spark.operators.diff import DiffSpec, diff, diff_from_spec
 from checkatron_spark.operators.incremental import (
@@ -108,6 +110,8 @@ __all__ = [
     "connected_components",
     "decode_status",
     "decontaminate",
+    "dedup_corpus",
+    "substring_dup_pairs",
     "dedup_incremental",
     "neardup_incremental",
     "deterministic_sample",
