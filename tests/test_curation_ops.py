@@ -343,3 +343,79 @@ def test_whitespace_variants_count_as_repeats(spark):
     r = _strip_rep(spark, "spam.   spam . end.")
     assert (r.n_sentences, r.n_kept) == (3, 2)
     assert r.clean_text == "spam. end"
+
+
+# ---------------------------------------------------------------------------
+# round-5 scorer/decontamination edge paths (fixtures: no NULLs, no
+# orthogonal/identical embedding pairs — craft them)
+# ---------------------------------------------------------------------------
+
+def test_hashed_linear_score_null_and_empty_fold_identically(spark):
+    from checkatron_spark.functions.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "id int, text string"
+    ).select("id", hashed_linear_score(F.col("text")).alias("q"))
+    rows = {r.id: r.q for r in df.collect()}
+    # NULL -> '' -> the [''] token: all three rows score the ''-bucket weight
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[1] is not None and -1.0 <= rows[1] < 1.0
+
+
+def test_hashed_linear_score_is_token_order_invariant_mean(spark):
+    from checkatron_spark.functions.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha"), (3, "alpha alpha")],
+        "id int, text string",
+    ).select("id", hashed_linear_score(F.col("text")).alias("q"))
+    rows = {r.id: r.q for r in df.collect()}
+    # mean of two weights: order must not matter (sequential fold of the
+    # same two doubles — commutative only because we assert the rounded
+    # mean, and a+b == b+a exactly for two doubles)
+    assert rows[1] == rows[2]
+    assert rows[3] != rows[1]  # different bag -> different score (whp)
+
+
+def test_decontaminate_semantic_hits_and_misses(spark):
+    from checkatron_spark.operators.similarity import decontaminate_semantic
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: r for r in
+           decontaminate_semantic(corpus, bench, threshold=0.8).collect()}
+    assert set(out) == {1, 3}           # 2 is orthogonal -> clean
+    assert out[1].max_bench_sim == 1.0  # identical direction
+    assert out[1].n_bench_hits == 1
+
+
+def test_decontaminate_semantic_empty_benchmark(spark):
+    from checkatron_spark.operators.similarity import decontaminate_semantic
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    bench = corpus.filter("vec_id < 0")
+    assert decontaminate_semantic(corpus, bench).count() == 0
+
+
+def test_dedup_corpus_custom_pairs_seam(spark):
+    from checkatron_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 6)], "doc_id int, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a int, id_b int"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_corpus(docs, "text", "doc_id", pairs=pairs).collect()
+    )
+    # components {1,2,3} and {4,5} keep their min ids
+    assert kept == [1, 4]
