@@ -86,6 +86,7 @@ HEADLINE = [
     # join composed; winnowing = char-gram hash UDF + fingerprint join)
     "dedup_corpus_e2e",
     "substring_dup_pairs",
+    "neardup_minhash_banded",
 ]
 
 
