@@ -45,6 +45,7 @@ __all__ = [
     "neardup_simhash",
     "connected_components",
     "dedup_corpus",
+    "split_by_cluster",
     "substring_dup_pairs",
 ]
 
@@ -836,3 +837,41 @@ def neardup_minhash_banded(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def split_by_cluster(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    salt: str = "split-cluster-v1",
+    max_iter: int = 25,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment: split by near-dup CLUSTER,
+    not by document, so two near-duplicates can never straddle a split
+    boundary (the eval-contamination failure mode of naive per-doc
+    splitting — a val doc whose twin sits in train).
+
+    Same composition seam as :func:`dedup_corpus`: pairs (any generator
+    via ``pairs=``) -> connected components -> the deterministic
+    ``split_assign`` hash draw keyed on ``cluster_id`` — every member of a
+    component inherits the same draw by construction, and singletons
+    reduce to the ordinary per-doc split (their cluster_id is their own
+    id). Adds ``cluster_id`` and ``split`` columns; one id-keyed join
+    against the corpus, exactly like the keep-list dedup.
+    """
+    from checkatron_spark.sampling import split_assign
+
+    if pairs is None:
+        pairs = neardup_ngram_jaccard(
+            docs, text_col, id_col, n=n, threshold=threshold
+        )
+    labels = connected_components(
+        docs.select(id_col), pairs, id_col=id_col, max_iter=max_iter
+    )
+    assigned = split_assign(labels, "cluster_id", weights, salt=salt)
+    return docs.join(assigned, id_col)

@@ -951,6 +951,44 @@ WHERE lab.node = lab.cluster_id
 """
 
 
+def q_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split (operators/dedup.py split_by_cluster):
+    the hash draw is keyed on the near-dup CLUSTER id, so twins always
+    land in the same split — the eval-contamination guard naive per-doc
+    splitting lacks."""
+    return D.split_by_cluster(
+        load_table(spark, "documents", sf_dir), "text", "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "cluster_id", "split")
+
+
+_CLUSTER_U = (
+    "CAST(('0x' || substring(md5('split-cluster-v1' || ':' || "
+    "CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0"
+)
+
+SPLIT_BY_CLUSTER_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({NEARDUP_JACCARD_SQL}) t),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       CASE WHEN {_CLUSTER_U} < 0.8 THEN 'train'
+            WHEN {_CLUSTER_U} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM lab
+"""
+
+
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probabilistic MinHash-LSH near-dup (no SQL oracle: hash family is
     Spark-side). Exact ground truth = q_neardup_jaccard.
@@ -1743,6 +1781,7 @@ QUERIES = {
     "quality_linear_score": q_quality_linear,
     "dedup_corpus_substring": q_dedup_corpus_substring,
     "neardup_minhash_banded": q_neardup_minhash_banded,
+    "split_by_cluster": q_split_by_cluster,
     "neardup_minhash_lsh": q_neardup_minhash,
     "neardup_simhash": q_neardup_simhash,
     "neardup_hybrid_semantic": q_neardup_hybrid,
@@ -1794,6 +1833,7 @@ def oracles() -> dict[str, str]:
         "quality_linear_score": QUALITY_LINEAR_SQL,
         "dedup_corpus_substring": DEDUP_CORPUS_SUBSTRING_SQL,
         "neardup_minhash_banded": MINHASH_BANDED_SQL,
+        "split_by_cluster": SPLIT_BY_CLUSTER_SQL,
         # probabilistic operators are tuned to measured recall 1.0 on the
         # fixtures and graded against their exact twins' SQL
         "neardup_minhash_lsh": MINHASH_ORACLE_SQL,

@@ -32,3 +32,31 @@ def test_long_path_converges(spark):
         for r in connected_components(nodes, pairs).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_split_by_cluster_never_straddles_pairs(spark):
+    from checkatron_spark.operators.dedup import split_by_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 30)], "doc_id int, text string"
+    )
+    # three components: {1,2,3}, {10,11}, {20,21,22,23}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a int, id_b int",
+    )
+    out = split_by_cluster(
+        docs, "text", "doc_id",
+        {"train": 0.5, "val": 0.25, "test": 0.25}, pairs=pairs,
+    ).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert len(by_doc) == 29
+    # the leakage guarantee: every pair shares a split (and a cluster)
+    for a, b in [(1, 2), (2, 3), (1, 3), (10, 11), (20, 23)]:
+        assert by_doc[a].split == by_doc[b].split
+        assert by_doc[a].cluster_id == by_doc[b].cluster_id
+    # draws are per-CLUSTER: singleton clusters hash on their own id
+    assert by_doc[5].cluster_id == 5
+    # all three split names reachable over 24 clusters (whp for this salt;
+    # deterministic, so this is a fixed fact of the fixture, not flaky)
+    assert {r.split for r in out} == {"train", "val", "test"}
