@@ -184,8 +184,11 @@ def q_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curation_filter_sql() -> str:
-    quality = """
+def _quality_sql_expr() -> str:
+    """DuckDB twin of functions/text.py quality_score — the single source
+    for every oracle that embeds the heuristic (curation_filter, the
+    per-source percentile gate)."""
+    return """
     greatest(least(
         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
         + least((CASE WHEN len({toks}) = 0 THEN 0.0
@@ -196,6 +199,10 @@ def curation_filter_sql() -> str:
                       / CAST(length(text) AS DOUBLE) END) * 2.0, 1.0) * 0.25,
     1.0), 0.0)
     """.format(toks=_TOKS, stops=_STOPS)
+
+
+def curation_filter_sql() -> str:
+    quality = _quality_sql_expr()
     stop_ratio = (
         f"CASE WHEN len({_TOKS}) = 0 THEN 0.0 "
         f"ELSE CAST(len(list_filter({_TOKS}, t -> t IN ({_STOPS}))) AS DOUBLE)"
@@ -291,6 +298,53 @@ FROM (
            string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
     FROM documents
 )
+"""
+
+
+def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality calibration (the FineWeb observation: a global
+    quality threshold over-prunes some domains and under-prunes others):
+    rank every document's quality score WITHIN its source and keep the top
+    60%. percent_rank is made deterministic by the (quality, doc_id) total
+    order — no ties, so both engines agree bit-for-bit.
+
+    100 TB shape: one hash shuffle on source, then an external (spillable)
+    per-source sort for the window — the same cost class as any
+    per-group ranking. If a single source dominates the corpus, the
+    drop-in alternative is a two-pass threshold: per-source
+    approx_percentile (tiny agg) broadcast back as a filter, trading
+    exactness at the boundary for a scan-speed second pass."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    scored = docs.select(
+        "doc_id", "source", T.quality_score(t).alias("_q")
+    )
+    w = Window.partitionBy("source").orderBy("_q", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        F.round(F.col("_q"), 6).alias("quality"),
+        F.round(F.percent_rank().over(w), 6).alias("pctl"),
+    )
+    return ranked.filter(F.col("pctl") >= 0.4)
+
+
+def quality_percentile_gate_sql() -> str:
+    # coalesce(text,'') folded via the documents scan so the quality expr
+    # (which names `text` bare) sees the same NULL-free input as Spark
+    return f"""
+SELECT doc_id, source, round(q, 6) AS quality, round(pctl, 6) AS pctl
+FROM (
+    SELECT doc_id, source, q,
+           percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id)
+               AS pctl
+    FROM (
+        SELECT doc_id, source, {_quality_sql_expr()} AS q
+        FROM (SELECT doc_id, source, coalesce(text, '') AS text
+              FROM documents)
+    )
+)
+WHERE round(pctl, 6) >= 0.4
 """
 
 
@@ -1779,6 +1833,7 @@ QUERIES = {
     "substring_dup_pairs": q_substring_dup_pairs,
     "decontaminate_semantic": q_decontaminate_semantic,
     "quality_linear_score": q_quality_linear,
+    "quality_percentile_gate": q_quality_percentile_gate,
     "dedup_corpus_substring": q_dedup_corpus_substring,
     "neardup_minhash_banded": q_neardup_minhash_banded,
     "split_by_cluster": q_split_by_cluster,
@@ -1831,6 +1886,7 @@ def oracles() -> dict[str, str]:
         "substring_dup_pairs": SUBSTRING_DUP_SQL,
         "decontaminate_semantic": DECONTAMINATE_SEMANTIC_SQL,
         "quality_linear_score": QUALITY_LINEAR_SQL,
+        "quality_percentile_gate": quality_percentile_gate_sql(),
         "dedup_corpus_substring": DEDUP_CORPUS_SUBSTRING_SQL,
         "neardup_minhash_banded": MINHASH_BANDED_SQL,
         "split_by_cluster": SPLIT_BY_CLUSTER_SQL,

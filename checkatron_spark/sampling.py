@@ -33,6 +33,7 @@ __all__ = [
     "topk_per_group",
     "interleave_sources",
     "temperature_sample",
+    "mix_budget_plan",
     "pack_sequences",
     "QUERIES",
     "oracles",
@@ -497,6 +498,128 @@ WHERE {_duck_uniform("d.doc_id", "temp-v1")} < r.rate
 """
 
 
+def mix_budget_plan(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: Column,
+    weights: dict[str, float],
+    budget: int,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """Token-budget mixture planner: given target mixture ``weights`` per
+    group and a total token ``budget``, compute each group's sampling plan —
+    how many tokens it must contribute (``target_tokens``), the keep rate if
+    it is over-supplied (``sample_rate``), the epoch count if it is
+    under-supplied (capped at ``max_epochs``, the standard repeat-data
+    ceiling), and the shortfall the cap leaves unserved.
+
+    This is the *planning* half of corpus mixing (the *execution* half is
+    temperature_sample / interleave_sources): the output is the tiny
+    per-group table a driver broadcasts to configure the actual sampling
+    pass. One aggregation over the corpus (map-side partial sums on a
+    handful of groups), then arithmetic on G rows — at 100 TB the cost is
+    the token-count scan, nothing else.
+
+    All counters are exact BIGINT arithmetic (integer ceil-div, floor on a
+    single double product) so the plan is bit-identical across engines."""
+    avail = df.groupBy(group_col).agg(
+        F.sum(tokens_col).alias("avail_tokens")
+    )
+    w: Column = F.lit(0.0)
+    for g, frac in weights.items():
+        w = F.when(F.col(group_col) == g, F.lit(frac)).otherwise(w)
+    a, t = F.col("avail_tokens"), F.col("target_tokens")
+    plan = avail.select(
+        group_col,
+        w.alias("weight"),
+        "avail_tokens",
+        F.floor(F.lit(float(budget)) * w).cast("bigint")
+        .alias("target_tokens"),
+    )
+    no_supply = a <= 0
+    return plan.select(
+        group_col,
+        "weight",
+        "avail_tokens",
+        "target_tokens",
+        F.when(no_supply, F.lit(0.0))
+        .otherwise(
+            F.round(F.least(F.lit(1.0), t.cast("double") / a.cast("double")), 6)
+        )
+        .alias("sample_rate"),
+        F.when(no_supply, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(F.lit(max_epochs).cast("bigint"), F.expr(
+                "div(target_tokens + avail_tokens - 1, avail_tokens)"
+            ))
+        )
+        .alias("n_epochs"),
+        F.when(no_supply, F.lit(0).cast("bigint"))
+        .otherwise(F.least(t, a * max_epochs))
+        .alias("served_tokens"),
+        F.when(no_supply, t)
+        .otherwise(F.greatest(F.lit(0).cast("bigint"), t - a * max_epochs))
+        .alias("shortfall_tokens"),
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.5, "es": 0.15, "de": 0.15, "fr": 0.1, "zh": 0.1}
+_MIX_BUDGET = 100_000
+
+
+def q_mix_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture plan for a 100k-token budget: at sf0.01 the corpus
+    under-supplies the big languages (epochs > 1 path); at sf0.1 it
+    over-supplies them (sample_rate < 1 path) — both regimes of the planner
+    are exercised across the grading SFs."""
+    from checkatron_spark.functions import text as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = T.token_count(F.coalesce(F.col("text"), F.lit("")))
+    return mix_budget_plan(
+        docs, "lang", toks, _MIX_WEIGHTS, _MIX_BUDGET, max_epochs=4
+    )
+
+
+def _mix_weight_sql(col: str = "lang") -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN {w}" for g, w in _MIX_WEIGHTS.items()
+    )
+    return f"CASE {col} {cases} ELSE 0.0 END"
+
+
+MIX_BUDGET_SQL = f"""
+WITH avail AS (
+    SELECT lang, CAST(SUM(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                 ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                             '\\s+')) END) AS BIGINT)
+               AS avail_tokens
+    FROM documents GROUP BY lang
+),
+plan AS (
+    SELECT lang, CAST({_mix_weight_sql()} AS DOUBLE) AS weight, avail_tokens,
+           CAST(floor({_MIX_BUDGET}.0 * ({_mix_weight_sql()})) AS BIGINT)
+               AS target_tokens
+    FROM avail
+)
+SELECT lang, weight, avail_tokens, target_tokens,
+       CASE WHEN avail_tokens <= 0 THEN 0.0
+            ELSE round(least(1.0, CAST(target_tokens AS DOUBLE)
+                                  / CAST(avail_tokens AS DOUBLE)), 6)
+       END AS sample_rate,
+       CAST(CASE WHEN avail_tokens <= 0 THEN 0
+            ELSE least(4, (target_tokens + avail_tokens - 1) // avail_tokens)
+       END AS BIGINT) AS n_epochs,
+       CAST(CASE WHEN avail_tokens <= 0 THEN 0
+            ELSE least(target_tokens, avail_tokens * 4)
+       END AS BIGINT) AS served_tokens,
+       CAST(CASE WHEN avail_tokens <= 0 THEN target_tokens
+            ELSE greatest(0, target_tokens - avail_tokens * 4)
+       END AS BIGINT) AS shortfall_tokens
+FROM plan
+"""
+
+
 QUERIES = {
     "sample_deterministic": q_deterministic_sample,
     "sample_stratified": q_stratified_sample,
@@ -506,6 +629,7 @@ QUERIES = {
     "sample_topk_per_group": q_topk_per_group,
     "interleave_sources": q_interleave_sources,
     "sample_temperature_mix": q_temperature_sample,
+    "mix_budget_plan": q_mix_budget_plan,
 }
 
 
@@ -519,4 +643,5 @@ def oracles() -> dict[str, str]:
         "sample_topk_per_group": TOPK_GROUP_SQL,
         "interleave_sources": INTERLEAVE_SQL,
         "sample_temperature_mix": TEMPERATURE_SQL,
+        "mix_budget_plan": MIX_BUDGET_SQL,
     }
