@@ -45,6 +45,7 @@ __all__ = [
     "vocab_coverage",
     "strip_boilerplate",
     "strip_repeated_sentences",
+    "dedup_spans_keep_first",
     "gopher_quality_profile",
     "corpus_card",
     "QUERIES",
@@ -681,6 +682,103 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_spans_keep_first(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+) -> DataFrame:
+    """C4's actual span-dedup semantics — "remove all but ONE occurrence of
+    any span occurring more than once in the dataset" — as opposed to
+    ``strip_boilerplate``, which removes EVERY occurrence of a frequent
+    chunk. Each document is tiled into non-overlapping ``k``-word chunks;
+    for every distinct chunk text the GLOBAL winner is the occurrence with
+    the smallest (doc_id, chunk_idx), which keeps its copy; every other
+    occurrence is dropped and the survivors are reassembled in order.
+
+    Plan: the winner per chunk text is one map-side-combining groupBy with
+    ``min(struct(doc_id, chunk_idx))`` — NOT a row_number window partitioned
+    on chunk (a hot boilerplate chunk would funnel every posting to one
+    reducer with no partial aggregation; min(struct) combines on the map
+    side, so a chunk occurring a billion times costs one struct per input
+    partition). The join back is a standard equi-join on chunk text that AQE
+    can skew-split, then one shuffle on doc_id to rebuild. Work ∝ corpus
+    tokens, nothing collected — survives 100 TB.
+
+    Returns (doc_id, clean_text, n_chunks, n_kept); a document whose every
+    chunk lost its race yields clean_text = ''."""
+    t = f"coalesce({text_col}, '')"
+    tiles = F.expr(
+        f"transform(sequence(0, CAST((size(split({t}, ' ')) - 1) "
+        f"/ {k} AS INT)), i -> array_join(slice(split({t}, ' '), "
+        f"i * {k} + 1, {k}), ' '))"
+    )
+    chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tiles).alias("chunk_idx", "chunk_text"),
+    )
+    winners = chunks.groupBy("chunk_text").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_w")
+    )
+    kept = F.col("_w.doc_id").eqNullSafe(F.col("doc_id")) & F.col(
+        "_w.chunk_idx"
+    ).eqNullSafe(F.col("chunk_idx"))
+    return (
+        chunks.join(winners, "chunk_text")
+        .select("doc_id", "chunk_idx", "chunk_text", kept.alias("_keep"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN _keep "
+                    "THEN struct(chunk_idx, chunk_text) END)), "
+                    "s -> s.chunk_text)"
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+def q_dedup_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_spans_keep_first(load_table(spark, "documents", sf_dir), k=4)
+
+
+DEDUP_SPANS_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
+),
+starts AS (
+  SELECT doc_id, w, unnest(range(0, (len(w) - 1) // 4 + 1)) AS i
+  FROM words
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS cid,
+         array_to_string(list_slice(w, CAST(i * 4 + 1 AS INTEGER),
+                                    CAST(i * 4 + 4 AS INTEGER)), ' ')
+           AS chunk
+  FROM starts
+),
+ranked AS (
+  SELECT doc_id, cid, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cid) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       COALESCE(string_agg(chunk, ' ' ORDER BY cid)
+                  FILTER (WHERE rn = 1), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 def strip_repeated_sentences(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -821,6 +919,7 @@ QUERIES = {
     "strip_boilerplate": q_strip_boilerplate,
     "strip_repeated_sentences": q_strip_repeated_sentences,
     "gopher_quality_profile": q_gopher_quality,
+    "dedup_spans_keep_first": q_dedup_spans_keep_first,
 }
 
 
@@ -836,4 +935,5 @@ def oracles() -> dict[str, str]:
         "strip_boilerplate": STRIP_BOILERPLATE_SQL,
         "strip_repeated_sentences": STRIP_REPEATED_SQL,
         "gopher_quality_profile": GOPHER_QUALITY_SQL,
+        "dedup_spans_keep_first": DEDUP_SPANS_SQL,
     }

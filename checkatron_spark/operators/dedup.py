@@ -140,6 +140,86 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    m_bits: int = 65536,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB shape of ``decontaminate``.
+
+    The exact semi-join ships the benchmark's distinct gram STRINGS to every
+    executor; at a few million eval grams that broadcast is tens of MB of
+    text and the probe is a hash lookup per corpus gram. The Bloom variant
+    compresses the benchmark side to a fixed ``m_bits``-bit mask (8 KiB at
+    the default 2^16) that is embedded in the scan as a literal array of
+    longs: each gram sets/tests ``k`` bit positions derived from the same
+    portable md5 primitive the sampling operators use (first 8 hex chars →
+    uint32, mod m). Probing is pure JVM bit arithmetic inside whole-stage
+    codegen — no join at all on the corpus side, just a scan — at the price
+    of a tunable false-positive rate (≈ (1-e^{-kg/m})^k for g benchmark
+    grams; over-flagging is the SAFE direction for decontamination).
+
+    The driver-side collect is bounded by min(k·|bench grams|, m_bits)
+    integers — the same bounded-collect pattern as the incremental
+    changed-bucket inlining — and is how the mask becomes a broadcast
+    literal instead of a shuffled table.
+
+    Determinism: bit positions are md5-derived on both engines, so the
+    flagged set (false positives included) is bit-identical across Spark
+    and the DuckDB oracle. Returns (id_col, n_flagged_grams) for flagged
+    docs only."""
+    seeds = list(range(k))
+
+    def _pos(gram_col, seed: int):
+        h = F.substring(
+            F.md5(F.concat(gram_col, F.lit(f"#{seed}"))), 1, 8
+        )
+        return F.conv(h, 16, 10).cast("bigint") % m_bits
+
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+    pos_rows = (
+        bench_sh.select(
+            F.array(*[_pos(F.col("s"), i) for i in seeds]).alias("ps")
+        )
+        .select(F.explode("ps").alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in pos_rows:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    # two's-complement fold: Spark longs are signed 64-bit
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bits = F.lit(words)
+
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("s")
+    ).withColumn("_bits", bits)
+    for i in seeds:
+        doc_sh = doc_sh.withColumn(f"_p{i}", _pos(F.col("s"), i))
+    # variable-amount shiftright only exists at the SQL-expression layer
+    # (the python F.shiftright wrapper insists on a literal int amount)
+    flagged = F.lit(True)
+    for i in seeds:
+        flagged = flagged & F.expr(
+            f"(shiftright(element_at(_bits, CAST(_p{i} div 64 AS INT) + 1), "
+            f"CAST(_p{i} % 64 AS INT)) & 1) = 1"
+        )
+    return (
+        doc_sh.filter(flagged)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_flagged_grams"))
+    )
+
+
 def fuzzy_pairs_blocked(
     df: DataFrame,
     id_col: str,

@@ -741,6 +741,67 @@ GROUP BY doc_id
 """
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-mask decontamination over the same 5%/95% bench/corpus split
+    as decontaminate_corpus (operators/dedup.py decontaminate_bloom — the
+    broadcast-bitmask variant whose corpus side is a pure scan). The
+    flagged set is a deterministic superset of the exact semi-join's
+    matches; tests/test_dedup.py pins the no-false-negative property."""
+    from checkatron_spark.sampling import hash_uniform
+
+    docs = load_table(spark, "documents", sf_dir)
+    u = hash_uniform(F.col("doc_id"), "bench-v1")
+    bench = docs.filter(u < 0.05)
+    corpus = docs.filter(u >= 0.05)
+    return D.decontaminate_bloom(corpus, bench, "text", "doc_id")
+
+
+def _bloom_pos_sql(gram: str, seed: int, m_bits: int = 65536) -> str:
+    return (
+        f"(('0x' || substring(md5({gram} || '#{seed}'), 1, 8))::BIGINT "
+        f"% {m_bits})"
+    )
+
+
+DECONTAMINATE_BLOOM_SQL = rf"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w FROM documents
+),
+sh AS (
+    SELECT doc_id,
+        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(w) - 2 + 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        END AS sh
+    FROM w
+),
+u AS (SELECT doc_id, {_BENCH_U} AS u FROM documents),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+bench AS (SELECT DISTINCT s FROM ex JOIN u USING (doc_id) WHERE u < 0.05),
+bpos AS (
+    SELECT DISTINCT pos FROM (
+        SELECT {_bloom_pos_sql("s", 0)} AS pos FROM bench
+        UNION SELECT {_bloom_pos_sql("s", 1)} FROM bench
+        UNION SELECT {_bloom_pos_sql("s", 2)} FROM bench
+    )
+),
+corpus AS (SELECT ex.doc_id, ex.s FROM ex JOIN u USING (doc_id) WHERE u >= 0.05),
+cand AS (
+    SELECT doc_id, s, {_bloom_pos_sql("s", 0)} AS pos FROM corpus
+    UNION ALL SELECT doc_id, s, {_bloom_pos_sql("s", 1)} FROM corpus
+    UNION ALL SELECT doc_id, s, {_bloom_pos_sql("s", 2)} FROM corpus
+),
+hits AS (
+    SELECT doc_id, s, COUNT(*) AS nbits
+    FROM cand JOIN bpos USING (pos)
+    GROUP BY doc_id, s
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_grams
+FROM hits WHERE nbits = 3
+GROUP BY doc_id
+"""
+
+
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_ngram_jaccard(
         load_table(spark, "documents", sf_dir), "text", "doc_id",
@@ -1828,6 +1889,7 @@ QUERIES = {
     "neardup_incremental_batch": q_neardup_incremental,
     "fuzzy_part_names": q_fuzzy_part_names,
     "decontaminate_corpus": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "neardup_clusters": q_neardup_clusters,
     "dedup_corpus_e2e": q_dedup_corpus_e2e,
     "substring_dup_pairs": q_substring_dup_pairs,
@@ -1881,6 +1943,7 @@ def oracles() -> dict[str, str]:
         "neardup_incremental_batch": NEARDUP_INCREMENTAL_SQL,
         "fuzzy_part_names": FUZZY_PART_SQL,
         "decontaminate_corpus": DECONTAMINATE_SQL,
+        "decontaminate_bloom": DECONTAMINATE_BLOOM_SQL,
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,
         "dedup_corpus_e2e": DEDUP_CORPUS_E2E_SQL,
         "substring_dup_pairs": SUBSTRING_DUP_SQL,

@@ -419,3 +419,66 @@ def test_dedup_corpus_custom_pairs_seam(spark):
     )
     # components {1,2,3} and {4,5} keep their min ids
     assert kept == [1, 4]
+
+
+def test_dedup_spans_keeps_exactly_one_occurrence(spark):
+    from checkatron_spark.corpus import dedup_spans_keep_first
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),        # both tiles globally first
+            (2, "a b c d x y z w"),        # loses "a b c d" to doc 1
+            (3, "e f g h"),                # loses its only tile to doc 1
+            (4, "p q r s p q r s"),        # within-doc dup: first copy wins
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in dedup_spans_keep_first(docs, k=4).collect()}
+    assert out[1].clean_text == "a b c d e f g h"
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 2)
+    assert out[2].clean_text == "x y z w"
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 1)
+    assert out[3].clean_text == ""
+    assert (out[3].n_chunks, out[3].n_kept) == (1, 0)
+    assert out[4].clean_text == "p q r s"
+    assert (out[4].n_chunks, out[4].n_kept) == (2, 1)
+
+
+def test_decontaminate_bloom_never_misses_exact_matches(spark):
+    # the Bloom mask may over-flag (false positives) but a gram actually in
+    # the benchmark has all k bits set BY CONSTRUCTION — every exact match
+    # must be flagged, with a per-doc count >= the exact count
+    from checkatron_spark.operators.dedup import decontaminate, decontaminate_bloom
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id int, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma y"),     # shares "alpha beta gamma"
+            (2, "totally unrelated words here"),
+            (3, "beta gamma delta tail more"),
+        ],
+        "doc_id int, text string",
+    )
+    exact = {
+        r.doc_id: r.n_matched_grams
+        for r in decontaminate(corpus, bench, "text", "doc_id").collect()
+    }
+    bloom = {
+        r.doc_id: r.n_flagged_grams
+        for r in decontaminate_bloom(corpus, bench, "text", "doc_id").collect()
+    }
+    assert set(exact) == {1, 3}
+    for doc_id, n in exact.items():
+        assert bloom.get(doc_id, 0) >= n
+
+
+def test_decontaminate_bloom_empty_benchmark(spark):
+    from checkatron_spark.operators.dedup import decontaminate_bloom
+
+    corpus = spark.createDataFrame(
+        [(1, "some words in a row")], "doc_id int, text string"
+    )
+    bench = corpus.filter("doc_id < 0")
+    assert decontaminate_bloom(corpus, bench, "text", "doc_id").count() == 0
