@@ -1200,6 +1200,72 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_kmeans_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-arithmetic Lloyd k-means (operators/kmeans.py) over the
+    embeddings table: 8 clusters, 3 rounds, 1e4 quantization grid — the
+    reproducible domain-discovery assignment a corpus pipeline caches as a
+    split / dedup-blocking key."""
+    from checkatron_spark.operators.kmeans import kmeans_assign
+
+    return kmeans_assign(
+        load_table(spark, "embeddings", sf_dir), k=8, iters=3, scale=10000
+    )
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 10000) -> str:
+    """Unrolled Lloyd CTE chain mirroring operators/kmeans.py bit-for-bit:
+    BIGINT grid distances, min(dist*k+cid) argmin encoding, one IEEE double
+    division + floor(x+0.5) per re-quantized centroid component."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, len(x) + 1), "
+        "i -> (x[i] - m[i]) * (x[i] - m[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""xq AS (
+  SELECT vec_id,
+         list_transform(embedding, v ->
+             CAST(floor(CAST(v AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS x
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         x AS m
+  FROM (SELECT vec_id, x FROM xq ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS (
+  SELECT xq.vec_id, xq.x, min({dist} * {k} + cid) AS key
+  FROM xq CROSS JOIN c{i}
+  GROUP BY xq.vec_id, xq.x
+)"""
+        )
+        if i < iters - 1:
+            parts.append(
+                f"""f{i} AS (
+  SELECT CAST(a.key % {k} AS INTEGER) AS cid, p.j,
+         CAST(floor(CAST(SUM(a.x[p.j]) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS m
+  FROM a{i} a CROSS JOIN (SELECT unnest(range(1, len(
+       (SELECT x FROM xq ORDER BY vec_id LIMIT 1)) + 1)) AS j) p
+  GROUP BY 1, 2
+),
+c{i + 1} AS (
+  SELECT c.cid, COALESCE(n.m, c.m) AS m
+  FROM c{i} c LEFT JOIN
+       (SELECT cid, list(m ORDER BY j) AS m FROM f{i} GROUP BY cid) n
+       USING (cid)
+)"""
+            )
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT vec_id, CAST(key % {k} AS INTEGER) AS cluster_id,
+       CAST(key // {k} AS BIGINT) AS dist
+FROM a{iters - 1}
+"""
+
+
 def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic decontamination (operators/similarity.py
     decontaminate_semantic): ~5% of embeddings (vec_id % 20) play the eval
@@ -1903,6 +1969,7 @@ QUERIES = {
     "neardup_simhash": q_neardup_simhash,
     "neardup_hybrid_semantic": q_neardup_hybrid,
     "ann_bruteforce_topk": q_ann_bruteforce,
+    "kmeans_domains": q_kmeans_domains,
     "neardup_embedding_cosine": q_neardup_embedding,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
@@ -1962,6 +2029,7 @@ def oracles() -> dict[str, str]:
         "ann_ivf_topk": ANN_BRUTEFORCE_SQL,
         "sketch_users_daily": SKETCH_USERS_SQL,
         "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+        "kmeans_domains": _kmeans_sql(),
         "neardup_embedding_cosine": NEARDUP_EMBEDDING_SQL,
         "events_windowed": EVENTS_WINDOWED_SQL,
         "events_json_extract": EVENTS_JSON_SQL,
