@@ -964,6 +964,96 @@ SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-effect audit: the cluster-size histogram of the near-dup
+    component graph — how many singletons (untouched docs), how many
+    2-clusters, how big the largest template family is. The one-page
+    number a pipeline publishes with every dedup pass ("dedup removed
+    n_docs - n_clusters documents"). Costs one extra tiny aggregation on
+    top of the clustering (cluster ids, then sizes — both map-side
+    combining); the histogram itself is at most |distinct sizes| rows."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.neardup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.8)
+    labels = D.connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    ).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+
+
+DEDUP_CLUSTER_HIST_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({NEARDUP_JACCARD_SQL}) t),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+
+
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication report: which pairs of sources share
+    near-duplicate documents, and how often — the corpus-composition audit
+    that catches one feed re-hosting another's content (the CC-vs-Wikipedia
+    overlap question). Pair generation is the prefix-filtered jaccard join;
+    attaching sources is two id-keyed joins against a two-column projection
+    of the corpus (never the text payload); the ordered-pair fold
+    (least/greatest) halves the key space so A-B and B-A accumulate
+    together. Output is |sources|² rows at most."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.neardup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.8)
+    src = docs.select("doc_id", "source")
+    joined = (
+        pairs.join(src.withColumnRenamed("source", "_sa"),
+                   pairs.id_a == src.doc_id)
+        .drop("doc_id")
+        .join(src.withColumnRenamed("source", "_sb").alias("b"),
+              F.col("id_b") == F.col("b.doc_id"))
+    )
+    return (
+        joined.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+CROSS_SOURCE_OVERLAP_SQL = f"""
+WITH pairs AS (SELECT id_a, id_b FROM ({NEARDUP_JACCARD_SQL}) t),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs p JOIN src a ON p.id_a = a.doc_id
+             JOIN src b ON p.id_b = b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup removal (operators/dedup.py dedup_corpus): pair
     graph -> connected components -> keep the min-id member per cluster ->
@@ -1957,6 +2047,8 @@ QUERIES = {
     "decontaminate_corpus": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "neardup_clusters": q_neardup_clusters,
+    "dedup_cluster_histogram": q_dedup_cluster_histogram,
+    "cross_source_overlap": q_cross_source_overlap,
     "dedup_corpus_e2e": q_dedup_corpus_e2e,
     "substring_dup_pairs": q_substring_dup_pairs,
     "decontaminate_semantic": q_decontaminate_semantic,
@@ -2012,6 +2104,8 @@ def oracles() -> dict[str, str]:
         "decontaminate_corpus": DECONTAMINATE_SQL,
         "decontaminate_bloom": DECONTAMINATE_BLOOM_SQL,
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,
+        "dedup_cluster_histogram": DEDUP_CLUSTER_HIST_SQL,
+        "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
         "dedup_corpus_e2e": DEDUP_CORPUS_E2E_SQL,
         "substring_dup_pairs": SUBSTRING_DUP_SQL,
         "decontaminate_semantic": DECONTAMINATE_SEMANTIC_SQL,
