@@ -128,6 +128,10 @@ def test_no_cartesian_in_any_query(spark):
         # broadcast equi-join of the resulting rates
         "sample_temperature_mix",
         "curation_funnel",  # embeds the same temperature-rate scalar shape
+        # Lloyd assignment: corpus x k centroid LITERALS — the broadcast
+        # nested loop over k rows IS the distributed-kmeans plan (pinned
+        # positively in test_kmeans_assignment_broadcasts_centroids)
+        "kmeans_domains",
     }
     for name, q in entrymod.queries().items():
         if name.startswith("stream_"):
@@ -257,3 +261,44 @@ def test_apply_delta_broadcasts_churn(spark):
     anti_joins = [ln for ln in final.splitlines() if "LeftAnti" in ln]
     assert anti_joins, final
     assert all("BroadcastHashJoin" in ln for ln in anti_joins), anti_joins
+
+
+def test_bloom_decontaminate_corpus_side_has_no_join(spark):
+    """SCALE.md 'Bloom decontamination': the benchmark collapses to a
+    literal bitmask at plan-build time, so the executed corpus plan must
+    contain ZERO join operators — the membership test rides inside the
+    scan projection — and exactly one exchange (the per-doc count)."""
+    df = entrymod.queries()["decontaminate_bloom"](spark, SF_DIR)
+    plan = _plan(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+
+
+def test_dedup_spans_winner_agg_is_map_side_combining(spark):
+    """SCALE.md 'Keep-first span dedup': the global winner per chunk text
+    must come from a partial (map-side) min(struct) aggregation, NOT a
+    row_number window partitioned on the chunk — a hot boilerplate chunk
+    would otherwise funnel every posting to a single reducer."""
+    from checkatron_spark.corpus import dedup_spans_keep_first
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = _plan(dedup_spans_keep_first(docs, k=4))
+    assert "partial_min" in plan, plan[:800]
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """SCALE.md 'Exact k-means': the per-round assignment joins the corpus
+    against k centroid LITERALS — that must be a broadcast nested loop
+    over k rows (never a shuffled join), and the only exchanges are the
+    tiny (cluster, dim) re-fit and final argmin aggregations."""
+    from checkatron_spark.operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    plan = _plan(kmeans_assign(emb, k=4, iters=1, scale=1000))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
