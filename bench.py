@@ -87,6 +87,11 @@ HEADLINE = [
     "dedup_corpus_e2e",
     "substring_dup_pairs",
     "neardup_minhash_banded",
+    # round-5 additions (bloom = zero-join codegen scan, the 100 TB
+    # decontamination shape; span dedup = map-side min(struct) winner +
+    # rebuild — benched to keep the no-join/no-window claims honest)
+    "decontaminate_bloom",
+    "dedup_spans_keep_first",
 ]
 
 

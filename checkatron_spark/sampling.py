@@ -34,6 +34,7 @@ __all__ = [
     "interleave_sources",
     "temperature_sample",
     "mix_budget_plan",
+    "shard_manifest",
     "pack_sequences",
     "QUERIES",
     "oracles",
@@ -620,6 +621,78 @@ FROM plan
 """
 
 
+def shard_manifest(
+    df: DataFrame,
+    key_col: Column,
+    tokens_col: Column,
+    *,
+    n_shards: int = 16,
+    salt: str = "shard-v1",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shard-assignment manifest: the balance report for writing the final
+    corpus as ``n_shards`` hash-addressed output shards. Assignment is the
+    same portable md5 draw as every sampler here (``floor(u·n)`` — change
+    the salt, reshard), so a row's shard is reproducible on any engine at
+    any cluster size; the manifest aggregates per shard doc/token/char
+    totals plus each shard's token share in per-mille (exact integer
+    division — no float ratio to diverge).
+
+    At 100 TB this is the pre-write audit that catches shard imbalance
+    before the job commits: assignment is a zero-shuffle projection, the
+    manifest one map-side-combining groupBy over n_shards keys. The writer
+    itself would just ``partitionBy`` the same shard column."""
+    shard = F.floor(hash_uniform(key_col, salt) * n_shards).cast("int")
+    per = df.select(
+        shard.alias("shard"),
+        tokens_col.alias("_toks"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_chars"),
+    ).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_toks").cast("bigint").alias("n_tokens"),
+        F.sum("_chars").cast("bigint").alias("n_chars"),
+    )
+    total = per.select(F.sum("n_tokens").alias("_t"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            F.expr("CAST((n_tokens * 1000) div _t AS BIGINT)")
+            .alias("token_share_permille"),
+        )
+    )
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from checkatron_spark.functions import text as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = T.token_count(F.coalesce(F.col("text"), F.lit("")))
+    return shard_manifest(docs, F.col("doc_id"), toks, n_shards=16)
+
+
+SHARD_MANIFEST_SQL = rf"""
+WITH per AS (
+    SELECT CAST(floor({_duck_uniform("doc_id", "shard-v1")} * 16) AS INTEGER)
+               AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                ELSE len(string_split_regex(trim(coalesce(text, '')),
+                                            '\s+')) END) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS n_chars
+    FROM documents GROUP BY 1
+)
+SELECT shard, n_docs, n_tokens, n_chars,
+       CAST((n_tokens * 1000) // (SELECT SUM(n_tokens) FROM per) AS BIGINT)
+           AS token_share_permille
+FROM per
+"""
+
+
 QUERIES = {
     "sample_deterministic": q_deterministic_sample,
     "sample_stratified": q_stratified_sample,
@@ -630,6 +703,7 @@ QUERIES = {
     "interleave_sources": q_interleave_sources,
     "sample_temperature_mix": q_temperature_sample,
     "mix_budget_plan": q_mix_budget_plan,
+    "shard_manifest": q_shard_manifest,
 }
 
 
@@ -644,4 +718,5 @@ def oracles() -> dict[str, str]:
         "interleave_sources": INTERLEAVE_SQL,
         "sample_temperature_mix": TEMPERATURE_SQL,
         "mix_budget_plan": MIX_BUDGET_SQL,
+        "shard_manifest": SHARD_MANIFEST_SQL,
     }
