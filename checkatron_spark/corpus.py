@@ -48,6 +48,7 @@ __all__ = [
     "dedup_spans_keep_first",
     "gopher_quality_profile",
     "corpus_card",
+    "token_heavy_hitters_cms",
     "QUERIES",
     "oracles",
 ]
@@ -908,6 +909,126 @@ FROM base
 """
 
 
+def token_heavy_hitters_cms(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-Min-sketch token frequency estimation, audited against exact
+    counts for the corpus's true top-``top_n`` tokens.
+
+    The sketch is the 100 TB shape for frequency estimation: a
+    ``depth × width`` counter grid where each token increments one
+    md5-derived cell per row. Building it is ONE map-side-combining groupBy
+    over at most depth·width keys (4096 cells at the defaults) no matter
+    how many distinct tokens the corpus has — counters merge by addition
+    across any partitioning, so the sketch is also the mergeable artifact
+    an incremental pipeline unions across snapshots. Estimation is
+    ``min`` over the token's depth cells; collisions only ever ADD, so
+    ``cms_estimate >= exact_count`` is a hard guarantee (pinned in
+    tests/test_properties.py).
+
+    Like every portable operator here the cell index is the md5 primitive
+    (first 8 hex chars mod width), so the DuckDB oracle rebuilds the
+    identical sketch — including identical collisions — bit for bit.
+
+    Returns (token, exact_count, cms_estimate) for the exact top-``top_n``
+    tokens (ties broken by token text), estimates from the sketch."""
+    toks = docs.select(
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+        .alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+
+    def _cell(tok_col, seed: int):
+        h = F.substring(F.md5(F.concat(tok_col, F.lit(f"#{seed}"))), 1, 8)
+        return F.conv(h, 16, 10).cast("bigint") % width
+
+    # sketch build: token counts -> (row, cell) partial sums. Built from
+    # the per-token counts rather than raw occurrences so the md5 runs
+    # once per DISTINCT token, not once per token instance.
+    cells = None
+    for d in range(depth):
+        part = counts.select(
+            F.lit(d).alias("row"),
+            _cell(F.col("tok"), d).alias("cell"),
+            F.col("c"),
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    sketch = cells.groupBy("row", "cell").agg(F.sum("c").alias("cnt"))
+
+    top = (
+        counts.orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(top_n)
+        .select("tok", F.col("c").alias("exact_count"))
+    )
+    probes = None
+    for d in range(depth):
+        p = top.select(
+            "tok", "exact_count",
+            F.lit(d).alias("row"), _cell(F.col("tok"), d).alias("cell"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    return (
+        probes.join(F.broadcast(sketch), ["row", "cell"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        )
+    )
+
+
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_heavy_hitters_cms(load_table(spark, "documents", sf_dir))
+
+
+def _cms_cell_sql(tok: str, seed: int, width: int = 1024) -> str:
+    return (
+        f"(('0x' || substring(md5({tok} || '#{seed}'), 1, 8))::BIGINT "
+        f"% {width})"
+    )
+
+
+TOKEN_CMS_SQL = f"""
+WITH counts AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        FROM documents
+    ) GROUP BY tok
+),
+cells AS (
+    SELECT 0 AS row, {_cms_cell_sql("tok", 0)} AS cell, c FROM counts
+    UNION ALL SELECT 1, {_cms_cell_sql("tok", 1)}, c FROM counts
+    UNION ALL SELECT 2, {_cms_cell_sql("tok", 2)}, c FROM counts
+    UNION ALL SELECT 3, {_cms_cell_sql("tok", 3)}, c FROM counts
+),
+sketch AS (
+    SELECT row, cell, CAST(SUM(c) AS BIGINT) AS cnt
+    FROM cells GROUP BY row, cell
+),
+top AS (
+    SELECT tok, c AS exact_count FROM counts
+    ORDER BY c DESC, tok ASC LIMIT 20
+),
+probes AS (
+    SELECT tok, exact_count, 0 AS row, {_cms_cell_sql("tok", 0)} AS cell FROM top
+    UNION ALL SELECT tok, exact_count, 1, {_cms_cell_sql("tok", 1)} FROM top
+    UNION ALL SELECT tok, exact_count, 2, {_cms_cell_sql("tok", 2)} FROM top
+    UNION ALL SELECT tok, exact_count, 3, {_cms_cell_sql("tok", 3)} FROM top
+)
+SELECT p.tok AS token, p.exact_count,
+       CAST(MIN(s.cnt) AS BIGINT) AS cms_estimate
+FROM probes p JOIN sketch s ON p.row = s.row AND p.cell = s.cell
+GROUP BY p.tok, p.exact_count
+"""
+
+
 QUERIES = {
     "dup_ngram_profile": q_dup_ngram_profile,
     "chunk_documents": q_chunk_documents,
@@ -920,6 +1041,7 @@ QUERIES = {
     "strip_repeated_sentences": q_strip_repeated_sentences,
     "gopher_quality_profile": q_gopher_quality,
     "dedup_spans_keep_first": q_dedup_spans_keep_first,
+    "token_heavy_hitters_cms": q_token_heavy_hitters,
 }
 
 
@@ -936,4 +1058,5 @@ def oracles() -> dict[str, str]:
         "strip_repeated_sentences": STRIP_REPEATED_SQL,
         "gopher_quality_profile": GOPHER_QUALITY_SQL,
         "dedup_spans_keep_first": DEDUP_SPANS_SQL,
+        "token_heavy_hitters_cms": TOKEN_CMS_SQL,
     }

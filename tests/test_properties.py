@@ -392,3 +392,59 @@ def test_dedup_incremental_matches_python_mirror(spark, new_texts, base_texts):
             want[i] = "new"
         seen.setdefault(k, i)
     assert got == want
+
+
+@given(_docs_strategy)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cms_estimate_never_undercounts(spark, texts):
+    """Count-Min's one-sided error law: collisions only ever ADD, so for
+    every audited token cms_estimate >= exact_count, and exact_count must
+    equal the true python-side count."""
+    from collections import Counter
+
+    from checkatron_spark.corpus import token_heavy_hitters_cms
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    # narrow width forces real collisions so the >= bound is exercised
+    rows = token_heavy_hitters_cms(
+        docs, depth=2, width=8, top_n=10
+    ).collect()
+    truth = Counter(t for text in texts for t in text.split(" "))
+    assert rows, texts
+    for r in rows:
+        assert r.exact_count == truth[r.token]
+        assert r.cms_estimate >= r.exact_count
+
+
+@given(_docs_strategy)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_spans_partitions_chunks(spark, texts):
+    """Keep-first span dedup bookkeeping: across the corpus the kept-chunk
+    total equals the number of DISTINCT chunk texts (exactly one winner
+    each), and per document n_kept <= n_chunks with every chunk counted."""
+    from checkatron_spark.corpus import dedup_spans_keep_first
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    rows = dedup_spans_keep_first(docs, k=2).collect()
+    chunks = []
+    for t in texts:
+        w = t.split(" ")
+        chunks.extend(
+            " ".join(w[i: i + 2]) for i in range(0, len(w), 2)
+        )
+    assert sum(r.n_chunks for r in rows) == len(chunks)
+    assert sum(r.n_kept for r in rows) == len(set(chunks))
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_chunks
