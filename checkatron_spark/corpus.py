@@ -909,6 +909,30 @@ FROM base
 """
 
 
+def _cms_cell(tok_col, seed: int, width: int):
+    h = F.substring(F.md5(F.concat(tok_col, F.lit(f"#{seed}"))), 1, 8)
+    return F.conv(h, 16, 10).cast("bigint") % width
+
+
+def cms_sketch(
+    counts: DataFrame, *, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch cells (row, cell, cnt) from a (tok, c) count frame.
+    Built from per-token counts rather than raw occurrences so the md5
+    runs once per DISTINCT token, not once per instance. Cells merge by
+    addition: union two sketches and re-sum to get the sketch of the
+    combined corpus exactly (pinned in tests/test_corpus.py)."""
+    cells = None
+    for d in range(depth):
+        part = counts.select(
+            F.lit(d).alias("row"),
+            _cms_cell(F.col("tok"), d, width).alias("cell"),
+            F.col("c"),
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    return cells.groupBy("row", "cell").agg(F.sum("c").alias("cnt"))
+
+
 def token_heavy_hitters_cms(
     docs: DataFrame,
     *,
@@ -942,23 +966,10 @@ def token_heavy_hitters_cms(
         .alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    sketch = cms_sketch(counts, depth=depth, width=width)
 
     def _cell(tok_col, seed: int):
-        h = F.substring(F.md5(F.concat(tok_col, F.lit(f"#{seed}"))), 1, 8)
-        return F.conv(h, 16, 10).cast("bigint") % width
-
-    # sketch build: token counts -> (row, cell) partial sums. Built from
-    # the per-token counts rather than raw occurrences so the md5 runs
-    # once per DISTINCT token, not once per token instance.
-    cells = None
-    for d in range(depth):
-        part = counts.select(
-            F.lit(d).alias("row"),
-            _cell(F.col("tok"), d).alias("cell"),
-            F.col("c"),
-        )
-        cells = part if cells is None else cells.unionAll(part)
-    sketch = cells.groupBy("row", "cell").agg(F.sum("c").alias("cnt"))
+        return _cms_cell(tok_col, seed, width)
 
     top = (
         counts.orderBy(F.col("c").desc(), F.col("tok").asc())

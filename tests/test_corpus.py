@@ -140,3 +140,41 @@ def test_chunking_reassembly_invariant(spark):
                 c.chunk_text[overlap:] for c in chunks[1:]
             )
             assert rebuilt == t, (size, overlap, i)
+
+
+def test_cms_sketch_merge_equals_rebuild(spark):
+    """SCALE.md 'Aggregation': Count-Min cells merge by plain addition —
+    union two partial sketches and re-sum, and every cell equals the
+    sketch built over the combined corpus. This is the property that lets
+    per-snapshot sketches roll up without re-reading history."""
+    from pyspark.sql import functions as F
+
+    from checkatron_spark.corpus import cms_sketch
+
+    def counts_of(rows):
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        return (
+            docs.select(
+                F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+                .alias("tok")
+            )
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    part_a = [(1, "a b b c"), (2, "c d")]
+    part_b = [(3, "b e e"), (4, "a a f")]
+    sk_a = cms_sketch(counts_of(part_a), depth=2, width=8)
+    sk_b = cms_sketch(counts_of(part_b), depth=2, width=8)
+    merged = {
+        (r.row, r.cell): r.cnt
+        for r in sk_a.unionAll(sk_b)
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    rebuilt = {
+        (r.row, r.cell): r.cnt
+        for r in cms_sketch(counts_of(part_a + part_b), depth=2, width=8).collect()
+    }
+    assert merged == rebuilt and rebuilt
