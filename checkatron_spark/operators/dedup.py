@@ -140,6 +140,66 @@ def decontaminate(
     )
 
 
+def bloom_mask_words(
+    benchmark: DataFrame,
+    text_col: str,
+    *,
+    n: int = 3,
+    m_bits: int = 65536,
+    k: int = 3,
+) -> list[int]:
+    """The Bloom mask over a benchmark's distinct word n-grams, as the
+    list of m_bits/64 signed longs a caller embeds with ``F.lit`` (see
+    ``decontaminate_bloom`` for the full design discussion; the driver
+    collect here is bounded by min(k·|grams|, m_bits) integers)."""
+
+    def _pos(gram_col, seed: int):
+        h = F.substring(
+            F.md5(F.concat(gram_col, F.lit(f"#{seed}"))), 1, 8
+        )
+        return F.conv(h, 16, 10).cast("bigint") % m_bits
+
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+    )
+    pos_rows = (
+        bench_sh.select(
+            F.array(*[_pos(F.col("s"), i) for i in range(k)]).alias("ps")
+        )
+        .select(F.explode("ps").alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in pos_rows:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    # two's-complement fold: Spark longs are signed 64-bit
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_hits_expr(
+    arr_col: str, bits_col: str, *, m_bits: int = 65536, k: int = 3
+) -> str:
+    """SQL expression counting how many grams of an ARRAY column have all
+    ``k`` Bloom bits set in the literal-mask column — the zero-state,
+    zero-join membership test as a pure projection (the streaming gate's
+    shape: no explode, no aggregation, so an append stream stays
+    stateless)."""
+    tests = []
+    for i in range(k):
+        pos = (
+            f"(CAST(conv(substring(md5(concat(s, '#{i}')), 1, 8), 16, 10) "
+            f"AS BIGINT) % {m_bits})"
+        )
+        tests.append(
+            f"((shiftright(element_at({bits_col}, "
+            f"CAST({pos} div 64 AS INT) + 1), "
+            f"CAST({pos} % 64 AS INT)) & 1) = 1)"
+        )
+    return f"size(filter({arr_col}, s -> {' AND '.join(tests)}))"
+
+
 def decontaminate_bloom(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -181,24 +241,7 @@ def decontaminate_bloom(
         )
         return F.conv(h, 16, 10).cast("bigint") % m_bits
 
-    bench_sh = (
-        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("s"))
-        .distinct()
-    )
-    pos_rows = (
-        bench_sh.select(
-            F.array(*[_pos(F.col("s"), i) for i in seeds]).alias("ps")
-        )
-        .select(F.explode("ps").alias("p"))
-        .distinct()
-        .collect()
-    )
-    words = [0] * (m_bits // 64)
-    for r in pos_rows:
-        words[r.p // 64] |= 1 << (r.p % 64)
-    # two's-complement fold: Spark longs are signed 64-bit
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bits = F.lit(words)
+    bits = F.lit(bloom_mask_words(benchmark, text_col, n=n, m_bits=m_bits, k=k))
 
     doc_sh = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("s")

@@ -772,6 +772,52 @@ FROM new_fp n LEFT JOIN base_fp b USING (fp)
 """
 
 
+def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination gate — the Bloom-mask variant of
+    stream_admission_gate. The benchmark's grams are folded into the 8 KiB
+    literal mask ONCE at plan-build time (operators/dedup.bloom_mask_words),
+    and each micro-batch document tests its shingle array against the mask
+    as a PURE PROJECTION (higher-order filter over the array, md5+bit
+    arithmetic per gram): no stream-static join, no aggregation, no state.
+    An append stream of flagged docs that runs at ingest speed forever —
+    the shape that holds when the static side of a stream-static join
+    would itself be too hot to re-broadcast per batch.
+
+    Oracle: identical flagged set to the batch decontaminate_bloom
+    (streaming/batch parity — same mask, same grams, same bits)."""
+    from checkatron_spark.operators.dedup import (
+        bloom_hits_expr,
+        bloom_mask_words,
+        shingles,
+    )
+    from checkatron_spark.sampling import hash_uniform
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = hash_uniform(F.col("doc_id"), "bench-v1")
+    words = bloom_mask_words(batch_docs.filter(u < 0.05), "text")
+
+    docs = read_documents_stream(spark, sf_dir).filter(
+        hash_uniform(F.col("doc_id"), "bench-v1") >= 0.05
+    )
+    flagged = (
+        docs.select("doc_id", shingles(F.col("text")).alias("_sh"))
+        .withColumn("_bits", F.lit(words))
+        .withColumn(
+            "n_flagged_grams",
+            F.expr(bloom_hits_expr("_sh", "_bits")).cast("bigint"),
+        )
+        .filter(F.col("n_flagged_grams") >= 1)
+        .select("doc_id", "n_flagged_grams")
+    )
+    return drain_to_batch(flagged, output_mode="append")
+
+
+def stream_bloom_gate_sql() -> str:
+    from checkatron_spark.pipelines import DECONTAMINATE_BLOOM_SQL
+
+    return DECONTAMINATE_BLOOM_SQL
+
+
 QUERIES = {
     "stream_windowed_counts": q_stream_windowed,
     "stream_sessionize_stateful": q_stream_sessionize,
@@ -782,6 +828,7 @@ QUERIES = {
     "stream_ivm_totals": q_stream_ivm_totals,
     "stream_corpus_curation": q_stream_corpus_curation,
     "stream_admission_gate": q_stream_admission_gate,
+    "stream_bloom_gate": q_stream_bloom_gate,
 }
 
 
@@ -796,4 +843,5 @@ def oracles() -> dict[str, str]:
         "stream_ivm_totals": stream_ivm_totals_sql(),
         "stream_corpus_curation": stream_corpus_curation_sql(),
         "stream_admission_gate": stream_admission_gate_sql(),
+        "stream_bloom_gate": stream_bloom_gate_sql(),
     }
