@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from checkatron_spark import analytics as A
 from checkatron_spark import corpus as C
+from checkatron_spark import expectations as EX
 from checkatron_spark import multimodal as M
 from checkatron_spark import pipelines as P
 from checkatron_spark import streaming as ST
@@ -426,6 +427,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **M.QUERIES,
         **ST.QUERIES,
         **C.QUERIES,
+        **EX.QUERIES,
     }
 
 
@@ -515,4 +517,5 @@ def oracle_sql() -> dict[str, str]:
         **M.oracles(),
         **ST.oracles(),
         **C.oracles(),
+        **EX.oracles(),
     }

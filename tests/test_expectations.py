@@ -1,0 +1,69 @@
+"""Unit tests for the declarative expectation suite
+(checkatron_spark/expectations.py): every kind fires on a known
+violation, clean columns pass, and the whole suite compiles to ONE scan
+of the input (the at-scale claim)."""
+
+from __future__ import annotations
+
+from checkatron_spark.expectations import expectations_report
+
+
+def _report(spark, rows, schema, suite):
+    df = spark.createDataFrame(rows, schema)
+    return {
+        (r.expectation, r.column): r
+        for r in expectations_report(df, suite).collect()
+    }
+
+
+def test_each_kind_fires_and_counts(spark):
+    rows = [
+        (1, "A", 10.0, "1-HIGH"),
+        (2, None, 250.0, "9-BOGUS"),   # null id2; range high; bad prefix
+        (2, "B", -5.0, "2-LOW"),       # dup key; range low
+        (4, "Z", 50.0, None),          # value not in set; null regex col
+    ]
+    suite = [
+        ("not_null", "name"),
+        ("unique", "id"),
+        ("range", "price", 0, 100),
+        ("in_set", "name", ["A", "B"]),
+        ("matches", "prio", "^[1-5]-"),
+    ]
+    got = _report(
+        spark, rows, "id int, name string, price double, prio string", suite
+    )
+    r = got[("not_null", "name")]
+    assert (r.n_checked, r.n_violations, r.passed) == (4, 1, False)
+    r = got[("unique", "id")]
+    assert (r.n_checked, r.n_violations, r.passed) == (4, 1, False)
+    r = got[("range", "price")]
+    assert (r.n_checked, r.n_violations, r.passed) == (4, 2, False)
+    r = got[("in_set", "name")]  # NULL name is not checked, Z violates
+    assert (r.n_checked, r.n_violations, r.passed) == (3, 1, False)
+    r = got[("matches", "prio")]  # NULL prio not checked, 9-BOGUS violates
+    assert (r.n_checked, r.n_violations, r.passed) == (3, 1, False)
+
+
+def test_clean_suite_passes(spark):
+    rows = [(1, "A"), (2, "B")]
+    suite = [("not_null", "name"), ("unique", "id")]
+    got = _report(spark, rows, "id int, name string", suite)
+    assert all(r.passed and r.n_violations == 0 for r in got.values())
+
+
+def test_suite_is_single_scan(spark):
+    from checkatron_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", "/root/testdata/sf0.001")
+    suite = [
+        ("not_null", "o_custkey"),
+        ("unique", "o_orderkey"),
+        ("range", "o_totalprice", 0, 1000000),
+        ("in_set", "o_orderstatus", ["O", "F", "P"]),
+    ]
+    plan = (
+        expectations_report(orders, suite)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan") == 1, plan
