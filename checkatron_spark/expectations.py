@@ -109,7 +109,25 @@ def q_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exp_arm_sql(exp: Expectation) -> str:
+_DOCUMENTS_SUITE: list[Expectation] = [
+    ("not_null", "doc_id"),
+    ("not_null", "text"),
+    ("unique", "doc_id"),
+    ("range", "n_chars", 1, 100000),
+    ("in_set", "lang", ["en", "es", "de", "fr", "zh"]),
+    ("matches", "source", "^src"),
+]
+
+
+def q_expectations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same single-scan contract engine over the corpus table — the
+    pre-publish gate a dataset snapshot runs before it ships."""
+    return expectations_report(
+        load_table(spark, "documents", sf_dir), _DOCUMENTS_SUITE
+    )
+
+
+def _exp_arm_sql(exp: Expectation, table: str = "orders") -> str:
     kind, col = exp[0], exp[1]
     if kind == "not_null":
         v = f"COUNT(*) FILTER (WHERE {col} IS NULL)"
@@ -143,7 +161,7 @@ def _exp_arm_sql(exp: Expectation) -> str:
         f"SELECT '{exp[0]}' AS expectation, '{col}' AS \"column\", "
         f"CAST({c} AS BIGINT) AS n_checked, "
         f"CAST({v} AS BIGINT) AS n_violations, "
-        f"({v}) = 0 AS passed FROM orders"
+        f"({v}) = 0 AS passed FROM {table}"
     )
 
 
@@ -151,12 +169,20 @@ def expectations_orders_sql() -> str:
     return "\nUNION ALL\n".join(_exp_arm_sql(e) for e in _ORDERS_SUITE)
 
 
+def expectations_documents_sql() -> str:
+    return "\nUNION ALL\n".join(
+        _exp_arm_sql(e, table="documents") for e in _DOCUMENTS_SUITE
+    )
+
+
 QUERIES = {
     "expectations_orders": q_expectations_orders,
+    "expectations_documents": q_expectations_documents,
 }
 
 
 def oracles() -> dict[str, str]:
     return {
         "expectations_orders": expectations_orders_sql(),
+        "expectations_documents": expectations_documents_sql(),
     }

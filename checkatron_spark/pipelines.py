@@ -935,6 +935,60 @@ def q_neardup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_BANDED_SQL = neardup_jaccard_sql(0.7)
 
 
+def q_neardup_method_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic-vs-exact dedup audit: full-outer join the SimHash
+    (hamming <= 3) pair set against the exact Jaccard (>= 0.8) ground
+    truth and count agreements, false positives, and false negatives —
+    the sample-scale measurement a pipeline runs BEFORE trusting the
+    cheap signal corpus-wide (SimHash-only dedup is safe exactly when
+    n_exact_only stays ~0 and n_simhash_only is an acceptable over-removal
+    rate). Both pair generators are engine-portable, so even the
+    disagreement counts are oracle-graded, not just sanity-checked. One
+    audit row out; cost = the two pair joins it audits."""
+    docs = load_table(spark, "documents", sf_dir)
+    exact = (
+        D.neardup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.8)
+        .select("id_a", "id_b", F.lit(1).alias("_e"))
+    )
+    sim = (
+        D.neardup_simhash(docs, "text", "doc_id", max_hamming=3)
+        .select("id_a", "id_b", F.lit(1).alias("_s"))
+    )
+    both = exact.join(sim, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.count("_e").cast("bigint").alias("n_exact"),
+        F.count("_s").cast("bigint").alias("n_simhash"),
+        F.count_if(F.col("_e").isNotNull() & F.col("_s").isNotNull())
+        .cast("bigint")
+        .alias("n_both"),
+        F.count_if(F.col("_e").isNotNull() & F.col("_s").isNull())
+        .cast("bigint")
+        .alias("n_exact_only"),
+        F.count_if(F.col("_e").isNull() & F.col("_s").isNotNull())
+        .cast("bigint")
+        .alias("n_simhash_only"),
+    )
+
+
+def _method_audit_sql() -> str:
+    return f"""
+WITH e AS (SELECT id_a, id_b FROM ({NEARDUP_JACCARD_SQL}) t),
+s AS (SELECT id_a, id_b FROM ({SIMHASH_ORACLE_SQL}) t),
+j AS (
+    SELECT e.id_a IS NOT NULL AS in_e, s.id_a IS NOT NULL AS in_s
+    FROM e FULL OUTER JOIN s ON e.id_a = s.id_a AND e.id_b = s.id_b
+)
+SELECT CAST(COUNT(*) FILTER (WHERE in_e) AS BIGINT) AS n_exact,
+       CAST(COUNT(*) FILTER (WHERE in_s) AS BIGINT) AS n_simhash,
+       CAST(COUNT(*) FILTER (WHERE in_e AND in_s) AS BIGINT) AS n_both,
+       CAST(COUNT(*) FILTER (WHERE in_e AND NOT in_s) AS BIGINT)
+           AS n_exact_only,
+       CAST(COUNT(*) FILTER (WHERE NOT in_e AND in_s) AS BIGINT)
+           AS n_simhash_only
+FROM j
+"""
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: connected components over the exact near-dup pair
     graph — every doc labeled with the smallest doc_id reachable through
@@ -2047,6 +2101,7 @@ QUERIES = {
     "decontaminate_corpus": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "neardup_clusters": q_neardup_clusters,
+    "neardup_method_audit": q_neardup_method_audit,
     "dedup_cluster_histogram": q_dedup_cluster_histogram,
     "cross_source_overlap": q_cross_source_overlap,
     "dedup_corpus_e2e": q_dedup_corpus_e2e,
@@ -2104,6 +2159,7 @@ def oracles() -> dict[str, str]:
         "decontaminate_corpus": DECONTAMINATE_SQL,
         "decontaminate_bloom": DECONTAMINATE_BLOOM_SQL,
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,
+        "neardup_method_audit": _method_audit_sql(),
         "dedup_cluster_histogram": DEDUP_CLUSTER_HIST_SQL,
         "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
         "dedup_corpus_e2e": DEDUP_CORPUS_E2E_SQL,
