@@ -132,6 +132,9 @@ def test_no_cartesian_in_any_query(spark):
         # nested loop over k rows IS the distributed-kmeans plan (pinned
         # positively in test_kmeans_assignment_broadcasts_centroids)
         "kmeans_domains",
+        # scalar shape: the 1-row corpus token total broadcast against the
+        # n_shards-row manifest for the per-mille share
+        "shard_manifest",
     }
     for name, q in entrymod.queries().items():
         if name.startswith("stream_"):
