@@ -400,15 +400,9 @@ FROM assigned GROUP BY split
 """
 
 
-def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Capstone v2: the round-4 curation operators composed into one
-    admission funnel, reported as a per-stage survival table —
-    ingest -> Gopher rule gate -> PII scrub (counts redactions, drops
-    nothing) -> cross-document boilerplate strip (drops fully-boilerplate
-    docs) -> exact dedup on the CLEANED text -> sqrt-temperature language
-    rebalance. Each stage is an operator proven by its own driver query;
-    this pins their composition and the funnel shape a pipeline dashboard
-    reports. Stage rows carry (n_docs, n_chars at that stage)."""
+def _funnel_frames(spark: SparkSession, sf_dir: str):
+    """The funnel's stage frames (docs, s1..s5) shared by the survival
+    report and the per-doc drop-reason view — one dataflow, two readouts."""
     from checkatron_spark.corpus import gopher_quality_profile, strip_boilerplate
     from checkatron_spark.sampling import temperature_sample
 
@@ -436,6 +430,19 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s5 = temperature_sample(
         s4, "doc_id", "lang", budget_frac=0.8, salt="funnel-v1"
     ).select("doc_id", "lang", "text")
+    return docs, s1, s2, s3, s4, s5
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone v2: the round-4 curation operators composed into one
+    admission funnel, reported as a per-stage survival table —
+    ingest -> Gopher rule gate -> PII scrub (counts redactions, drops
+    nothing) -> cross-document boilerplate strip (drops fully-boilerplate
+    docs) -> exact dedup on the CLEANED text -> sqrt-temperature language
+    rebalance. Each stage is an operator proven by its own driver query;
+    this pins their composition and the funnel shape a pipeline dashboard
+    reports. Stage rows carry (n_docs, n_chars at that stage)."""
+    docs, s1, s2, s3, s4, s5 = _funnel_frames(spark, sf_dir)
 
     def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
         return df.agg(
@@ -457,7 +464,59 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curation_funnel_sql() -> str:
+def q_curation_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document provenance through the SAME funnel dataflow: which
+    stage dropped each document ('kept' for survivors). The debugging view
+    behind the survival dashboard — "why did doc X disappear?" answered
+    without re-running the pipeline stage by stage. Pure id-frame left
+    joins against the existing stage outputs (the text payload is touched
+    only where the stages already touch it); the first NULL marker in
+    stage order is the reason. (pii_scrub drops nothing by construction,
+    so it can never be a reason.)"""
+    docs, s1, _s2, s3, s4, s5 = _funnel_frames(spark, sf_dir)
+
+    def ids(df: DataFrame, name: str) -> DataFrame:
+        return df.select("doc_id", F.lit(1).alias(name))
+
+    j = (
+        docs.select("doc_id")
+        .join(ids(s1, "_in1"), "doc_id", "left")
+        .join(ids(s3, "_in3"), "doc_id", "left")
+        .join(ids(s4, "_in4"), "doc_id", "left")
+        .join(ids(s5, "_in5"), "doc_id", "left")
+    )
+    return j.select(
+        "doc_id",
+        F.when(F.col("_in1").isNull(), F.lit("gopher_gate"))
+        .when(F.col("_in3").isNull(), F.lit("boilerplate_strip"))
+        .when(F.col("_in4").isNull(), F.lit("exact_dedup"))
+        .when(F.col("_in5").isNull(), F.lit("temperature_mix"))
+        .otherwise(F.lit("kept"))
+        .alias("drop_reason"),
+    )
+
+
+def curation_drop_reasons_sql() -> str:
+    return f"""
+WITH {_funnel_stage_ctes()}
+SELECT d.doc_id,
+       CASE WHEN i1.doc_id IS NULL THEN 'gopher_gate'
+            WHEN i3.doc_id IS NULL THEN 'boilerplate_strip'
+            WHEN i4.doc_id IS NULL THEN 'exact_dedup'
+            WHEN i5.doc_id IS NULL THEN 'temperature_mix'
+            ELSE 'kept' END AS drop_reason
+FROM documents d
+LEFT JOIN (SELECT doc_id FROM s1) i1 USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM s3) i3 USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM s4) i4 USING (doc_id)
+LEFT JOIN (SELECT doc_id FROM s5) i5 USING (doc_id)
+"""
+
+
+def _funnel_stage_ctes() -> str:
+    """The s1..s5 stage-CTE chain shared by the funnel survival oracle and
+    the per-doc drop-reason oracle — one source, no drift between the two
+    views of the same pipeline."""
     from checkatron_spark.corpus import (
         GOPHER_QUALITY_SQL,
         strip_boilerplate_ctes,
@@ -468,8 +527,7 @@ def curation_funnel_sql() -> str:
     # drift together with the component operators, never apart from them
     scrub = _pii_scrub_sql_expr()
     u = _duck_uniform("doc_id", "funnel-v1")
-    return rf"""
-WITH gate AS (
+    return rf"""gate AS (
     SELECT doc_id FROM ({GOPHER_QUALITY_SQL}) g WHERE g.keep
 ),
 s1 AS (
@@ -508,7 +566,12 @@ s5 AS (
     SELECT s.doc_id, s.lang, s.text
     FROM s4 s JOIN rates r ON s.lang IS NOT DISTINCT FROM r.lang
     WHERE {u} < r.rate
-)
+)"""
+
+
+def curation_funnel_sql() -> str:
+    return f"""
+WITH {_funnel_stage_ctes()}
 SELECT 0 AS stage_idx, 'ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS n_chars FROM documents
 UNION ALL SELECT 1, 'gopher_gate', COUNT(*), CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) FROM s1
@@ -1344,6 +1407,82 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def embedding_audit(emb: DataFrame, *, dim: int = 64) -> DataFrame:
+    """Embedding-table contract audit in ONE aggregate scan — the vector
+    twin of the expectations suite (whose scalar kinds can't see inside
+    arrays): null vectors, wrong dimensionality, zero vectors,
+    non-finite components, and exact quantized-norm extremes/total (the
+    1e6-grid squared norm — a shifted distribution shows up as a moved
+    sum without any float nondeterminism). A degenerate embedding batch
+    (an encoder emitting zeros or NaNs) is caught here BEFORE ANN
+    indexing, clustering, or dedup consume it."""
+    v = F.col("embedding")
+    qnorm = F.expr(
+        "aggregate(transform(embedding, v -> "
+        "CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), "
+        "0L, (acc, q) -> acc + q * q)"
+    )
+    nonfinite = F.expr(
+        "exists(embedding, v -> isnan(v) "
+        "OR abs(CAST(v AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+    )
+    ok = v.isNotNull() & (F.size(v) == dim) & ~nonfinite
+    return emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.count_if(v.isNull()).cast("bigint").alias("n_null_vec"),
+        F.count_if(v.isNotNull() & (F.size(v) != dim))
+        .cast("bigint")
+        .alias("n_wrong_dim"),
+        F.count_if(v.isNotNull() & nonfinite)
+        .cast("bigint")
+        .alias("n_nonfinite"),
+        F.count_if(ok & (qnorm == 0)).cast("bigint").alias("n_zero_vec"),
+        F.min(F.when(ok, qnorm)).cast("bigint").alias("min_qnorm"),
+        F.max(F.when(ok, qnorm)).cast("bigint").alias("max_qnorm"),
+        F.sum(F.when(ok, qnorm)).cast("bigint").alias("sum_qnorm"),
+    )
+
+
+def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_audit(load_table(spark, "embeddings", sf_dir), dim=64)
+
+
+_EMB_QNORM = (
+    "CAST(list_sum(list_transform(embedding, v -> "
+    "CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
+    "* CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) "
+    "AS BIGINT)"
+)
+_EMB_NONFINITE = (
+    "len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) "
+    "OR isinf(CAST(v AS DOUBLE)))) > 0"
+)
+
+EMBEDDING_AUDIT_SQL = f"""
+WITH base AS (
+    SELECT embedding,
+           {_EMB_QNORM} AS qn,
+           {_EMB_NONFINITE} AS bad,
+           embedding IS NOT NULL AND len(embedding) = 64
+               AND NOT {_EMB_NONFINITE} AS ok
+    FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) FILTER (WHERE embedding IS NULL) AS BIGINT)
+           AS n_null_vec,
+       CAST(COUNT(*) FILTER (WHERE embedding IS NOT NULL
+                             AND len(embedding) <> 64) AS BIGINT)
+           AS n_wrong_dim,
+       CAST(COUNT(*) FILTER (WHERE embedding IS NOT NULL AND bad) AS BIGINT)
+           AS n_nonfinite,
+       CAST(COUNT(*) FILTER (WHERE ok AND qn = 0) AS BIGINT) AS n_zero_vec,
+       CAST(MIN(qn) FILTER (WHERE ok) AS BIGINT) AS min_qnorm,
+       CAST(MAX(qn) FILTER (WHERE ok) AS BIGINT) AS max_qnorm,
+       CAST(SUM(qn) FILTER (WHERE ok) AS BIGINT) AS sum_qnorm
+FROM base
+"""
+
+
 def q_kmeans_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-arithmetic Lloyd k-means (operators/kmeans.py) over the
     embeddings table: 8 clusters, 3 rounds, 1e4 quantization grid — the
@@ -2093,6 +2232,7 @@ QUERIES = {
     "split_sentences_udtf": q_split_sentences,
     "corpus_pipeline": q_corpus_pipeline,
     "curation_funnel": q_curation_funnel,
+    "curation_drop_reasons": q_curation_drop_reasons,
     "dedup_keyed": q_dedup_keyed,
     "neardup_ngram_jaccard": q_neardup_jaccard,
     "dedup_incremental_status": q_dedup_incremental,
@@ -2117,6 +2257,7 @@ QUERIES = {
     "neardup_hybrid_semantic": q_neardup_hybrid,
     "ann_bruteforce_topk": q_ann_bruteforce,
     "kmeans_domains": q_kmeans_domains,
+    "embedding_audit": q_embedding_audit,
     "neardup_embedding_cosine": q_neardup_embedding,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
@@ -2151,6 +2292,7 @@ def oracles() -> dict[str, str]:
         "split_sentences_udtf": SPLIT_SENTENCES_SQL,
         "corpus_pipeline": corpus_pipeline_sql(),
         "curation_funnel": curation_funnel_sql(),
+        "curation_drop_reasons": curation_drop_reasons_sql(),
         "dedup_keyed": DEDUP_KEYED_SQL,
         "neardup_ngram_jaccard": NEARDUP_JACCARD_SQL,
         "dedup_incremental_status": DEDUP_INCREMENTAL_SQL,
@@ -2180,6 +2322,7 @@ def oracles() -> dict[str, str]:
         "sketch_users_daily": SKETCH_USERS_SQL,
         "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
         "kmeans_domains": _kmeans_sql(),
+        "embedding_audit": EMBEDDING_AUDIT_SQL,
         "neardup_embedding_cosine": NEARDUP_EMBEDDING_SQL,
         "events_windowed": EVENTS_WINDOWED_SQL,
         "events_json_extract": EVENTS_JSON_SQL,

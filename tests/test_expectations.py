@@ -67,3 +67,31 @@ def test_suite_is_single_scan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("FileScan") == 1, plan
+
+
+def test_embedding_audit_catches_degenerates(spark):
+    import math
+
+    from checkatron_spark.pipelines import embedding_audit
+
+    rows = [
+        (0, [1.0, 0.0]),            # healthy
+        (1, None),                  # null vector
+        (2, [1.0, 2.0, 3.0]),       # wrong dim
+        (3, [0.0, 0.0]),            # zero vector
+        (4, [float("nan"), 1.0]),   # NaN component
+        (5, [math.inf, 1.0]),       # Inf component
+    ]
+    r = embedding_audit(
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        dim=2,
+    ).collect()[0]
+    assert r.n_vecs == 6
+    assert r.n_null_vec == 1
+    assert r.n_wrong_dim == 1
+    assert r.n_nonfinite == 2
+    assert r.n_zero_vec == 1
+    # healthy + zero vec are the only 'ok' rows: norms 1e12 and 0
+    assert (r.min_qnorm, r.max_qnorm, r.sum_qnorm) == (
+        0, 10**12, 10**12
+    )
