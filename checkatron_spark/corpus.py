@@ -961,11 +961,20 @@ def token_heavy_hitters_cms(
 
     Returns (token, exact_count, cms_estimate) for the exact top-``top_n``
     tokens (ties broken by token text), estimates from the sketch."""
+    from checkatron_spark.session import scratch_persist
+
     toks = docs.select(
         F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
         .alias("tok")
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # persisted: the counts frame feeds all `depth` sketch branches PLUS
+    # the top-N probe, and `top` feeds `depth` probe branches — without
+    # the persists the corpus token aggregation re-executes ~depth+1
+    # times inside one query (the exact multi-branch-union trap the
+    # funnel's stage persists document)
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    ).transform(scratch_persist)
     sketch = cms_sketch(counts, depth=depth, width=width)
 
     def _cell(tok_col, seed: int):
@@ -975,6 +984,7 @@ def token_heavy_hitters_cms(
         counts.orderBy(F.col("c").desc(), F.col("tok").asc())
         .limit(top_n)
         .select("tok", F.col("c").alias("exact_count"))
+        .transform(scratch_persist)
     )
     probes = None
     for d in range(depth):

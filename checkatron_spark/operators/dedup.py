@@ -140,6 +140,17 @@ def decontaminate(
     )
 
 
+def _bloom_pos(gram_col, seed: int, m_bits: int):
+    """THE Bloom bit-position primitive: md5 of 'gram#seed', first 8 hex
+    chars as uint32, mod m_bits. Mask build (bloom_mask_words), batch
+    probe (decontaminate_bloom), and the SQL-string probe
+    (bloom_hits_expr) all derive from this exact construction — the
+    bit-for-bit mask/probe agreement across engines IS the design, so
+    there must be exactly one Column-level copy."""
+    h = F.substring(F.md5(F.concat(gram_col, F.lit(f"#{seed}"))), 1, 8)
+    return F.conv(h, 16, 10).cast("bigint") % m_bits
+
+
 def bloom_mask_words(
     benchmark: DataFrame,
     text_col: str,
@@ -154,10 +165,7 @@ def bloom_mask_words(
     collect here is bounded by min(k·|grams|, m_bits) integers)."""
 
     def _pos(gram_col, seed: int):
-        h = F.substring(
-            F.md5(F.concat(gram_col, F.lit(f"#{seed}"))), 1, 8
-        )
-        return F.conv(h, 16, 10).cast("bigint") % m_bits
+        return _bloom_pos(gram_col, seed, m_bits)
 
     bench_sh = (
         benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("s"))
@@ -185,7 +193,8 @@ def bloom_hits_expr(
     ``k`` Bloom bits set in the literal-mask column — the zero-state,
     zero-join membership test as a pure projection (the streaming gate's
     shape: no explode, no aggregation, so an append stream stays
-    stateless)."""
+    stateless). The position arithmetic MUST stay the SQL-string twin of
+    ``_bloom_pos`` above — same seed format, substring width, and mod."""
     tests = []
     for i in range(k):
         pos = (
@@ -236,10 +245,7 @@ def decontaminate_bloom(
     seeds = list(range(k))
 
     def _pos(gram_col, seed: int):
-        h = F.substring(
-            F.md5(F.concat(gram_col, F.lit(f"#{seed}"))), 1, 8
-        )
-        return F.conv(h, 16, 10).cast("bigint") % m_bits
+        return _bloom_pos(gram_col, seed, m_bits)
 
     bits = F.lit(bloom_mask_words(benchmark, text_col, n=n, m_bits=m_bits, k=k))
 

@@ -66,8 +66,15 @@ def kmeans_assign(
     Returns (id_col, cluster_id INT, dist BIGINT) — ``dist`` is the exact
     squared distance on the quantized grid, so downstream consumers can
     threshold or re-rank without re-deriving it."""
+    from checkatron_spark.session import scratch_persist
+
     spark = df.sparkSession
-    xq = df.select(F.col(id_col), _quantize(vec_col, scale).alias("_x"))
+    # persisted: xq is re-read by every round's assignment AND refit
+    # collect — without it the source scan + quantization re-executes
+    # ~2x per Lloyd iteration
+    xq = df.select(
+        F.col(id_col), _quantize(vec_col, scale).alias("_x")
+    ).transform(scratch_persist)
 
     # init: k lowest ids (tiny driver pull, k rows)
     seed_rows = (

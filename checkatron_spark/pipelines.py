@@ -1422,18 +1422,29 @@ def embedding_audit(emb: DataFrame, *, dim: int = 64) -> DataFrame:
         "CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), "
         "0L, (acc, q) -> acc + q * q)"
     )
+    # NULL components are checked FIRST and get their own counter: a NULL
+    # inside the array turns exists()/aggregate() three-valued (Spark) but
+    # NOT DuckDB's list_filter len — gating everything downstream on
+    # has_null is what keeps the two engines (and the ok population)
+    # deterministic, and an encoder emitting NULL components is exactly
+    # the degeneracy this audit exists to flag
+    has_null = F.expr("exists(embedding, v -> v IS NULL)")
     nonfinite = F.expr(
         "exists(embedding, v -> isnan(v) "
         "OR abs(CAST(v AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
     )
-    ok = v.isNotNull() & (F.size(v) == dim) & ~nonfinite
+    whole = v.isNotNull() & ~has_null
+    ok = whole & (F.size(v) == dim) & ~nonfinite
     return emb.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.count_if(v.isNull()).cast("bigint").alias("n_null_vec"),
-        F.count_if(v.isNotNull() & (F.size(v) != dim))
+        F.count_if(v.isNotNull() & has_null)
+        .cast("bigint")
+        .alias("n_null_component"),
+        F.count_if(whole & (F.size(v) != dim))
         .cast("bigint")
         .alias("n_wrong_dim"),
-        F.count_if(v.isNotNull() & nonfinite)
+        F.count_if(whole & nonfinite)
         .cast("bigint")
         .alias("n_nonfinite"),
         F.count_if(ok & (qnorm == 0)).cast("bigint").alias("n_zero_vec"),
@@ -1457,23 +1468,28 @@ _EMB_NONFINITE = (
     "len(list_filter(embedding, v -> isnan(CAST(v AS DOUBLE)) "
     "OR isinf(CAST(v AS DOUBLE)))) > 0"
 )
+_EMB_HAS_NULL = "len(list_filter(embedding, v -> v IS NULL)) > 0"
 
 EMBEDDING_AUDIT_SQL = f"""
 WITH base AS (
     SELECT embedding,
            {_EMB_QNORM} AS qn,
            {_EMB_NONFINITE} AS bad,
-           embedding IS NOT NULL AND len(embedding) = 64
+           {_EMB_HAS_NULL} AS hasnull,
+           embedding IS NOT NULL AND NOT {_EMB_HAS_NULL} AS whole,
+           embedding IS NOT NULL AND NOT {_EMB_HAS_NULL}
+               AND len(embedding) = 64
                AND NOT {_EMB_NONFINITE} AS ok
     FROM embeddings
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(COUNT(*) FILTER (WHERE embedding IS NULL) AS BIGINT)
            AS n_null_vec,
-       CAST(COUNT(*) FILTER (WHERE embedding IS NOT NULL
-                             AND len(embedding) <> 64) AS BIGINT)
-           AS n_wrong_dim,
-       CAST(COUNT(*) FILTER (WHERE embedding IS NOT NULL AND bad) AS BIGINT)
+       CAST(COUNT(*) FILTER (WHERE embedding IS NOT NULL AND hasnull)
+            AS BIGINT) AS n_null_component,
+       CAST(COUNT(*) FILTER (WHERE whole AND len(embedding) <> 64)
+            AS BIGINT) AS n_wrong_dim,
+       CAST(COUNT(*) FILTER (WHERE whole AND bad) AS BIGINT)
            AS n_nonfinite,
        CAST(COUNT(*) FILTER (WHERE ok AND qn = 0) AS BIGINT) AS n_zero_vec,
        CAST(MIN(qn) FILTER (WHERE ok) AS BIGINT) AS min_qnorm,

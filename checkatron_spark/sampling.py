@@ -522,20 +522,32 @@ def mix_budget_plan(
     the token-count scan, nothing else.
 
     All counters are exact BIGINT arithmetic (integer ceil-div, floor on a
-    single double product) so the plan is bit-identical across engines."""
+    single double product) so the plan is bit-identical across engines.
+
+    The weight table joins FULL OUTER against the corpus-side supply: a
+    group named in ``weights`` but entirely ABSENT from the corpus still
+    gets its plan row (avail 0, served 0, shortfall = its full target) —
+    total absence is the strongest shortfall regime and must never vanish
+    from the report; corpus groups without a weight keep a 0-target row."""
     avail = df.groupBy(group_col).agg(
         F.sum(tokens_col).alias("avail_tokens")
     )
-    w: Column = F.lit(0.0)
-    for g, frac in weights.items():
-        w = F.when(F.col(group_col) == g, F.lit(frac)).otherwise(w)
+    wdf = df.sparkSession.createDataFrame(
+        sorted(weights.items()), f"{group_col} string, weight double"
+    )
     a, t = F.col("avail_tokens"), F.col("target_tokens")
-    plan = avail.select(
-        group_col,
-        w.alias("weight"),
-        "avail_tokens",
-        F.floor(F.lit(float(budget)) * w).cast("bigint")
-        .alias("target_tokens"),
+    plan = (
+        avail.join(wdf, group_col, "full_outer")
+        .select(
+            group_col,
+            F.coalesce(F.col("weight"), F.lit(0.0)).alias("weight"),
+            F.coalesce(a, F.lit(0).cast("bigint")).alias("avail_tokens"),
+            F.floor(
+                F.lit(float(budget)) * F.coalesce(F.col("weight"), F.lit(0.0))
+            )
+            .cast("bigint")
+            .alias("target_tokens"),
+        )
     )
     no_supply = a <= 0
     return plan.select(
@@ -582,11 +594,10 @@ def q_mix_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mix_weight_sql(col: str = "lang") -> str:
-    cases = " ".join(
-        f"WHEN '{g}' THEN {w}" for g, w in _MIX_WEIGHTS.items()
+def _mix_weight_values_sql() -> str:
+    return ", ".join(
+        f"('{g}', {w})" for g, w in sorted(_MIX_WEIGHTS.items())
     )
-    return f"CASE {col} {cases} ELSE 0.0 END"
 
 
 MIX_BUDGET_SQL = f"""
@@ -597,11 +608,14 @@ WITH avail AS (
                AS avail_tokens
     FROM documents GROUP BY lang
 ),
+wt(lang, weight) AS (VALUES {_mix_weight_values_sql()}),
 plan AS (
-    SELECT lang, CAST({_mix_weight_sql()} AS DOUBLE) AS weight, avail_tokens,
-           CAST(floor({_MIX_BUDGET}.0 * ({_mix_weight_sql()})) AS BIGINT)
+    SELECT COALESCE(a.lang, w.lang) AS lang,
+           CAST(COALESCE(w.weight, 0.0) AS DOUBLE) AS weight,
+           CAST(COALESCE(a.avail_tokens, 0) AS BIGINT) AS avail_tokens,
+           CAST(floor({_MIX_BUDGET}.0 * COALESCE(w.weight, 0.0)) AS BIGINT)
                AS target_tokens
-    FROM avail
+    FROM avail a FULL OUTER JOIN wt w ON a.lang = w.lang
 )
 SELECT lang, weight, avail_tokens, target_tokens,
        CASE WHEN avail_tokens <= 0 THEN 0.0

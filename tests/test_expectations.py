@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from checkatron_spark.expectations import expectations_report
 
+REQUIRES_TESTDATA = True  # test_suite_is_single_scan reads the fixtures
+
 
 def _report(spark, rows, schema, suite):
     df = spark.createDataFrame(rows, schema)
@@ -81,13 +83,15 @@ def test_embedding_audit_catches_degenerates(spark):
         (3, [0.0, 0.0]),            # zero vector
         (4, [float("nan"), 1.0]),   # NaN component
         (5, [math.inf, 1.0]),       # Inf component
+        (6, [None, 1.0]),           # NULL component (three-valued trap)
     ]
     r = embedding_audit(
         spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
         dim=2,
     ).collect()[0]
-    assert r.n_vecs == 6
+    assert r.n_vecs == 7
     assert r.n_null_vec == 1
+    assert r.n_null_component == 1
     assert r.n_wrong_dim == 1
     assert r.n_nonfinite == 2
     assert r.n_zero_vec == 1

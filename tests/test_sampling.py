@@ -112,3 +112,30 @@ def test_interleave_sources_stride_schedule(spark):
     # reading in position order, 'a' fills ~3 of every 4 slots early on
     order = [r.source for r in sorted(rows, key=lambda r: r.interleave_pos)]
     assert order[:8].count("a") == 6
+
+
+def test_mix_budget_plan_reports_absent_groups(spark):
+    """A weight group with NO corpus rows must still get its plan row —
+    total absence is the strongest shortfall regime (avail 0, served 0,
+    shortfall = full target), not a silently vanished target."""
+    from pyspark.sql import functions as F
+
+    from checkatron_spark.sampling import mix_budget_plan
+
+    df = spark.createDataFrame(
+        [("en", 100), ("en", 200)], "lang string, toks long"
+    )
+    out = {
+        r.lang: r
+        for r in mix_budget_plan(
+            df, "lang", F.col("toks"), {"en": 0.5, "ja": 0.5}, 1000
+        ).collect()
+    }
+    assert set(out) == {"en", "ja"}
+    ja = out["ja"]
+    assert (ja.avail_tokens, ja.target_tokens) == (0, 500)
+    assert (ja.sample_rate, ja.n_epochs, ja.served_tokens) == (0.0, 0, 0)
+    assert ja.shortfall_tokens == 500
+    en = out["en"]  # under-supplied: 300 avail vs 500 target -> 2 epochs
+    assert (en.avail_tokens, en.target_tokens, en.n_epochs) == (300, 500, 2)
+    assert en.shortfall_tokens == 0
