@@ -63,13 +63,23 @@ from checkatron_spark.sampling import (
 )
 from checkatron_spark.corpus import (
     chunk_documents,
+    cms_sketch,
     corpus_card,
+    dedup_spans_keep_first,
     dup_ngram_profile,
     gopher_quality_profile,
     repetition_profile,
     strip_boilerplate,
+    token_heavy_hitters_cms,
     vocab_coverage,
 )
+from checkatron_spark.expectations import expectations_report
+from checkatron_spark.operators.dedup import (
+    bloom_mask_words,
+    decontaminate_bloom,
+)
+from checkatron_spark.operators.kmeans import kmeans_assign
+from checkatron_spark.sampling import mix_budget_plan, shard_manifest
 from checkatron_spark.functions.text import pii_count, pii_scrub
 from checkatron_spark.operators.rangejoin import range_join_binned
 from checkatron_spark.operators.skew import salted_agg, salted_join
@@ -149,6 +159,16 @@ __all__ = [
     "stratified_sample",
     "temperature_sample",
     "weighted_sample",
+    # round-5 surface
+    "bloom_mask_words",
+    "cms_sketch",
+    "decontaminate_bloom",
+    "dedup_spans_keep_first",
+    "expectations_report",
+    "kmeans_assign",
+    "mix_budget_plan",
+    "shard_manifest",
+    "token_heavy_hitters_cms",
 ]
 
 __version__ = "0.1.0"
