@@ -102,6 +102,51 @@ def lang_id_hist_sql() -> str:
     )
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the n-gram classifier's prediction
+    cross-tabulated against the corpus's labeled ``lang`` — per (label,
+    prediction) cell counts plus the cell's share of its label row in
+    exact per-mille. The accuracy readout that tells a pipeline whether
+    the cheap in-flight classifier can gate a language mix, per language
+    (a skewed 'und' column = markers missing for that language). One
+    map-side-combining groupBy over |langs|² cells."""
+    docs = load_table(spark, "documents", sf_dir)
+    cell = docs.groupBy(
+        F.col("lang").alias("lang_label"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_tot = cell.groupBy("lang_label").agg(
+        F.sum("n").cast("bigint").alias("_row_n")
+    )
+    return (
+        cell.join(F.broadcast(row_tot), "lang_label")
+        .select(
+            "lang_label",
+            "lang_pred",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("CAST((n * 1000) div _row_n AS BIGINT)")
+            .alias("row_share_permille"),
+        )
+    )
+
+
+def langid_confusion_sql() -> str:
+    return f"""
+WITH cell AS (
+    SELECT lang AS lang_label, {_lang_id_sql_expr()} AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+),
+rt AS (
+    SELECT lang_label, CAST(SUM(n) AS BIGINT) AS row_n
+    FROM cell GROUP BY lang_label
+)
+SELECT c.lang_label, c.lang_pred, c.n,
+       CAST((c.n * 1000) // r.row_n AS BIGINT) AS row_share_permille
+FROM cell c JOIN rt r USING (lang_label)
+"""
+
+
 _FP = (
     "md5(trim(regexp_replace(regexp_replace(lower(text), "
     "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
@@ -2237,6 +2282,7 @@ FROM events
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_hist": q_lang_id_hist,
+    "langid_confusion": q_langid_confusion,
     "doc_fingerprints": q_fingerprints,
     "doc_rolling_fingerprints": q_rolling_fingerprints,
     "token_freq": q_token_freq,
@@ -2297,6 +2343,7 @@ def oracles() -> dict[str, str]:
     return {
         "text_stats": TEXT_STATS_SQL,
         "lang_id_hist": lang_id_hist_sql(),
+        "langid_confusion": langid_confusion_sql(),
         "doc_fingerprints": FINGERPRINTS_SQL,
         "doc_rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
         "token_freq": TOKEN_FREQ_SQL,
