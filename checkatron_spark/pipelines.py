@@ -153,6 +153,47 @@ _FP = (
 )
 
 
+def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style text normalization as a VISIBLE cleaning pass (the same
+    lowercase → strip-non-alnum → collapse-spaces chain the content
+    fingerprint applies internally, emitted as a column instead of hashed
+    away): per doc the normalized text, its length, and whether
+    normalization changed anything — the pre-tokenization canonical form
+    plus the audit bit that says how much of the corpus was non-canonical.
+    Pure regexp projection, zero shuffles, scan-speed at any scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+        (norm != t).alias("changed"),
+    )
+
+
+NORMALIZE_CORPUS_SQL = """
+WITH base AS (
+    SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+n AS (
+    SELECT doc_id, t,
+           trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', '',
+                                              'g'), ' +', ' ', 'g'))
+               AS norm_text
+    FROM base
+)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) AS BIGINT) AS norm_len,
+       norm_text <> t AS changed
+FROM n
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
@@ -2283,6 +2324,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_hist": q_lang_id_hist,
     "langid_confusion": q_langid_confusion,
+    "normalize_corpus": q_normalize_corpus,
     "doc_fingerprints": q_fingerprints,
     "doc_rolling_fingerprints": q_rolling_fingerprints,
     "token_freq": q_token_freq,
@@ -2344,6 +2386,7 @@ def oracles() -> dict[str, str]:
         "text_stats": TEXT_STATS_SQL,
         "lang_id_hist": lang_id_hist_sql(),
         "langid_confusion": langid_confusion_sql(),
+        "normalize_corpus": NORMALIZE_CORPUS_SQL,
         "doc_fingerprints": FINGERPRINTS_SQL,
         "doc_rolling_fingerprints": ROLLING_FINGERPRINTS_SQL,
         "token_freq": TOKEN_FREQ_SQL,
