@@ -191,16 +191,16 @@ def _q_orders_filtered(spark, sf_dir):
 # that are already green AND unchanged can be pruned each round; leaving
 # them costs a window slot, nothing else.
 _CHECK_FIRST: list[str] = [
-    # (round 5: empty — the round-4 stale greens re-graded green in r04, and
-    # the two oracle-layer fixes this round, qty_price_corr and
-    # curation_funnel, have never been hash-green so the auto-rotation
-    # fronts them without an override)
+    # (round 5: empty — qty_price_corr and curation_funnel (the two
+    # round-4 oracle-layer fixes) have never been hash-green, so the
+    # auto-rotation fronts them without an override)
 ]
 
 # Queries declared in the CURRENT round sit at the END of the never-checked
 # segment so an older backlog grades first instead of being displaced by
-# module merge order. Round 5: empty — the round-4 backlog is exactly the
-# 10 never-checked queries and they all fit in one 50-slot window.
+# module merge order. Round 5: empty — the never-checked set (the 20-query
+# round-4 backlog plus the ~16 round-5 additions) fits in one 50-slot
+# window regardless of internal order, so no pinning is needed.
 _CHECK_LAST: list[str] = []
 
 

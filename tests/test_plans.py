@@ -128,6 +128,7 @@ def test_no_cartesian_in_any_query(spark):
         # broadcast equi-join of the resulting rates
         "sample_temperature_mix",
         "curation_funnel",  # embeds the same temperature-rate scalar shape
+        "curation_drop_reasons",  # same funnel dataflow, same scalar shape
         # Lloyd assignment: corpus x k centroid LITERALS — the broadcast
         # nested loop over k rows IS the distributed-kmeans plan (pinned
         # positively in test_kmeans_assignment_broadcasts_centroids)
