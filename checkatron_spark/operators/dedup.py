@@ -218,6 +218,7 @@ def decontaminate_bloom(
     n: int = 3,
     m_bits: int = 65536,
     k: int = 3,
+    mask_words: list[int] | None = None,
 ) -> DataFrame:
     """Bloom-filter decontamination — the 100 TB shape of ``decontaminate``.
 
@@ -247,7 +248,13 @@ def decontaminate_bloom(
     def _pos(gram_col, seed: int):
         return _bloom_pos(gram_col, seed, m_bits)
 
-    bits = F.lit(bloom_mask_words(benchmark, text_col, n=n, m_bits=m_bits, k=k))
+    # pass mask_words (from a prior bloom_mask_words call) to skip the
+    # benchmark-side build — the mask is a pure function of the benchmark
+    if mask_words is None:
+        mask_words = bloom_mask_words(
+            benchmark, text_col, n=n, m_bits=m_bits, k=k
+        )
+    bits = F.lit(mask_words)
 
     doc_sh = docs.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("s")

@@ -785,16 +785,11 @@ def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: identical flagged set to the batch decontaminate_bloom
     (streaming/batch parity — same mask, same grams, same bits)."""
-    from checkatron_spark.operators.dedup import (
-        bloom_hits_expr,
-        bloom_mask_words,
-        shingles,
-    )
+    from checkatron_spark.operators.dedup import bloom_hits_expr, shingles
+    from checkatron_spark.pipelines import _bench_bloom_mask
     from checkatron_spark.sampling import hash_uniform
 
-    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    u = hash_uniform(F.col("doc_id"), "bench-v1")
-    words = bloom_mask_words(batch_docs.filter(u < 0.05), "text")
+    words = _bench_bloom_mask(spark, sf_dir)
 
     docs = read_documents_stream(spark, sf_dir).filter(
         hash_uniform(F.col("doc_id"), "bench-v1") >= 0.05

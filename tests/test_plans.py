@@ -270,8 +270,9 @@ def test_apply_delta_broadcasts_churn(spark):
 def test_bloom_decontaminate_corpus_side_has_no_join(spark):
     """SCALE.md 'Bloom decontamination': the benchmark collapses to a
     literal bitmask at plan-build time, so the executed corpus plan must
-    contain ZERO join operators — the membership test rides inside the
-    scan projection — and exactly one exchange (the per-doc count)."""
+    contain ZERO join operators — the membership test rides codegen
+    expressions over the exploded grams — and exactly one exchange (the
+    per-doc count)."""
     df = entrymod.queries()["decontaminate_bloom"](spark, SF_DIR)
     plan = _plan(df)
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
