@@ -1016,8 +1016,10 @@ def _cms_cell_sql(tok: str, seed: int, width: int = 1024) -> str:
     )
 
 
-TOKEN_CMS_SQL = f"""
-WITH counts AS (
+def cms_sketch_ctes() -> str:
+    """counts/cells/sketch CTE block shared by the heavy-hitters oracle
+    and the streaming sketch's batch-parity oracle."""
+    return f"""counts AS (
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
         SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok
         FROM documents
@@ -1032,7 +1034,11 @@ cells AS (
 sketch AS (
     SELECT row, cell, CAST(SUM(c) AS BIGINT) AS cnt
     FROM cells GROUP BY row, cell
-),
+)"""
+
+
+TOKEN_CMS_SQL = f"""
+WITH {cms_sketch_ctes()},
 top AS (
     SELECT tok, c AS exact_count FROM counts
     ORDER BY c DESC, tok ASC LIMIT 20

@@ -813,6 +813,43 @@ def stream_bloom_gate_sql() -> str:
     return DECONTAMINATE_BLOOM_SQL
 
 
+def q_stream_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min maintenance: micro-batched documents explode to
+    tokens, each token lands in depth md5-derived cells, and a complete-
+    mode aggregation keeps the running (row, cell) counters. The state is
+    BOUNDED at depth·width cells (4096 at the defaults) FOREVER — unlike a
+    per-token count whose state grows with the vocabulary — which is the
+    whole reason a streaming frequency monitor rides a sketch. Drained end
+    state == the batch-built sketch (counters are additive and
+    batching-independent), so the oracle is the batch cells CTE —
+    streaming/batch parity, bit for bit."""
+    from checkatron_spark.corpus import _cms_cell
+
+    width = 1024
+    docs = read_documents_stream(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .alias("tok")
+    )
+    parts = None
+    for d in range(4):
+        p = toks.select(
+            F.lit(d).alias("row"),
+            _cms_cell(F.col("tok"), d, width).alias("cell"),
+        )
+        parts = p if parts is None else parts.unionAll(p)
+    sketch = parts.groupBy("row", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    return drain_to_batch(sketch, output_mode="complete")
+
+
+def stream_token_cms_sql() -> str:
+    from checkatron_spark.corpus import cms_sketch_ctes
+
+    return f"WITH {cms_sketch_ctes()}\nSELECT row, cell, cnt FROM sketch"
+
+
 QUERIES = {
     "stream_windowed_counts": q_stream_windowed,
     "stream_sessionize_stateful": q_stream_sessionize,
@@ -824,6 +861,7 @@ QUERIES = {
     "stream_corpus_curation": q_stream_corpus_curation,
     "stream_admission_gate": q_stream_admission_gate,
     "stream_bloom_gate": q_stream_bloom_gate,
+    "stream_token_cms": q_stream_token_cms,
 }
 
 
@@ -839,4 +877,5 @@ def oracles() -> dict[str, str]:
         "stream_corpus_curation": stream_corpus_curation_sql(),
         "stream_admission_gate": stream_admission_gate_sql(),
         "stream_bloom_gate": stream_bloom_gate_sql(),
+        "stream_token_cms": stream_token_cms_sql(),
     }
