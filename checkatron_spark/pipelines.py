@@ -110,16 +110,26 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap in-flight classifier can gate a language mix, per language
     (a skewed 'und' column = markers missing for that language). One
     map-side-combining groupBy over |langs|² cells."""
+    from checkatron_spark.session import scratch_persist
+
     docs = load_table(spark, "documents", sf_dir)
+    # persisted: cell feeds both the row-total aggregate and the join main
+    # side — without it the corpus scan + n-gram classifier run twice.
+    # The row-total join is null-SAFE (eqNullSafe, mirrored by the
+    # oracle's IS NOT DISTINCT FROM): a NULL label is a real matrix row
+    # (the 'label missing' failure mode), not a row to drop.
     cell = docs.groupBy(
         F.col("lang").alias("lang_label"),
         T.lang_id(F.col("text")).alias("lang_pred"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).transform(scratch_persist)
     row_tot = cell.groupBy("lang_label").agg(
         F.sum("n").cast("bigint").alias("_row_n")
-    )
+    ).withColumnRenamed("lang_label", "_rl")
     return (
-        cell.join(F.broadcast(row_tot), "lang_label")
+        cell.join(
+            F.broadcast(row_tot),
+            F.col("lang_label").eqNullSafe(F.col("_rl")),
+        )
         .select(
             "lang_label",
             "lang_pred",
@@ -143,7 +153,7 @@ rt AS (
 )
 SELECT c.lang_label, c.lang_pred, c.n,
        CAST((c.n * 1000) // r.row_n AS BIGINT) AS row_share_permille
-FROM cell c JOIN rt r USING (lang_label)
+FROM cell c JOIN rt r ON c.lang_label IS NOT DISTINCT FROM r.lang_label
 """
 
 
@@ -163,11 +173,10 @@ def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure regexp projection, zero shuffles, scan-speed at any scale."""
     docs = load_table(spark, "documents", sf_dir)
     t = F.coalesce(F.col("text"), F.lit(""))
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(t), "[^a-z0-9 ]", ""), " +", " "
-        )
-    )
+    # THE normalization chain — the same normalize_text the content
+    # fingerprint hashes, so this visible form and the dedup key can
+    # never drift apart
+    norm = T.normalize_text(t)
     return docs.select(
         "doc_id",
         norm.alias("norm_text"),
@@ -893,19 +902,28 @@ GROUP BY doc_id
 # mask memo: the Bloom mask is a pure function of (sf_dir, salt) — plain
 # ints, session-independent — so repeated calls (bench's min-of-2 pairing,
 # the batch query + the streaming gate in one driver session) pay the
-# benchmark-side shingle scan exactly once
-_BLOOM_MASK_CACHE: dict[str, list[int]] = {}
+# benchmark-side shingle scan exactly once. Keyed on the fixture file's
+# mtime too, so a regenerated fixture at the same path invalidates the
+# entry instead of silently serving a stale mask.
+_BLOOM_MASK_CACHE: dict[tuple[str, float], list[int]] = {}
 
 
 def _bench_bloom_mask(spark: SparkSession, sf_dir: str) -> list[int]:
-    words = _BLOOM_MASK_CACHE.get(sf_dir)
+    import os
+
+    try:
+        mtime = os.path.getmtime(f"{sf_dir}/documents.parquet")
+    except OSError:
+        mtime = -1.0
+    key = (sf_dir, mtime)
+    words = _BLOOM_MASK_CACHE.get(key)
     if words is None:
         from checkatron_spark.sampling import hash_uniform
 
         docs = load_table(spark, "documents", sf_dir)
         bench = docs.filter(hash_uniform(F.col("doc_id"), "bench-v1") < 0.05)
         words = D.bloom_mask_words(bench, "text")
-        _BLOOM_MASK_CACHE[sf_dir] = words
+        _BLOOM_MASK_CACHE[key] = words
     return words
 
 
@@ -1521,16 +1539,23 @@ FROM ranked WHERE rank <= 3
 def embedding_audit(emb: DataFrame, *, dim: int = 64) -> DataFrame:
     """Embedding-table contract audit in ONE aggregate scan — the vector
     twin of the expectations suite (whose scalar kinds can't see inside
-    arrays): null vectors, wrong dimensionality, zero vectors,
-    non-finite components, and exact quantized-norm extremes/total (the
-    1e6-grid squared norm — a shifted distribution shows up as a moved
-    sum without any float nondeterminism). A degenerate embedding batch
-    (an encoder emitting zeros or NaNs) is caught here BEFORE ANN
-    indexing, clustering, or dedup consume it."""
+    arrays): null vectors, NULL components, wrong dimensionality, zero
+    vectors, non-finite components, out-of-range magnitudes, and exact
+    quantized-norm extremes/total (1e3-grid squared norm — a shifted
+    distribution shows up as a moved sum without any float
+    nondeterminism). A degenerate embedding batch (an encoder emitting
+    zeros, NaNs, or exploded magnitudes) is caught here BEFORE ANN
+    indexing, clustering, or dedup consume it.
+
+    Overflow budget: the |v| <= 10 range gate bounds each quantized
+    component at 1e4, each squared norm at 64e8, and the corpus sum stays
+    inside int64 up to ~10^9 max-norm vectors — the audit's arithmetic
+    cannot itself overflow on the data it admits (out-of-range components
+    are COUNTED, never squared)."""
     v = F.col("embedding")
     qnorm = F.expr(
         "aggregate(transform(embedding, v -> "
-        "CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)), "
+        "CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)), "
         "0L, (acc, q) -> acc + q * q)"
     )
     # NULL components are checked FIRST and get their own counter: a NULL
@@ -1544,8 +1569,13 @@ def embedding_audit(emb: DataFrame, *, dim: int = 64) -> DataFrame:
         "exists(embedding, v -> isnan(v) "
         "OR abs(CAST(v AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
     )
+    out_of_range = F.expr(
+        "exists(embedding, v -> NOT isnan(v) "
+        "AND abs(CAST(v AS DOUBLE)) > 10.0)"
+    )
     whole = v.isNotNull() & ~has_null
-    ok = whole & (F.size(v) == dim) & ~nonfinite
+    finite = whole & ~nonfinite
+    ok = finite & (F.size(v) == dim) & ~out_of_range
     return emb.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.count_if(v.isNull()).cast("bigint").alias("n_null_vec"),
@@ -1558,6 +1588,9 @@ def embedding_audit(emb: DataFrame, *, dim: int = 64) -> DataFrame:
         F.count_if(whole & nonfinite)
         .cast("bigint")
         .alias("n_nonfinite"),
+        F.count_if(finite & out_of_range)
+        .cast("bigint")
+        .alias("n_out_of_range"),
         F.count_if(ok & (qnorm == 0)).cast("bigint").alias("n_zero_vec"),
         F.min(F.when(ok, qnorm)).cast("bigint").alias("min_qnorm"),
         F.max(F.when(ok, qnorm)).cast("bigint").alias("max_qnorm"),
@@ -1571,8 +1604,8 @@ def q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_QNORM = (
     "CAST(list_sum(list_transform(embedding, v -> "
-    "CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) "
-    "* CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) "
+    "CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) "
+    "* CAST(floor(CAST(v AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))) "
     "AS BIGINT)"
 )
 _EMB_NONFINITE = (
@@ -1580,6 +1613,10 @@ _EMB_NONFINITE = (
     "OR isinf(CAST(v AS DOUBLE)))) > 0"
 )
 _EMB_HAS_NULL = "len(list_filter(embedding, v -> v IS NULL)) > 0"
+_EMB_OOR = (
+    "len(list_filter(embedding, v -> NOT isnan(CAST(v AS DOUBLE)) "
+    "AND abs(CAST(v AS DOUBLE)) > 10.0)) > 0"
+)
 
 EMBEDDING_AUDIT_SQL = f"""
 WITH base AS (
@@ -1587,10 +1624,14 @@ WITH base AS (
            {_EMB_QNORM} AS qn,
            {_EMB_NONFINITE} AS bad,
            {_EMB_HAS_NULL} AS hasnull,
+           {_EMB_OOR} AS oor,
            embedding IS NOT NULL AND NOT {_EMB_HAS_NULL} AS whole,
            embedding IS NOT NULL AND NOT {_EMB_HAS_NULL}
+               AND NOT {_EMB_NONFINITE} AS finite,
+           embedding IS NOT NULL AND NOT {_EMB_HAS_NULL}
+               AND NOT {_EMB_NONFINITE}
                AND len(embedding) = 64
-               AND NOT {_EMB_NONFINITE} AS ok
+               AND NOT {_EMB_OOR} AS ok
     FROM embeddings
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -1602,6 +1643,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
             AS BIGINT) AS n_wrong_dim,
        CAST(COUNT(*) FILTER (WHERE whole AND bad) AS BIGINT)
            AS n_nonfinite,
+       CAST(COUNT(*) FILTER (WHERE finite AND oor) AS BIGINT)
+           AS n_out_of_range,
        CAST(COUNT(*) FILTER (WHERE ok AND qn = 0) AS BIGINT) AS n_zero_vec,
        CAST(MIN(qn) FILTER (WHERE ok) AS BIGINT) AS min_qnorm,
        CAST(MAX(qn) FILTER (WHERE ok) AS BIGINT) AS max_qnorm,

@@ -532,8 +532,19 @@ def mix_budget_plan(
     avail = df.groupBy(group_col).agg(
         F.sum(tokens_col).alias("avail_tokens")
     )
+    # weight-table schema follows the data's group-key type (int domain
+    # ids work as well as string lang codes); weights fold to float so an
+    # int literal like {1: 1} doesn't trip DoubleType validation
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     wdf = df.sparkSession.createDataFrame(
-        sorted(weights.items()), f"{group_col} string, weight double"
+        [(g, float(w)) for g, w in sorted(weights.items())],
+        StructType(
+            [
+                StructField(group_col, df.schema[group_col].dataType),
+                StructField("weight", DoubleType()),
+            ]
+        ),
     )
     a, t = F.col("avail_tokens"), F.col("target_tokens")
     plan = (

@@ -5,9 +5,11 @@ of the input (the at-scale claim)."""
 
 from __future__ import annotations
 
-from checkatron_spark.expectations import expectations_report
+import os
 
-REQUIRES_TESTDATA = True  # test_suite_is_single_scan reads the fixtures
+import pytest
+
+from checkatron_spark.expectations import expectations_report
 
 
 def _report(spark, rows, schema, suite):
@@ -54,6 +56,13 @@ def test_clean_suite_passes(spark):
     assert all(r.passed and r.n_violations == 0 for r in got.values())
 
 
+# per-test skip (NOT the module-level REQUIRES_TESTDATA flag): only this
+# test reads fixtures — the pure-unit tests above must keep running on
+# machines without /root/testdata
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"),
+    reason="driver fixtures not present",
+)
 def test_suite_is_single_scan(spark):
     from checkatron_spark.sources.tables import load_table
 
@@ -84,18 +93,22 @@ def test_embedding_audit_catches_degenerates(spark):
         (4, [float("nan"), 1.0]),   # NaN component
         (5, [math.inf, 1.0]),       # Inf component
         (6, [None, 1.0]),           # NULL component (three-valued trap)
+        (7, [1.0e10, 0.0]),         # finite but exploded magnitude —
+                                    # counted, never squared (overflow)
     ]
     r = embedding_audit(
         spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
         dim=2,
     ).collect()[0]
-    assert r.n_vecs == 7
+    assert r.n_vecs == 8
     assert r.n_null_vec == 1
     assert r.n_null_component == 1
     assert r.n_wrong_dim == 1
     assert r.n_nonfinite == 2
+    assert r.n_out_of_range == 1
     assert r.n_zero_vec == 1
-    # healthy + zero vec are the only 'ok' rows: norms 1e12 and 0
+    # healthy + zero vec are the only 'ok' rows: norms 1000^2 and 0 on
+    # the 1e3 grid
     assert (r.min_qnorm, r.max_qnorm, r.sum_qnorm) == (
-        0, 10**12, 10**12
+        0, 10**6, 10**6
     )
