@@ -230,8 +230,16 @@ def _greens_on_disk() -> dict[str, str]:
         if not isinstance(rows, dict):
             continue  # a malformed round file must not break queries()
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("hash_match") is True:
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
                 green[name] = os.path.basename(path)
+            elif row.get("hash_match") is False:
+                # a later-round red is a REGRESSION — it must clear the
+                # older green so the query rotates back to the front, not
+                # stay demoted behind its stale pass (None stays neutral:
+                # rows-only checks carry no hash verdict either way)
+                green.pop(name, None)
     return green
 
 

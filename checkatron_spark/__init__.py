@@ -94,7 +94,12 @@ from checkatron_spark.operators.summary import (
     diff_summary,
     labeled_counts,
 )
-from checkatron_spark.session import get_spark
+from checkatron_spark.session import (
+    get_spark,
+    release_scratch,
+    scratch_cache,
+    scratch_persist,
+)
 from checkatron_spark.sources.tables import load_csv_table, load_json_table
 
 __all__ = [
@@ -119,6 +124,9 @@ __all__ = [
     "build_sql",
     "connected_components",
     "decode_status",
+    "release_scratch",
+    "scratch_cache",
+    "scratch_persist",
     "decontaminate",
     "dedup_corpus",
     "substring_dup_pairs",

@@ -186,6 +186,11 @@ def neardup_embedding_cosine(
     the Catalyst fold, ~5x faster)."""
     if block_col is None:
         return _allpairs_cosine_numpy(vectors, id_col, vec_col, threshold)
+    # from here on block_col is non-None: the blockless case returned into
+    # the guarded numpy path above, so no cartesian fallback may exist —
+    # a crossJoin branch here would be a live trap outside the declared-
+    # query no-cartesian plan pin (VERDICT r5 item 5)
+    assert block_col is not None
     # precast to array<double> and precompute the norm ONCE per vector —
     # per-pair work is then a single fold with no element casts
     # (float -> double is exact, so values are unchanged)
@@ -194,16 +199,12 @@ def neardup_embedding_cosine(
         F.col(id_col).alias("_id"),
         dv.alias("_v"),
         l2_norm(F.col(vec_col)).alias("_norm"),
+        F.col(block_col).alias("_blk"),
     ]
-    if block_col:
-        cols.append(F.col(block_col).alias("_blk"))
     v = vectors.select(*cols)
     left = v.select(*[F.col(c).alias(c + "a") for c in v.columns])
     right = v.select(*[F.col(c).alias(c + "b") for c in v.columns])
-    if block_col:
-        joined = left.join(right, F.col("_blka") == F.col("_blkb"))
-    else:
-        joined = left.crossJoin(right)
+    joined = left.join(right, F.col("_blka") == F.col("_blkb"))
     return (
         joined.filter(F.col("_ida") < F.col("_idb"))
         .withColumn(
@@ -519,15 +520,30 @@ def decontaminate_semantic(
     only; anti-join the corpus against it to clean.
     """
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # zero-norm CORPUS rows can't match anything (cosine undefined) and
+    # would trip ANSI divide-by-zero — filter them; locating them is
+    # embedding_audit's job, not the gate's
     c = corpus.select(
         F.col(id_col).alias("_cid"),
         dv.alias("_cv"),
         l2_norm(F.col(vec_col)).alias("_cn"),
-    )
+    ).filter(F.col("_cn") > 0.0)
     b = benchmark.select(
         dv.alias("_bv"),
         l2_norm(F.col(vec_col)).alias("_bn"),
     )
+    # a zero-norm (or NULL) BENCHMARK vector would make the cosine NULL
+    # against every corpus row — the degenerate eval embedding silently
+    # disabling its own decontamination. Fail fast instead: the benchmark
+    # side is tiny by contract (it broadcasts), so this eager probe is one
+    # bounded job, same class as the Bloom-mask collect
+    if b.filter(~(F.col("_bn") > 0.0)).limit(1).count():
+        raise ValueError(
+            "decontaminate_semantic: benchmark contains a zero-norm or "
+            "NULL embedding; it would match nothing (cosine undefined). "
+            "Drop or fix degenerate eval vectors first (embedding_audit "
+            "locates them)."
+        )
     sim = dot(F.col("_cv"), F.col("_bv")) / (F.col("_cn") * F.col("_bn"))
     return (
         c.crossJoin(F.broadcast(b))

@@ -1270,13 +1270,17 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     together. Output is |sources|² rows at most."""
     docs = load_table(spark, "documents", sf_dir)
     pairs = D.neardup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.8)
+    # both source lookups are ALIASED projections referenced through the
+    # alias: the first join previously resolved `pairs.id_a == src.doc_id`
+    # only via the preserved exprId of a different lineage — a brittle
+    # self-join pattern ambiguous-self-join detection could break
     src = docs.select("doc_id", "source")
+    a = src.withColumnRenamed("source", "_sa").alias("a")
+    b = src.withColumnRenamed("source", "_sb").alias("b")
     joined = (
-        pairs.join(src.withColumnRenamed("source", "_sa"),
-                   pairs.id_a == src.doc_id)
+        pairs.join(a, F.col("id_a") == F.col("a.doc_id"))
         .drop("doc_id")
-        .join(src.withColumnRenamed("source", "_sb").alias("b"),
-              F.col("id_b") == F.col("b.doc_id"))
+        .join(b, F.col("id_b") == F.col("b.doc_id"))
     )
     return (
         joined.select(
@@ -2484,10 +2488,13 @@ def oracles() -> dict[str, str]:
         "quality_linear_score": QUALITY_LINEAR_SQL,
         "quality_percentile_gate": quality_percentile_gate_sql(),
         "dedup_corpus_substring": DEDUP_CORPUS_SUBSTRING_SQL,
-        "neardup_minhash_banded": MINHASH_BANDED_SQL,
         "split_by_cluster": SPLIT_BY_CLUSTER_SQL,
         # probabilistic operators are tuned to measured recall 1.0 on the
-        # fixtures and graded against their exact twins' SQL
+        # fixtures and graded against their exact twins' SQL — a future red
+        # here triages as LSH recall on a changed fixture, not engine parity
+        # (banded: a pair at similarity s>0.7 escapes all 8 one-hash bands
+        # with probability (1-s)^8, ~7e-5 at the threshold)
+        "neardup_minhash_banded": MINHASH_BANDED_SQL,
         "neardup_minhash_lsh": MINHASH_ORACLE_SQL,
         "neardup_simhash": SIMHASH_ORACLE_SQL,
         "neardup_hybrid_semantic": neardup_hybrid_sql(),

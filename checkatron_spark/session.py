@@ -82,3 +82,28 @@ def release_scratch() -> int:
         except Exception:  # noqa: BLE001  (dead session — nothing to free)
             pass
     return n
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def scratch_cache():
+    """Sanctioned release point for LIBRARY callers (ADVICE r5): operators
+    composed outside the ``__spark_entry__`` contract wrapper (which drains
+    the registry per ``queries()`` call) would otherwise accumulate
+    persisted frames without bound in a long-lived session.  Wrap each
+    logical unit of work::
+
+        with scratch_cache():
+            result = dedup_corpus(docs, ...).collect()
+
+    Frames registered inside the block are unpersisted on exit (collect
+    first — unpersist is correctness-safe, a later action just recomputes).
+    Blocks release EVERYTHING registered so far, matching the contract
+    wrapper's previous-query-is-done semantics; nesting therefore releases
+    the outer block's frames early, which is safe for the same reason."""
+    try:
+        yield
+    finally:
+        release_scratch()

@@ -52,3 +52,25 @@ def test_no_cache_accumulation_across_queries(spark):
     )
     release_scratch()
     assert _n_persistent(spark) <= baseline
+
+
+def test_scratch_cache_context_manager(spark):
+    """ADVICE r5: library callers need a sanctioned release point — the
+    context manager drains the registry on exit, including on error."""
+    import checkatron_spark as ck
+    from checkatron_spark.session import _SCRATCH, scratch_cache, scratch_persist
+
+    assert ck.scratch_cache is scratch_cache  # public API export
+    df = spark.range(10)
+    with scratch_cache():
+        scratch_persist(df).count()
+        assert len(_SCRATCH) == 1
+    assert len(_SCRATCH) == 0 and not df.is_cached
+
+    try:
+        with scratch_cache():
+            scratch_persist(spark.range(5)).count()
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert len(_SCRATCH) == 0

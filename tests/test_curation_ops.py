@@ -482,3 +482,100 @@ def test_decontaminate_bloom_empty_benchmark(spark):
     )
     bench = corpus.filter("doc_id < 0")
     assert decontaminate_bloom(corpus, bench, "text", "doc_id").count() == 0
+
+
+def test_null_text_parity_pii_and_neardup_incremental(spark, duck, tmp_path):
+    """VERDICT r5 items 2/3: the pii-scrub and incremental-neardup oracles
+    must agree with Spark on a fixture that CONTAINS NULL-text documents —
+    the latent divergences were size(regexp_extract_all(NULL)) = -1 vs NULL
+    (pii) and the oracle dropping NULL docs the Spark side folds to the ''
+    sentinel (neardup). Both ends now coalesce(text, ''), so two NULL docs
+    across the new/base split pair on BOTH engines, not Spark-only."""
+    import pandas as pd
+
+    from checkatron_spark.pipelines import (
+        NEARDUP_INCREMENTAL_SQL,
+        pii_scrub_sql,
+        q_neardup_incremental,
+        q_pii_scrub,
+    )
+
+    rows = [
+        # doc_id % 17 == 2 -> "new" batch; else base
+        (1, "web", None),                         # base, NULL text
+        (2, "web", None),                         # new, NULL text
+        (3, "web", "alpha beta gamma delta"),     # base twin of 19
+        (4, "web", "totally different words entirely x"),
+        (19, "web", "alpha beta gamma delta"),    # new, dup of base 3
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "source", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+
+    pii = q_pii_scrub(spark, str(tmp_path))
+    got = sorted(tuple(r) for r in pii.collect())
+    res = duck.sql(pii_scrub_sql())
+    idx = [res.columns.index(c) for c in pii.columns]
+    want = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
+    assert got == want and len(got) == 5  # NULL docs present on both sides
+
+    nd = q_neardup_incremental(spark, str(tmp_path))
+    got2 = sorted(tuple(r) for r in nd.collect())
+    res2 = duck.sql(NEARDUP_INCREMENTAL_SQL)
+    idx2 = [res2.columns.index(c) for c in nd.columns]
+    want2 = sorted(tuple(row[i] for i in idx2) for row in res2.fetchall())
+    assert got2 == want2
+    # the two NULL docs fold to the '' sentinel and pair at jaccard 1.0 —
+    # on BOTH engines (pre-fix the oracle dropped them, Spark paired them)
+    assert (2, 1, 1.0) in got2 and (19, 3, 1.0) in got2
+
+
+def test_decontaminate_semantic_zero_norm_benchmark_raises(spark):
+    """ADVICE r5: a zero-norm eval embedding would silently disable its own
+    decontamination (cosine NULL -> never flagged). The operator must fail
+    fast instead of admitting everything."""
+    import pytest
+
+    from checkatron_spark.operators.similarity import decontaminate_semantic
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id int, embedding array<float>"
+    )
+    bad_bench = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "vec_id int, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        decontaminate_semantic(corpus, bad_bench)
+
+    # zero-norm CORPUS rows are fine: they can't match anything and are
+    # embedding_audit's problem, not the gate's
+    z_corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id int, embedding array<float>"
+    )
+    bench = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id int, embedding array<float>"
+    )
+    hits = decontaminate_semantic(z_corpus, bench, threshold=0.8).collect()
+    assert [r.vec_id for r in hits] == [1]
+
+
+def test_embedding_cosine_blocked_path_never_cartesian(spark):
+    """VERDICT r5 item 5: the crossJoin fallback in the blocked path was
+    unreachable-but-live; now it's gone, pin that the NON-query entry point
+    with a block_col compiles to an equi-join, never a cartesian."""
+    from checkatron_spark.operators.similarity import neardup_embedding_cosine
+
+    v = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [1.0, 0.0], "a"), (3, [0.0, 1.0], "b")],
+        "vec_id int, embedding array<float>, blk string",
+    )
+    df = neardup_embedding_cosine(v, block_col="blk")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = [(r.id_a, r.id_b) for r in df.collect()]
+    assert got == [(1, 2)]

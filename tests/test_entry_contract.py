@@ -178,3 +178,27 @@ def test_no_risky_oracle_output_types(duck_views):
         "oracle output columns with no bit-identical Spark counterpart "
         f"(cast them to BIGINT/DOUBLE in the SQL): {risky}"
     )
+
+
+def test_greens_on_disk_numeric_round_sort(monkeypatch, tmp_path):
+    """VERDICT r5 item 1 guard: round files must sort NUMERICALLY on the
+    r(\\d+) suffix — lexicographic glob order puts CORRECTNESS_r100.json
+    before r11/r9, so the 'latest green' winner (and with it the whole
+    stale-green rotation) would silently be an old round once rounds reach
+    three digits."""
+    import json
+
+    def row(hash_match):
+        return {"q": {"rows_match": True, "schema_match": True,
+                      "hash_match": hash_match, "err": None}}
+
+    (tmp_path / "CORRECTNESS_r9.json").write_text(json.dumps(row(True)))
+    (tmp_path / "CORRECTNESS_r11.json").write_text(json.dumps(row(True)))
+    (tmp_path / "CORRECTNESS_r100.json").write_text(json.dumps(row(True)))
+    monkeypatch.setattr(entrymod, "__file__", str(tmp_path / "e.py"))
+    assert entrymod._greens_on_disk() == {"q": "CORRECTNESS_r100.json"}
+
+    # a red in the true latest round must override an older green, not be
+    # masked by it sorting last lexicographically
+    (tmp_path / "CORRECTNESS_r100.json").write_text(json.dumps(row(False)))
+    assert entrymod._greens_on_disk() == {}
