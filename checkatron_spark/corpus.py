@@ -933,6 +933,19 @@ def cms_sketch(
     return cells.groupBy("row", "cell").agg(F.sum("c").alias("cnt"))
 
 
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min sketches (cells add): union + re-sum per (row,
+    cell). This IS the 100 TB rollup primitive — per-snapshot sketches are
+    built independently and folded in any order/grouping; the algebra
+    (associative, commutative, merge-of-parts == rebuild-of-whole across
+    arbitrary snapshot chains) is property-pinned in
+    tests/test_properties.py."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
 def token_heavy_hitters_cms(
     docs: DataFrame,
     *,

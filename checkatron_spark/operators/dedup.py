@@ -186,6 +186,29 @@ def bloom_mask_words(
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
+def bloom_merge_masks(*masks: list[int]) -> list[int]:
+    """Merge Bloom masks (bitwise OR per 64-bit word, signed-long safe):
+    per-benchmark-snapshot masks fold into the mask of the union of their
+    gram sets — associative, commutative, and idempotent, so an
+    incremental pipeline can re-merge an already-merged snapshot without
+    drift (property-pinned across 3-snapshot chains in
+    tests/test_properties.py). A probe against the merged mask flags a
+    superset of what any constituent mask flags."""
+    if not masks:
+        raise ValueError("bloom_merge_masks: need at least one mask")
+    n = len(masks[0])
+    if any(len(m) != n for m in masks):
+        raise ValueError("bloom_merge_masks: masks differ in m_bits")
+    u64 = (1 << 64) - 1
+    out = []
+    for i in range(n):
+        w = 0
+        for m in masks:
+            w |= m[i] & u64
+        out.append(w - (1 << 64) if w >= (1 << 63) else w)
+    return out
+
+
 def bloom_hits_expr(
     arr_col: str, bits_col: str, *, m_bits: int = 65536, k: int = 3
 ) -> str:

@@ -60,3 +60,45 @@ def test_kmeans_deterministic_across_runs(spark):
     a = _assign(spark, rows, k=4, iters=3, scale=100)
     b = _assign(spark, rows, k=4, iters=3, scale=100)
     assert a == b
+
+
+def test_arrow_and_sql_kernels_bit_identical(spark):
+    """VERDICT r5 item 4: the Arrow numpy kernel must reproduce the
+    Catalyst formulation EXACTLY — same int64 grid arithmetic, same
+    min(dist*k+cid) argmin/tie-break — across multiple Lloyd rounds on
+    real fixture embeddings."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver parquet fixtures not available")
+    from checkatron_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf)
+    a = {
+        (r.vec_id, r.cluster_id, r.dist)
+        for r in kmeans_assign(emb, k=5, iters=3, scale=10000).collect()
+    }
+    s = {
+        (r.vec_id, r.cluster_id, r.dist)
+        for r in kmeans_assign(
+            emb, k=5, iters=3, scale=10000, kernel="sql"
+        ).collect()
+    }
+    assert a == s and len(a) == emb.count()
+
+
+def test_arrow_kernel_overflow_guard(spark):
+    """numpy wraps where ANSI raises — the kernel must catch the BIGINT
+    bound itself rather than silently corrupt an assignment."""
+    import pytest
+
+    big = float(2**31)
+    df = spark.createDataFrame(
+        [(1, [big, -big]), (2, [-big, big]), (3, [big, big])],
+        "vec_id int, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="grid bound exceeded"):
+        kmeans_assign(df, k=2, iters=1, scale=10000).collect()

@@ -258,3 +258,73 @@ def test_compact_log_apply_equals_sequential_replay(spark):
     assert sorted(map(tuple, one_shot.collect())) == sorted(
         map(tuple, sequential.collect())
     ) == [(1, "x3"), (2, "y2")]
+
+
+def test_streaming_patch_io_proportional_to_churn(spark, tmp_path):
+    """VERDICT r5 item 1 pin: per-batch the upsert must read/write ONLY the
+    buckets the batch's keys hash into — never the full snapshot. The io_log
+    hook records what each batch actually read; with a 500-key base over 16
+    buckets and single-key batches, every batch must touch exactly one
+    bucket's files while ~16 bucket dirs stay live."""
+    from checkatron_spark.streaming import apply_delta_stream
+
+    base = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # 3 single-key deltas -> 3 micro-batches (maxFilesPerTrigger=1)
+    delta = spark.createDataFrame(
+        [("U", 7, 777), ("I", 1007, 42), ("D", 13, None)],
+        "_op string, k bigint, v bigint",
+    )
+    feed = str(tmp_path / "feed")
+    delta.repartition(3).write.parquet(feed)
+    sdf = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    io_log: list = []
+    out = apply_delta_stream(
+        sdf, base, ["k"], ["v"],
+        state_dir=str(tmp_path / "state"), n_buckets=16, io_log=io_log,
+    )
+    got = {r.k: r.v for r in out.collect()}
+    want = {i: i * 2 for i in range(500) if i != 13}
+    want[7], want[1007] = 777, 42
+    assert got == want
+
+    assert len(io_log) == 3
+    for rec in io_log:
+        # single-key batch -> exactly one touched bucket...
+        assert len(rec["touched"]) == 1
+        bucket = rec["touched"][0]
+        # ...and every file the slice read lives under that bucket's dir —
+        # the untouched snapshot was not even listed
+        assert rec["files_read"], "update/delete batches read their bucket"
+        for f in rec["files_read"]:
+            assert f"_bucket={bucket}" in f, f
+        # the pruning is real: far more bucket files stay live than read
+        assert len(rec["files_read"]) < rec["live_files"] / 4
+
+
+def test_streaming_patch_delete_can_empty_bucket_and_snapshot(spark, tmp_path):
+    """Edge: a delete that empties its bucket must drop the bucket from the
+    manifest (no dangling path), down to an empty final snapshot."""
+    from checkatron_spark.streaming import apply_delta_stream
+
+    base = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+    delta = spark.createDataFrame(
+        [("D", 1, None), ("D", 2, None)], "_op string, k bigint, v bigint"
+    )
+    feed = str(tmp_path / "feed")
+    delta.repartition(2).write.parquet(feed)
+    sdf = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    out = apply_delta_stream(
+        sdf, base, ["k"], ["v"],
+        state_dir=str(tmp_path / "state"), n_buckets=4,
+    )
+    assert out.count() == 0 and out.columns == ["k", "v"]

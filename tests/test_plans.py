@@ -297,13 +297,18 @@ def test_dedup_spans_winner_agg_is_map_side_combining(spark):
 
 
 def test_kmeans_assignment_broadcasts_centroids(spark):
-    """SCALE.md 'Exact k-means': the per-round assignment joins the corpus
-    against k centroid LITERALS — that must be a broadcast nested loop
-    over k rows (never a shuffled join), and the only exchanges are the
-    tiny (cluster, dim) re-fit and final argmin aggregations."""
+    """SCALE.md 'Exact k-means': the per-round assignment scores the corpus
+    against k centroid LITERALS — never a shuffled join. sql kernel: a
+    broadcast nested loop over k rows; arrow kernel (the default/100 TB
+    path): the centroids ride the task closure, so the plan has NO join at
+    all — one MapInPandas over the scan."""
     from checkatron_spark.operators.kmeans import kmeans_assign
 
     emb = load_table(spark, "embeddings", SF_DIR)
-    plan = _plan(kmeans_assign(emb, k=4, iters=1, scale=1000))
+    plan = _plan(kmeans_assign(emb, k=4, iters=1, scale=1000, kernel="sql"))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    aplan = _plan(kmeans_assign(emb, k=4, iters=1, scale=1000))
+    assert "MapInPandas" in aplan
+    assert "Join" not in aplan  # no join of any kind in the arrow path
