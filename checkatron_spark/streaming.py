@@ -309,44 +309,56 @@ def apply_delta_stream(
     value_cols: list[str],
     *,
     state_dir: str,
-    n_buckets: int = 64,
+    n_buckets: int = 16,
+    compact_every: int = 16,
     timeout_s: int = 300,
     io_log: list | None = None,
 ) -> DataFrame:
     """Continuously materialize a CDC changefeed onto a snapshot: the
     streaming counterpart of ``operators/patch.py::apply_delta``.
 
-    BUCKETED COPY-ON-WRITE (VERDICT r5 item 1): the snapshot lives as
-    ``n_buckets`` hash-buckets of the key (parquet dirs tracked in a
-    driver-side manifest, one entry per bucket — bounded, never data-sized).
-    Per micro-batch the foreachBatch upsert
+    LSM-SHAPED STORE (VERDICT r5 item 1): delta-partition log + bucketed
+    copy-on-write compaction — the two-tier layout every production table
+    format converges on (Delta/Iceberg MERGE-on-read + scheduled rewrite).
 
-    1. buckets the batch's keys and collects the DISTINCT touched bucket
-       ids (bounded by ``n_buckets``, never by data),
-    2. reads ONLY the touched buckets' current dirs — the untouched
-       snapshot is never listed, read, or rewritten,
-    3. applies the batch ``apply_delta`` anti-join + union to that slice
-       (delta side broadcastable since a micro-batch ∝ churn),
-    4. writes the result back partitioned by bucket into a fresh epoch dir
-       and repoints the manifest's touched entries; epochs with no live
-       bucket left are deleted lazily (the compaction nod).
+    - **Per micro-batch (hot path): append only.** The batch is written
+      verbatim (stamped with its epoch) as one log partition. Cost ∝ that
+      batch's churn, exactly — the snapshot is never listed, read, or
+      rewritten; there is no per-batch join at all.
+    - **Compaction (every ``compact_every`` batches, and once at drain
+      end): bucket-pruned fold.** The pending log is reduced to the
+      latest image per key (a key-partitioned window over log rows — state
+      ∝ accumulated churn, never ∝ snapshot), the DISTINCT touched bucket
+      ids are collected (bounded by ``n_buckets``), ONLY those buckets'
+      current dirs are read, the ``apply_delta`` anti-join + union folds
+      the net delta in (delta side broadcastable), and only those buckets
+      are rewritten into a fresh epoch dir. The manifest (driver-side
+      dict: bucket → live dir, bounded by ``n_buckets``) is repointed;
+      fully superseded epoch dirs and consumed log partitions are reaped.
 
-    Per-batch I/O is therefore ∝ touched buckets — the file-pruned
-    copy-on-write cost model of a table-format MERGE (Delta/Iceberg),
-    which this stand-in mirrors with plain parquet. ``n_buckets`` tunes
-    the granularity: a churn slice clustered on few keys touches few
-    buckets; adversarially uniform churn degrades toward a full rewrite
+    Read amplification is bounded by ``compact_every``; write/read cost
+    per compaction is ∝ touched buckets — the file-pruned cost model of a
+    table-format MERGE. ``n_buckets`` tunes the granularity: clustered
+    churn folds into few buckets; adversarially uniform churn degrades
+    the COMPACTION (not the per-batch appends) toward a full rewrite,
     exactly as a real MERGE's touched-file set would.
 
-    ``io_log`` (tests): when a list is passed, appends one dict per
-    non-empty batch recording the touched bucket ids, the files the slice
-    read, and the live-file total — the churn-proportionality pin asserts
-    reads ⊂ touched buckets ⊊ snapshot.
+    CDC contract: within one micro-batch a key occurs at most once (a
+    compacted feed); across batches the latest epoch's image wins, which
+    equals applying the batches sequentially.
+
+    ``io_log`` (tests): when a list is passed, appends one record per
+    non-empty batch (``mode="append"``, with ``files_read=[]`` — the pin
+    that the hot path reads nothing) and one per compaction
+    (``mode="compact"``, with the touched bucket ids and the base files
+    actually read — the pin that folds stay inside touched buckets).
 
     Runs the stream to completion (AvailableNow) and returns the final
     snapshot as a batch DataFrame (backed by the manifest's live dirs)."""
     import os
     import shutil
+
+    from pyspark.sql.window import Window
 
     from checkatron_spark.operators.patch import apply_delta
 
@@ -364,10 +376,16 @@ def apply_delta_stream(
         return out
 
     seeded = base.select(*cols)
-    seeded.withColumn("_bucket", _bucket(seeded)).write.mode(
-        "overwrite"
-    ).partitionBy("_bucket").parquet(f"{state_dir}/epoch0")
+    # same ~1-file-per-bucket discipline as the compaction write: without
+    # the repartition the seed emits tasks x buckets sliver files that
+    # every later fold re-reads
+    seeded.withColumn("_bucket", _bucket(seeded)).repartition(
+        max(n_buckets // 2, 1), F.col("_bucket")
+    ).write.mode("overwrite").partitionBy("_bucket").parquet(
+        f"{state_dir}/epoch0"
+    )
     manifest: dict[int, str] = _live_buckets(f"{state_dir}/epoch0")
+    pending: list[int] = []  # epoch ids with an unconsumed log partition
 
     def _reap_dead_epochs() -> None:
         live = {os.path.dirname(p) for p in manifest.values()}
@@ -376,12 +394,23 @@ def apply_delta_stream(
             if d.startswith("epoch") and full not in live:
                 shutil.rmtree(full, ignore_errors=True)
 
-    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
+    def _compact() -> None:
+        if not pending:
             return
+        log = spark.read.parquet(
+            *[f"{state_dir}/log/e{e}" for e in pending]
+        )
+        # net image per key: latest epoch wins (key-partitioned window —
+        # no global funnel; log size ∝ churn since the last compaction)
+        w = Window.partitionBy(*keys).orderBy(F.col("_epoch").desc())
+        latest = (
+            log.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_epoch")
+        )
         touched = sorted(
             r[0]
-            for r in batch_df.select(_bucket(batch_df).alias("_bucket"))
+            for r in latest.select(_bucket(latest).alias("_b"))
             .distinct()
             .collect()
         )
@@ -394,7 +423,8 @@ def apply_delta_stream(
         if io_log is not None:
             io_log.append(
                 {
-                    "epoch": epoch_id,
+                    "mode": "compact",
+                    "epochs": list(pending),
                     "touched": touched,
                     "files_read": list(cur.inputFiles()) if cur_paths else [],
                     "live_files": sum(
@@ -402,11 +432,15 @@ def apply_delta_stream(
                     ),
                 }
             )
-        nxt = apply_delta(cur, batch_df, keys, value_cols)
-        out_dir = f"{state_dir}/epoch{epoch_id + 1}"
-        nxt.withColumn("_bucket", _bucket(nxt)).write.mode(
-            "overwrite"
-        ).partitionBy("_bucket").parquet(out_dir)
+        nxt = apply_delta(cur, latest, keys, value_cols)
+        out_dir = f"{state_dir}/epoch{max(pending) + 1}"
+        # repartition ON the bucket before partitionBy: otherwise every
+        # write task emits a sliver file into every touched bucket dir
+        # (tasks x buckets tiny files) and later compactions snowball on
+        # the accumulated small-file reads — this pins ~1 file per bucket
+        nxt.withColumn("_bucket", _bucket(nxt)).repartition(
+            max(len(touched) // 2, 1), F.col("_bucket")
+        ).write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
         written = _live_buckets(out_dir)
         for b in touched:
             if b in written:
@@ -414,6 +448,32 @@ def apply_delta_stream(
             else:
                 manifest.pop(b, None)  # bucket emptied by deletes
         _reap_dead_epochs()
+        for e in pending:
+            shutil.rmtree(f"{state_dir}/log/e{e}", ignore_errors=True)
+        pending.clear()
+
+    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # hot path: append the batch as a log partition — ZERO reads,
+        # one write ∝ this batch's churn
+        batch_df.withColumn("_epoch", F.lit(epoch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/log/e{epoch_id}")
+        pending.append(epoch_id)
+        if io_log is not None:
+            io_log.append(
+                {
+                    "mode": "append",
+                    "epoch": epoch_id,
+                    "files_read": [],
+                    "live_files": sum(
+                        len(os.listdir(p)) for p in manifest.values()
+                    ),
+                }
+            )
+        if len(pending) >= compact_every:
+            _compact()
 
     q = (
         delta_stream.writeStream.foreachBatch(_upsert)
@@ -426,6 +486,7 @@ def apply_delta_stream(
     finally:
         if q.isActive:
             q.stop()
+    _compact()  # fold any remaining log before handing the snapshot out
     if not manifest:
         return spark.createDataFrame([], seeded.schema)
     return spark.read.parquet(*manifest.values()).select(*cols)
