@@ -828,6 +828,59 @@ def dedup_corpus(
     return docs.join(keep, id_col, "left_semi")
 
 
+def dedup_corpus_staged(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_iter: int = 25,
+) -> DataFrame:
+    """:func:`dedup_corpus` with an EXACT-duplicate pre-collapse — the
+    C4/RefinedWeb staging every production pipeline runs (exact dedup
+    BEFORE near-dup), as one operator with provably identical output.
+
+    Stage 1 groups documents by content hash (md5 of the NULL-folded
+    text) and keeps the min-id representative per group: one bounded
+    shuffle of (id, 32-char fp) pairs, never the text. Stage 2 runs the
+    full near-dup pipeline on representatives only.
+
+    Output == ``dedup_corpus(docs, ...)`` EXACTLY (pinned in
+    tests/test_corpus.py, and the declared query grades against the same
+    recursive-CTE oracle as ``dedup_corpus_e2e``): exact-equal documents
+    have identical shingle sets, so every near-dup edge through a
+    collapsed duplicate exists identically through its representative,
+    and min-over-group-mins is the global min — the staged component
+    quotient keeps the same survivors.
+
+    Why it matters at 100 TB: web crawls are exact-dup heavy (~tens of
+    percent), and an exact-dup clique of size m costs the pair stage
+    O(m²) verified pairs (the blowup the sf1 probe measured at 971x
+    pair growth on a 10x tiled corpus). Collapsing cliques to one node
+    FIRST shrinks the shingle join's input by the duplication factor and
+    removes the quadratic clique term entirely — for the price of one
+    hash groupBy."""
+    from checkatron_spark.session import scratch_persist
+
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    reps = (
+        docs.select(F.col(id_col), fp.alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    # persisted: dedup_corpus consumes its input from three branches
+    # (pair generation, the component node list, the final semi-join) —
+    # without the persist each branch re-runs the scan + md5 collapse
+    # (measured 5x at sf0.1)
+    rep_docs = docs.join(reps, id_col, "left_semi").transform(scratch_persist)
+    return dedup_corpus(
+        rep_docs, text_col, id_col, n=n, threshold=threshold,
+        max_iter=max_iter,
+    )
+
+
 def substring_dup_pairs(
     df: DataFrame,
     text_col: str,

@@ -1336,6 +1336,21 @@ WHERE lab.node = lab.cluster_id
 """
 
 
+def q_dedup_corpus_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged near-dup removal (operators/dedup.py dedup_corpus_staged,
+    round 6): exact-duplicate collapse by content hash FIRST, then the
+    pair-graph pipeline over representatives only — the C4/RefinedWeb
+    staging that removes the quadratic exact-dup-clique term from the
+    pair stage (the blowup the sf1 probe measured). Output is provably
+    identical to dedup_corpus_e2e, so it grades against the SAME
+    recursive-CTE oracle — a cross-implementation equality check, not
+    just row counts."""
+    return D.dedup_corpus_staged(
+        load_table(spark, "documents", sf_dir), "text", "doc_id",
+        n=3, threshold=0.8,
+    )
+
+
 def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing exact-substring near-dup (operators/dedup.py
     substring_dup_pairs): docs sharing a verbatim character run of
@@ -2421,6 +2436,7 @@ QUERIES = {
     "dedup_cluster_histogram": q_dedup_cluster_histogram,
     "cross_source_overlap": q_cross_source_overlap,
     "dedup_corpus_e2e": q_dedup_corpus_e2e,
+    "dedup_corpus_staged": q_dedup_corpus_staged,
     "substring_dup_pairs": q_substring_dup_pairs,
     "decontaminate_semantic": q_decontaminate_semantic,
     "quality_linear_score": q_quality_linear,
@@ -2483,6 +2499,11 @@ def oracles() -> dict[str, str]:
         "dedup_cluster_histogram": DEDUP_CLUSTER_HIST_SQL,
         "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
         "dedup_corpus_e2e": DEDUP_CORPUS_E2E_SQL,
+        # same oracle by design: the staged variant's output is provably
+        # identical (exact-equal docs share shingle sets, so collapsing
+        # them quotients the same components; min-of-group-mins == global
+        # min) — the match IS the cross-implementation equality grade
+        "dedup_corpus_staged": DEDUP_CORPUS_E2E_SQL,
         "substring_dup_pairs": SUBSTRING_DUP_SQL,
         "decontaminate_semantic": DECONTAMINATE_SEMANTIC_SQL,
         "quality_linear_score": QUALITY_LINEAR_SQL,

@@ -178,3 +178,52 @@ def test_cms_sketch_merge_equals_rebuild(spark):
         for r in cms_sketch(counts_of(part_a + part_b), depth=2, width=8).collect()
     }
     assert merged == rebuilt and rebuilt
+
+
+def test_dedup_corpus_staged_equals_unstaged(spark):
+    """dedup_corpus_staged must keep EXACTLY the rows dedup_corpus keeps:
+    exact-equal docs have identical shingle sets, so collapsing them first
+    quotients the same near-dup components. Fixture mixes exact-dup
+    cliques, near-dup (non-equal) pairs, a NULL/empty-text clique, and
+    singletons — every staging-relevant shape."""
+    from checkatron_spark.operators.dedup import dedup_corpus, dedup_corpus_staged
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (5, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (4, "alpha beta gamma delta epsilon eta"),    # NEAR dup of the clique
+        (6, "totally different content over here now"),
+        (7, None),                                    # NULL folds to ''
+        (8, ""),                                      # exact dup of 7's fold
+        (9, "a lone unique document nothing shares"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    kw = dict(n=3, threshold=0.6)
+    want = sorted(r.doc_id for r in dedup_corpus(docs, "text", "doc_id", **kw).collect())
+    got = sorted(r.doc_id for r in dedup_corpus_staged(docs, "text", "doc_id", **kw).collect())
+    assert got == want
+    # sanity on the shape itself: the 1/3/5(+4 near) clique keeps 1, the
+    # NULL/'' clique keeps 7, singletons survive
+    assert got == [1, 6, 7, 9]
+
+
+def test_dedup_corpus_staged_shrinks_pair_stage(spark):
+    """The point of staging: an exact-dup clique of size m feeds the pair
+    stage ONE node instead of m (killing the O(m^2) verified-pair term).
+    With 20 copies of one doc, unstaged verifies 190 intra-clique pairs;
+    staged verifies none."""
+    from checkatron_spark.operators.dedup import neardup_ngram_jaccard
+
+    base = "shared words in a long enough duplicated document body"
+    rows = [(i, base) for i in range(20)] + [(99, "unique other text entirely")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    unstaged_pairs = neardup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.8).count()
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    reps = (
+        docs.select("doc_id", fp.alias("_fp"))
+        .groupBy("_fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    rep_docs = docs.join(reps, "doc_id", "left_semi")
+    staged_pairs = neardup_ngram_jaccard(rep_docs, "text", "doc_id", n=3, threshold=0.8).count()
+    assert unstaged_pairs == 190 and staged_pairs == 0

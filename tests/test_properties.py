@@ -528,3 +528,43 @@ def test_bloom_mask_merge_algebra_across_snapshot_chains(spark, texts):
     assert bloom_merge_masks(chained, b, chained) == chained
     # merge-of-parts == rebuild-of-whole
     assert chained == mask(snaps[0] + snaps[1] + snaps[2])
+
+
+_dup_heavy_docs = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=6).map(" ".join),
+    min_size=2,
+    max_size=5,
+).flatmap(
+    lambda uniq: st.lists(
+        st.sampled_from(uniq), min_size=len(uniq), max_size=14
+    )
+)
+
+
+@given(_dup_heavy_docs)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_staged_dedup_equals_unstaged_on_random_corpora(spark, texts):
+    """Round-6 staged dedup: for ANY corpus (here: random word-salad drawn
+    WITH replacement, so exact-dup cliques of random size are guaranteed),
+    exact-collapse-then-near-dup must keep the identical survivor set as
+    the single-stage pipeline — the equality the shared oracle relies on."""
+    from checkatron_spark.operators.dedup import dedup_corpus, dedup_corpus_staged
+    from checkatron_spark.session import release_scratch
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    kw = dict(n=2, threshold=0.6)
+    want = sorted(
+        r.doc_id for r in dedup_corpus(docs, "text", "doc_id", **kw).collect()
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup_corpus_staged(docs, "text", "doc_id", **kw).collect()
+    )
+    release_scratch()
+    assert got == want
