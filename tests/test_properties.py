@@ -568,3 +568,96 @@ def test_staged_dedup_equals_unstaged_on_random_corpora(spark, texts):
     )
     release_scratch()
     assert got == want
+
+
+@st.composite
+def _drift_plan(draw):
+    """Random schema-drift scenario: shared value columns, before-only and
+    after-only columns, random values with NULLs sprinkled in."""
+    shared = draw(st.integers(0, 2))
+    b_only = draw(st.integers(0, 2))
+    a_only = draw(st.integers(0, 2))
+    n_rows = draw(st.integers(1, 8))
+    cells = st.one_of(st.none(), st.integers(0, 3))
+    b_rows = draw(
+        st.lists(
+            st.tuples(*([cells] * (shared + b_only))),
+            min_size=n_rows, max_size=n_rows,
+        )
+    )
+    a_rows = draw(
+        st.lists(
+            st.tuples(*([cells] * (shared + a_only))),
+            min_size=n_rows, max_size=n_rows,
+        )
+    )
+    drop = draw(st.sets(st.integers(0, n_rows - 1), max_size=3))
+    return shared, b_only, a_only, b_rows, a_rows, drop
+
+
+@given(_drift_plan())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_schema_drift_diff_matches_generated_sql_oracle(spark, plan):
+    """Core-diff fuzz under SCHEMA DRIFT (the reference's G1/P4 surface):
+    random shared / before-only / after-only column universes with random
+    NULL-y values, graded by running the ENGINE's DataFrame diff against
+    the S7 SQL generator's output on DuckDB — the strongest parity claim
+    the repo makes, now exercised on adversarial schemas instead of just
+    the fixtures. Drifted columns must status 2/3 per the NULL-injection
+    rule; every cell must agree across engines bit-for-bit."""
+    import duckdb
+
+    from checkatron_spark import diff
+    from checkatron_spark.plans.sqlgen import render_diff_sql
+
+    # fresh connection per hypothesis example (the function-scoped duck
+    # fixture is shared across examples and would collide on table names)
+    duck = duckdb.connect(":memory:")
+    shared, b_only, a_only, b_rows, a_rows, drop = plan
+    b_cols = ["k"] + [f"s{i}" for i in range(shared)] + [f"b{i}" for i in range(b_only)]
+    a_cols = ["k"] + [f"s{i}" for i in range(shared)] + [f"a{i}" for i in range(a_only)]
+    before_py = [(i, *r) for i, r in enumerate(b_rows)]
+    after_py = [(i, *r) for i, r in enumerate(a_rows) if i not in drop]
+
+    schema_b = ", ".join(f"{c} int" for c in b_cols)
+    schema_a = ", ".join(f"{c} int" for c in a_cols)
+    before = spark.createDataFrame(before_py, schema_b)
+    after = spark.createDataFrame(after_py, schema_a)
+
+    def nsort(rows):
+        # status cells are None for matched _row_status — None-safe order
+        return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
+
+    got_df = diff(before, after, ["k"])
+    got = nsort(tuple(r) for r in got_df.collect())
+
+    duck.sql(f"CREATE TABLE tb ({schema_b.replace(' int', ' INTEGER')})")
+    duck.sql(f"CREATE TABLE ta ({schema_a.replace(' int', ' INTEGER')})")
+    if before_py:
+        duck.executemany(
+            f"INSERT INTO tb VALUES ({','.join('?' * len(b_cols))})", before_py
+        )
+    if after_py:
+        duck.executemany(
+            f"INSERT INTO ta VALUES ({','.join('?' * len(a_cols))})", after_py
+        )
+    sql = render_diff_sql("tb", "ta", ["k"], b_cols, a_cols)
+    res = duck.sql(sql)
+    idx = [res.columns.index(c) for c in got_df.columns]
+    want = nsort(tuple(row[i] for i in idx) for row in res.fetchall())
+    assert got == want
+
+    # drifted columns carry the NULL-injection statuses: a before-only
+    # column is NULL on the after side -> status 3 unless both NULL (0);
+    # after-only mirrors with 2 (on rows present in both)
+    for r in got_df.collect():
+        if r._row_status is not None:
+            continue
+        for i in range(b_only):
+            assert r[f"B{i}"] in (0, 3)
+        for i in range(a_only):
+            assert r[f"A{i}"] in (0, 2)
