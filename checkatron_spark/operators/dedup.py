@@ -140,6 +140,43 @@ def decontaminate(
     )
 
 
+def decontaminate_multi(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-benchmark contamination report in ONE corpus pass: ``benchmarks``
+    is a LABELED eval frame (``bench_col``, ``text_col`` — e.g. a dozen
+    eval suites stacked), and the output says which suite leaks into which
+    document: (id_col, bench_col, n_matched_grams).
+
+    Same plan as :func:`decontaminate`, with the benchmark label carried
+    through the broadcast: the distinct (bench, gram) set is still
+    eval-set-sized so it broadcasts, and the corpus side is one scan +
+    shingle explode + broadcast join + per-(doc, bench) count — adding
+    suites never adds corpus scans. The single-benchmark operator is the
+    bench_col-constant special case; an anti-join on the distinct doc ids
+    cleans against ALL suites at once."""
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    bench_sh = (
+        benchmarks.select(
+            F.col(bench_col), F.explode(shingles(F.col(text_col), n)).alias("s")
+        )
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy(id_col, bench_col)
+        .agg(F.count_distinct(F.col("s")).alias("n_matched_grams"))
+    )
+
+
 def _bloom_pos(gram_col, seed: int, m_bits: int):
     """THE Bloom bit-position primitive: md5 of 'gram#seed', first 8 hex
     chars as uint32, mod m_bits. Mask build (bloom_mask_words), batch

@@ -899,6 +899,57 @@ GROUP BY doc_id
 """
 
 
+def q_decontaminate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-benchmark decontamination (round 6, operators/dedup.py
+    decontaminate_multi): the same 5% eval draw split into three labeled
+    suites by the hash value (u<0.02 suite_a, <0.04 suite_b, else
+    suite_c); one corpus pass reports which suite leaks into which
+    document — the real shape of eval hygiene, where a dozen benchmarks
+    are screened together and per-suite attribution decides what gets
+    dropped vs flagged."""
+    from checkatron_spark.sampling import hash_uniform
+
+    docs = load_table(spark, "documents", sf_dir)
+    u = hash_uniform(F.col("doc_id"), "bench-v1")
+    bench = docs.filter(u < 0.05).select(
+        F.when(u < 0.02, F.lit("suite_a"))
+        .when(u < 0.04, F.lit("suite_b"))
+        .otherwise(F.lit("suite_c"))
+        .alias("bench"),
+        "text",
+        "doc_id",
+    )
+    corpus = docs.filter(u >= 0.05)
+    return D.decontaminate_multi(corpus, bench, "text", "doc_id", "bench")
+
+
+DECONTAMINATE_MULTI_SQL = rf"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w FROM documents
+),
+sh AS (
+    SELECT doc_id,
+        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(w) - 2 + 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        END AS sh
+    FROM w
+),
+u AS (SELECT doc_id, {_BENCH_U} AS u FROM documents),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+bench AS (
+    SELECT DISTINCT CASE WHEN u < 0.02 THEN 'suite_a'
+                         WHEN u < 0.04 THEN 'suite_b'
+                         ELSE 'suite_c' END AS bench, s
+    FROM ex JOIN u USING (doc_id) WHERE u < 0.05
+),
+corpus AS (SELECT ex.doc_id, ex.s FROM ex JOIN u USING (doc_id) WHERE u >= 0.05)
+SELECT doc_id, bench, COUNT(DISTINCT s) AS n_matched_grams
+FROM corpus JOIN bench USING (s)
+GROUP BY doc_id, bench
+"""
+
+
 # mask memo: the Bloom mask is a pure function of (sf_dir, salt) — plain
 # ints, session-independent — so repeated calls (bench's min-of-2 pairing,
 # the batch query + the streaming gate in one driver session) pay the
@@ -2430,6 +2481,7 @@ QUERIES = {
     "neardup_incremental_batch": q_neardup_incremental,
     "fuzzy_part_names": q_fuzzy_part_names,
     "decontaminate_corpus": q_decontaminate,
+    "decontaminate_multi": q_decontaminate_multi,
     "decontaminate_bloom": q_decontaminate_bloom,
     "neardup_clusters": q_neardup_clusters,
     "neardup_method_audit": q_neardup_method_audit,
@@ -2493,6 +2545,7 @@ def oracles() -> dict[str, str]:
         "neardup_incremental_batch": NEARDUP_INCREMENTAL_SQL,
         "fuzzy_part_names": FUZZY_PART_SQL,
         "decontaminate_corpus": DECONTAMINATE_SQL,
+        "decontaminate_multi": DECONTAMINATE_MULTI_SQL,
         "decontaminate_bloom": DECONTAMINATE_BLOOM_SQL,
         "neardup_clusters": NEARDUP_CLUSTERS_SQL,
         "neardup_method_audit": _method_audit_sql(),

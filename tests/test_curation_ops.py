@@ -579,3 +579,47 @@ def test_embedding_cosine_blocked_path_never_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     got = [(r.id_a, r.id_b) for r in df.collect()]
     assert got == [(1, 2)]
+
+
+def test_decontaminate_multi_per_suite_attribution(spark):
+    """Round 6: one corpus pass must attribute contamination PER SUITE —
+    a doc leaking from two suites reports two rows; clean docs report
+    none; the single-benchmark operator is the label-constant special
+    case whose per-doc totals the multi report must reproduce when every
+    suite carries the same label."""
+    from checkatron_spark.operators.dedup import decontaminate, decontaminate_multi
+
+    bench = spark.createDataFrame(
+        [
+            ("mmlu", 100, "alpha beta gamma delta"),
+            ("gsm", 101, "solve seven plus eight now"),
+        ],
+        "bench string, doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma y"),               # leaks mmlu only
+            (2, "we solve seven plus eight now ok"),   # leaks gsm only
+            (3, "alpha beta gamma solve seven plus eight"),  # both
+            (4, "totally clean document here"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        (r.doc_id, r.bench): r.n_matched_grams
+        for r in decontaminate_multi(corpus, bench, "text", "doc_id", "bench").collect()
+    }
+    assert set(rows) == {(1, "mmlu"), (2, "gsm"), (3, "mmlu"), (3, "gsm")}
+    assert rows[(3, "mmlu")] >= 1 and rows[(3, "gsm")] >= 1
+
+    # label-constant frame == single-benchmark operator, per doc
+    one = bench.select(F.lit("all").alias("bench"), "doc_id", "text")
+    multi = {
+        r.doc_id: r.n_matched_grams
+        for r in decontaminate_multi(corpus, one, "text", "doc_id", "bench").collect()
+    }
+    single = {
+        r.doc_id: r.n_matched_grams
+        for r in decontaminate(corpus, bench, "text", "doc_id").collect()
+    }
+    assert multi == single
