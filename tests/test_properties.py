@@ -661,3 +661,36 @@ def test_schema_drift_diff_matches_generated_sql_oracle(spark, plan):
             assert r[f"B{i}"] in (0, 3)
         for i in range(a_only):
             assert r[f"A{i}"] in (0, 2)
+
+
+@given(perturbations())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_faithful_plan_equals_rewrite_under_perturbation(spark, plan):
+    """The reference-literal 3-op plan (key-UNION + two left joins) and the
+    single full-outer rewrite must produce IDENTICAL rows on any
+    perturbation — the equivalence the 1-shuffle optimization (J3) rests
+    on, fuzzed instead of fixture-pinned (test_diff.py covers one case)."""
+    drop, add, change, null_out = plan
+    before = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(ROWS)], ["k", "v"]
+    )
+    after_rows = [
+        (k, None if k in null_out else (f"CHANGED{k}" if k in change else f"v{k}"))
+        for k in range(ROWS)
+        if k not in drop
+    ] + [(k, f"v{k}") for k in sorted(add)]
+    after = spark.createDataFrame(after_rows, "k int, v string")
+
+    def nsort(rows):
+        return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
+
+    fast = diff(before, after, ["k"])
+    faithful = diff(before, after, ["k"], faithful=True)
+    assert fast.columns == faithful.columns
+    assert nsort(map(tuple, fast.collect())) == nsort(
+        map(tuple, faithful.collect())
+    )
