@@ -694,3 +694,61 @@ def test_faithful_plan_equals_rewrite_under_perturbation(spark, plan):
     assert nsort(map(tuple, fast.collect())) == nsort(
         map(tuple, faithful.collect())
     )
+
+
+@st.composite
+def _nullkey_tables(draw):
+    """Random two-key tables where KEY columns themselves contain NULLs —
+    the null-safe-join surface (J1/J2: <=> semantics) under adversarial
+    data. Key pairs are drawn from a small domain so collisions and
+    NULL-NULL matches actually occur; (k1,k2) is deduped per side because
+    the diff contract assumes unique business keys per side."""
+    keyspace = st.tuples(
+        st.one_of(st.none(), st.integers(0, 2)),
+        st.one_of(st.none(), st.integers(0, 2)),
+    )
+    cells = st.one_of(st.none(), st.integers(0, 2))
+    b_keys = draw(st.lists(keyspace, min_size=1, max_size=8, unique=True))
+    a_keys = draw(st.lists(keyspace, min_size=1, max_size=8, unique=True))
+    b_rows = [(k1, k2, draw(cells)) for k1, k2 in b_keys]
+    a_rows = [(k1, k2, draw(cells)) for k1, k2 in a_keys]
+    return b_rows, a_rows
+
+
+@given(_nullkey_tables())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_nullkey_multikey_diff_matches_generated_sql_oracle(spark, plan):
+    """Multi-key diff with NULLs IN THE KEYS, graded against the S7 SQL
+    generator on DuckDB: the null-safe join (<=> / IS NOT DISTINCT FROM)
+    must pair NULL keys identically across engines, and the reference's
+    first-key-NULL _row_status quirk must reproduce bit-for-bit (the
+    default mode keeps the quirk; presence_fix is the documented fix)."""
+    import duckdb
+
+    from checkatron_spark import diff
+    from checkatron_spark.plans.sqlgen import render_diff_sql
+
+    duck = duckdb.connect(":memory:")
+    b_rows, a_rows = plan
+    before = spark.createDataFrame(b_rows, "k1 int, k2 int, v int")
+    after = spark.createDataFrame(a_rows, "k1 int, k2 int, v int")
+
+    got_df = diff(before, after, ["k1", "k2"])
+    duck.sql("CREATE TABLE tb (k1 INTEGER, k2 INTEGER, v INTEGER)")
+    duck.sql("CREATE TABLE ta (k1 INTEGER, k2 INTEGER, v INTEGER)")
+    duck.executemany("INSERT INTO tb VALUES (?,?,?)", b_rows)
+    duck.executemany("INSERT INTO ta VALUES (?,?,?)", a_rows)
+    cols = ["k1", "k2", "v"]
+    res = duck.sql(render_diff_sql("tb", "ta", ["k1", "k2"], cols, cols))
+
+    def nsort(rows):
+        return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
+
+    idx = [res.columns.index(c) for c in got_df.columns]
+    got = nsort(tuple(r) for r in got_df.collect())
+    want = nsort(tuple(row[i] for i in idx) for row in res.fetchall())
+    assert got == want
