@@ -44,9 +44,10 @@ def main() -> None:
     spark = get_spark("gen-sf-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    def tiled(name: str, key: str, salt=None):
+    def tiled(name: str, key: str, salt=None, stride=None):
         base = spark.read.parquet(f"{SRC}/{name}.parquet")
-        stride = base.agg(F.max(key)).first()[0] + 1
+        if stride is None:
+            stride = base.agg(F.max(key)).first()[0] + 1
         parts = []
         for i in range(copies):
             p = base.withColumn(key, F.col(key) + F.lit(i * stride))
@@ -58,6 +59,7 @@ def main() -> None:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{target}/{name}.parquet")
         print(f"[gen] {name}: {copies}x, stride {stride}", file=sys.stderr)
+        return stride
 
     tiled(
         "documents",
@@ -81,7 +83,20 @@ def main() -> None:
             ),
         ),
     )
-    tiled("orders", "o_orderkey")
+    o_stride = tiled("orders", "o_orderkey")
+    # second probe batch (diff/TPC-H/events operators): tile the facts,
+    # copy the dims verbatim — fact keys shift, dim references stay, so
+    # joins still resolve (each dim row simply serves 10x the fact rows,
+    # which is exactly what a bigger corpus does to its dimensions).
+    # lineitem MUST shift by the ORDERS stride so copy i's lineitems join
+    # copy i's orders (max(l_orderkey) can undershoot max(o_orderkey))
+    tiled("lineitem", "l_orderkey", stride=o_stride)
+    tiled("events", "event_id")
+    for dim in ("customer", "supplier", "part", "nation", "region"):
+        src_file = f"{SRC}/{dim}.parquet"
+        dst = f"{target}/{dim}.parquet"
+        spark.read.parquet(src_file).write.mode("overwrite").parquet(dst)
+        print(f"[gen] {dim}: copied", file=sys.stderr)
     spark.stop()
 
 

@@ -43,10 +43,26 @@ PROBE = [
     "kmeans_domains",
 ]
 
+# second batch (SWEEP_r06 part 2): the flagship diff + the heaviest
+# TPC-H/window/corpus/events shapes (needs the full tiled table set)
+PROBE2 = [
+    "diff_orders",
+    "diff_lineitem_multikey",
+    "q21_sole_late_supplier",
+    "q9_product_profit",
+    "neardup_clusters",
+    "strip_boilerplate",
+    "curation_funnel",
+    "tfidf_top_terms",
+    "events_sessionize",
+    "trailing_30d_revenue",
+]
+
 
 def main() -> None:
     probe_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfprobe1"
     copies = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+    batch = PROBE2 if "--batch2" in sys.argv else PROBE
     spark = get_spark("sf1-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod._queries_unordered()
@@ -70,7 +86,7 @@ def main() -> None:
     print(f"# sf1 probe: {probe_dir} ({copies:g}x sf0.1 tiled), "
           f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], min-of-2")
     print(f"# {'query':28s} {'sf0.1':>8s} {'sf1':>9s} {'ratio':>7s}  note")
-    for name in PROBE:
+    for name in batch:
         t_small = timed(name, SF01)
         t_big = timed(name, probe_dir)
         ratio = t_big / t_small
