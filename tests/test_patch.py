@@ -330,3 +330,52 @@ def test_streaming_patch_delete_can_empty_bucket_and_snapshot(spark, tmp_path):
         state_dir=str(tmp_path / "state"), n_buckets=4,
     )
     assert out.count() == 0 and out.columns == ["k", "v"]
+
+
+def test_streaming_patch_midstream_compaction(spark, tmp_path):
+    """compact_every below the batch count forces a MID-STREAM fold: the
+    log must drain into the bucketed base during the run (not just at the
+    final read), later appends must land on the compacted manifest, and
+    the final snapshot must equal sequential application."""
+    from checkatron_spark.streaming import apply_delta_stream
+
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    delta = spark.createDataFrame(
+        [("U", 1, 11), ("U", 2, 22), ("D", 3, None), ("I", 200, 42)],
+        "_op string, k bigint, v bigint",
+    )
+    feed = str(tmp_path / "feed")
+    delta.repartition(4).write.parquet(feed)
+    sdf = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    io_log: list = []
+    out = apply_delta_stream(
+        sdf, base, ["k"], ["v"],
+        state_dir=str(tmp_path / "state"), n_buckets=8,
+        compact_every=2, io_log=io_log,
+    )
+    got = {r.k: r.v for r in out.collect()}
+    want = {i: i * 3 for i in range(100) if i != 3}
+    want[1], want[2], want[200] = 11, 22, 42
+    assert got == want
+    modes = [r["mode"] for r in io_log]
+    # compact_every=2 forces a fold after every 2nd non-empty batch (the
+    # 4-way repartition may hash two rows together, so 3 or 4 appends);
+    # at least one fold must be MID-stream, i.e. before the last append,
+    # and the pending log never exceeds compact_every
+    assert modes.count("compact") >= 2
+    assert "compact" in modes[: len(modes) - 1 - modes[::-1].index("append")]
+    pending = 0
+    for rec in io_log:
+        if rec["mode"] == "append":
+            assert rec["files_read"] == []
+            pending += 1
+            assert pending <= 2
+        else:
+            assert 1 <= len(rec["epochs"]) <= 2 and pending in (1, 2)
+            pending = 0
