@@ -752,3 +752,49 @@ def test_nullkey_multikey_diff_matches_generated_sql_oracle(spark, plan):
     got = nsort(tuple(r) for r in got_df.collect())
     want = nsort(tuple(row[i] for i in idx) for row in res.fetchall())
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 40),                       # integer cents delta
+            st.booleans(),                            # null out after?
+        ),
+        min_size=1, max_size=12,
+    ),
+    st.integers(1, 20),                               # tolerance in cents
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_tolerance_law(spark, deltas, tol_cents):
+    """Tolerance-relaxed equality law, fuzzed on exact integer cents (so
+    the |b-a| <= tol comparison has no float-representation ambiguity):
+    status must be 0 iff |delta| <= tol, 1 beyond it, and the NULL codes
+    (2/3) must be UNAFFECTED by the tolerance flag."""
+    from checkatron_spark import diff
+
+    before = spark.createDataFrame(
+        [(i, i * 100 / 100.0) for i in range(len(deltas))], ["k", "amt"]
+    )
+    after = spark.createDataFrame(
+        [
+            (i, None if nul else (i * 100 + d) / 100.0)
+            for i, (d, nul) in enumerate(deltas)
+        ],
+        "k int, amt double",
+    )
+    tol = tol_cents / 100.0
+    got = {
+        r.K_K: r.AMT
+        for r in diff(before, after, ["k"], tolerances={"amt": tol}).collect()
+    }
+    for i, (d, nul) in enumerate(deltas):
+        if nul:
+            assert got[i] == 3  # NULL in after only — tolerance irrelevant
+        elif d <= tol_cents:
+            assert got[i] == 0, (i, d, tol_cents)
+        else:
+            assert got[i] == 1, (i, d, tol_cents)
