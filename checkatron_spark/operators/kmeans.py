@@ -75,6 +75,26 @@ def _assign_arrow(xq: DataFrame, id_col: str, centroids, k: int) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
+            # NULL-vector parity with the Catalyst kernel: the SQL lambda
+            # folds a NULL array to NULL dist -> NULL argmin row; np.stack
+            # would crash on None, so route null rows around the math and
+            # emit the same NULL statuses
+            isnull = pdf["_x"].isna()
+            if isnull.any():
+                nulls, rest = pdf[isnull], pdf[~isnull]
+                yield pd.DataFrame(
+                    {
+                        id_col: nulls[id_col],
+                        "_x": nulls["_x"],
+                        "cluster_id": pd.array(
+                            [None] * len(nulls), dtype="Int32"
+                        ),
+                        "_dist": pd.array([None] * len(nulls), dtype="Int64"),
+                    }
+                )
+                if not len(rest):
+                    continue
+                pdf = rest
             X = np.stack(pdf["_x"].to_numpy()).astype(np.int64, copy=False)
             amax = max(
                 int(np.abs(X).max(initial=0)), int(np.abs(M).max(initial=0))
@@ -139,9 +159,15 @@ def kmeans_assign(
         F.col(id_col), _quantize(vec_col, scale).alias("_x")
     ).transform(scratch_persist)
 
-    # init: k lowest ids (tiny driver pull, k rows)
+    # init: k lowest ids (tiny driver pull, k rows). NULL vectors can't
+    # seed (a NULL centroid poisons every distance); they also contribute
+    # nothing to refit (posexplode of NULL emits no rows) and surface as
+    # NULL-status assignment rows — parity-pinned across both kernels
     seed_rows = (
-        xq.orderBy(F.col(id_col).asc()).limit(k).collect()
+        xq.filter(F.col("_x").isNotNull())
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
     )
     centroids = [(i, list(r._x)) for i, r in enumerate(seed_rows)]
 

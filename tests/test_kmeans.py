@@ -102,3 +102,23 @@ def test_arrow_kernel_overflow_guard(spark):
     )
     with pytest.raises(Exception, match="grid bound exceeded"):
         kmeans_assign(df, k=2, iters=1, scale=10000).collect()
+
+
+def test_arrow_kernel_null_vector_parity(spark):
+    """A NULL embedding must produce the SAME row through both kernels
+    (NULL cluster/dist — the Catalyst lambda folds NULL arrays to NULL),
+    not crash the numpy path."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    a = sorted(
+        ((r.vec_id, r.cluster_id, r.dist) for r in
+         kmeans_assign(df, k=2, iters=2).collect()),
+    )
+    s = sorted(
+        ((r.vec_id, r.cluster_id, r.dist) for r in
+         kmeans_assign(df, k=2, iters=2, kernel="sql").collect()),
+    )
+    assert a == s and len(a) == 3
+    assert next(t for t in a if t[0] == 2)[1:] == (None, None)
