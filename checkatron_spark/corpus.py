@@ -49,6 +49,8 @@ __all__ = [
     "gopher_quality_profile",
     "corpus_card",
     "token_heavy_hitters_cms",
+    "lm_bigram_coverage",
+    "cms_merge",
     "QUERIES",
     "oracles",
 ]
@@ -933,6 +935,94 @@ def cms_sketch(
     return cells.groupBy("row", "cell").agg(F.sum("c").alias("cnt"))
 
 
+def lm_bigram_coverage(
+    target: DataFrame,
+    reference: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style reference-LM quality signal, in EXACT arithmetic: score
+    each target document by how well a reference corpus's bigram
+    statistics "explain" it. CCNet buckets documents by Wikipedia-LM
+    perplexity; summing per-token log-probs is float-order-dependent and
+    libm-divergent across engines, so this formulation keeps the same
+    signal shape with integers — per bigram INSTANCE (frequency-weighted,
+    like a real LM):
+
+    - ``known_frac``: fraction of the doc's bigram instances that occur in
+      the reference at all (integer counts, ONE final double division);
+    - ``band_sum``/``mean_band``: each known bigram contributes its
+      reference-frequency band floor(log4(count)) capped at 5 — computed
+      by exact CASE thresholds (4/16/64/256/1024), never a float log — so
+      common-English-like text scores high and gibberish scores 0, the
+      head/middle/tail ordering CCNet derives from perplexity.
+
+    Plan: reference bigram counts are one groupBy; the target side
+    explodes instances and joins on the bigram value — work ∝ corpus
+    tokens, the dup_ngram_profile shuffle shape. At 100 TB prune the
+    reference to a top-K vocabulary and broadcast it (the vocab_coverage
+    pattern); the full join stays the exact/oracle-able formulation.
+
+    Returns (id_col, n_bigrams, n_known, known_frac, band_sum, mean_band)
+    for EVERY target doc (docs under 2 words score 0 across the board).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.trim(t), r"\s+")
+
+    def bigrams(df):
+        return df.select(
+            F.col(id_col), words.alias("_w")
+        ).select(F.col(id_col), F.explode(_word_ngrams("_w", 2)).alias("bg"))
+
+    ref_counts = (
+        bigrams(reference).groupBy("bg").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    band = (
+        F.when(F.col("_c") >= 1024, 5)
+        .when(F.col("_c") >= 256, 4)
+        .when(F.col("_c") >= 64, 3)
+        .when(F.col("_c") >= 16, 2)
+        .when(F.col("_c") >= 4, 1)
+        .when(F.col("_c") >= 1, 0)
+    )
+    scored = (
+        bigrams(target)
+        .join(ref_counts, "bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.count("_c").cast("bigint").alias("n_known"),
+            F.coalesce(F.sum(band), F.lit(0)).cast("bigint").alias("band_sum"),
+        )
+    )
+    # left join back so bigram-less docs (<2 words) still report zeros
+    return (
+        target.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("n_known", F.lit(0)).cast("bigint").alias("n_known"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.col("n_known").cast("double")
+                / F.col("n_bigrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("known_frac"),
+            F.coalesce("band_sum", F.lit(0)).cast("bigint").alias("band_sum"),
+            F.when(
+                F.coalesce("n_known", F.lit(0)) > 0,
+                F.col("band_sum").cast("double")
+                / F.col("n_known").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_band"),
+        )
+    )
+
+
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Merge Count-Min sketches (cells add): union + re-sum per (row,
     cell). This IS the 100 TB rollup primitive — per-snapshot sketches are
@@ -1069,6 +1159,72 @@ GROUP BY p.tok, p.exact_count
 """
 
 
+
+
+def q_lm_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-LM coverage score (round 6, lm_bigram_coverage): a 10%
+    hash draw of the corpus plays the reference LM (CCNet uses Wikipedia);
+    every other document is scored by known-bigram fraction and exact
+    frequency bands — the perplexity-bucket signal with no float logs."""
+    from checkatron_spark.sampling import hash_uniform
+
+    docs = load_table(spark, "documents", sf_dir)
+    u = hash_uniform(F.col("doc_id"), "lm-ref-v1")
+    return lm_bigram_coverage(
+        docs.filter(u >= 0.1), docs.filter(u < 0.1)
+    )
+
+
+_LM_REF_U = (
+    "CAST(('0x' || substring(md5('lm-ref-v1' || ':' || "
+    "CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) / 4294967296.0"
+)
+
+LM_BIGRAM_SQL = rf"""
+WITH u AS (SELECT doc_id, {_LM_REF_U} AS u FROM documents),
+w AS (
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+             ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        END) AS bg
+    FROM w
+),
+ref AS (
+    SELECT bg.bg, COUNT(*) AS c
+    FROM bg JOIN u USING (doc_id) WHERE u < 0.1 GROUP BY bg.bg
+),
+tgt AS (SELECT bg.doc_id, bg.bg FROM bg JOIN u USING (doc_id) WHERE u >= 0.1),
+scored AS (
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(r.c) AS BIGINT) AS n_known,
+           CAST(coalesce(SUM(CASE WHEN r.c >= 1024 THEN 5
+                         WHEN r.c >= 256 THEN 4
+                         WHEN r.c >= 64 THEN 3
+                         WHEN r.c >= 16 THEN 2
+                         WHEN r.c >= 4 THEN 1
+                         WHEN r.c >= 1 THEN 0 END), 0) AS BIGINT) AS band_sum
+    FROM tgt t LEFT JOIN ref r USING (bg)
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(s.n_known, 0) AS BIGINT) AS n_known,
+       CASE WHEN coalesce(s.n_bigrams, 0) > 0
+            THEN CAST(s.n_known AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS known_frac,
+       CAST(coalesce(s.band_sum, 0) AS BIGINT) AS band_sum,
+       CASE WHEN coalesce(s.n_known, 0) > 0
+            THEN CAST(s.band_sum AS DOUBLE) / CAST(s.n_known AS DOUBLE)
+            ELSE 0.0 END AS mean_band
+FROM (SELECT doc_id FROM documents JOIN u USING (doc_id) WHERE u >= 0.1) d
+LEFT JOIN scored s USING (doc_id)
+"""
+
 QUERIES = {
     "dup_ngram_profile": q_dup_ngram_profile,
     "chunk_documents": q_chunk_documents,
@@ -1082,6 +1238,7 @@ QUERIES = {
     "gopher_quality_profile": q_gopher_quality,
     "dedup_spans_keep_first": q_dedup_spans_keep_first,
     "token_heavy_hitters_cms": q_token_heavy_hitters,
+    "lm_bigram_coverage": q_lm_bigram_coverage,
 }
 
 
@@ -1099,4 +1256,5 @@ def oracles() -> dict[str, str]:
         "gopher_quality_profile": GOPHER_QUALITY_SQL,
         "dedup_spans_keep_first": DEDUP_SPANS_SQL,
         "token_heavy_hitters_cms": TOKEN_CMS_SQL,
+        "lm_bigram_coverage": LM_BIGRAM_SQL,
     }

@@ -227,3 +227,35 @@ def test_dedup_corpus_staged_shrinks_pair_stage(spark):
     rep_docs = docs.join(reps, "doc_id", "left_semi")
     staged_pairs = neardup_ngram_jaccard(rep_docs, "text", "doc_id", n=3, threshold=0.8).count()
     assert unstaged_pairs == 190 and staged_pairs == 0
+
+
+def test_lm_bigram_coverage_orders_text_by_reference_fit(spark):
+    """Round 6: the exact-arithmetic CCNet stand-in must rank documents
+    the way a reference LM would — reference-like text scores high
+    known_frac/mean_band, gibberish scores zero, and sub-bigram docs
+    report zeros instead of vanishing."""
+    from checkatron_spark.corpus import lm_bigram_coverage
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(20)],
+        "doc_id int, text string",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),       # pure reference text
+            (2, "zq xv qqq www eee rrr"),        # gibberish: nothing known
+            (3, "the cat zq xv"),                # half known
+            (4, "single"),                       # < 2 words -> all zeros
+            (5, None),                           # NULL folds -> zeros
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in lm_bigram_coverage(tgt, ref).collect()}
+    assert rows[1].known_frac == 1.0 and rows[1].n_bigrams == 5
+    # 'the cat'/'cat sat'/etc occur 20x in the reference -> band 2 (>=16)
+    assert rows[1].mean_band == 2.0
+    assert rows[2].known_frac == 0.0 and rows[2].band_sum == 0
+    assert 0.0 < rows[3].known_frac < 1.0
+    assert rows[4].n_bigrams == 0 and rows[4].known_frac == 0.0
+    assert rows[5].n_bigrams == 0 and rows[5].mean_band == 0.0
+    assert len(rows) == 5  # every target doc reports
