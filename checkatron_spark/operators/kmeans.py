@@ -68,7 +68,10 @@ def _assign_arrow(xq: DataFrame, id_col: str, centroids, k: int) -> DataFrame:
     import pandas as pd
 
     M = np.array([m for _, m in centroids], dtype=np.int64)
-    cids = np.arange(k, dtype=np.int64)[None, :]
+    # there may be FEWER than k seeds (k > distinct non-null vectors);
+    # the encoding stays dist*k + cid for parity with the SQL kernel, but
+    # the cid row must match the actual centroid count (ADVICE r6)
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)[None, :]
     id_type = xq.schema[id_col].dataType.simpleString()
 
     def kernel(batches):
@@ -95,7 +98,39 @@ def _assign_arrow(xq: DataFrame, id_col: str, centroids, k: int) -> DataFrame:
                 if not len(rest):
                     continue
                 pdf = rest
-            X = np.stack(pdf["_x"].to_numpy()).astype(np.int64, copy=False)
+            X = np.stack(pdf["_x"].to_numpy())
+            if X.dtype != np.int64:
+                # element-level NULLs: Arrow surfaces a bigint list with a
+                # null element as float64 NaN (or object None) cells. The
+                # Catalyst kernel's zip_with folds such rows to NULL dist
+                # -> NULL statuses; route them the same way (ADVICE r6)
+                elem_null = pd.isna(X).any(axis=1)
+                if elem_null.any():
+                    bad = pdf[elem_null]
+                    yield pd.DataFrame(
+                        {
+                            id_col: bad[id_col],
+                            # NaN cells won't round-trip to array<bigint>;
+                            # rebuild as nullable int lists (rare rows)
+                            "_x": [
+                                [None if pd.isna(v) else int(v) for v in a]
+                                for a in bad["_x"]
+                            ],
+                            "cluster_id": pd.array(
+                                [None] * len(bad), dtype="Int32"
+                            ),
+                            "_dist": pd.array(
+                                [None] * len(bad), dtype="Int64"
+                            ),
+                        }
+                    )
+                    if elem_null.all():
+                        continue
+                    pdf = pdf[~elem_null]
+                    X = X[~elem_null]
+                # integral floats are exact up to 2^53; the BIGINT grid
+                # bound below is far tighter, so this cast is lossless
+                X = X.astype(np.int64)
             amax = max(
                 int(np.abs(X).max(initial=0)), int(np.abs(M).max(initial=0))
             )
@@ -163,8 +198,14 @@ def kmeans_assign(
     # seed (a NULL centroid poisons every distance); they also contribute
     # nothing to refit (posexplode of NULL emits no rows) and surface as
     # NULL-status assignment rows — parity-pinned across both kernels
+    # element-level NULLs also can't seed: one NULL component poisons the
+    # whole centroid's distances (ADVICE r6 — such rows get NULL-status
+    # assignments in both kernels, same as whole-NULL vectors)
     seed_rows = (
-        xq.filter(F.col("_x").isNotNull())
+        xq.filter(
+            F.col("_x").isNotNull()
+            & ~F.exists("_x", lambda v: v.isNull())
+        )
         .orderBy(F.col(id_col).asc())
         .limit(k)
         .collect()

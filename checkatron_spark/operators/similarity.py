@@ -536,8 +536,12 @@ def decontaminate_semantic(
     # against every corpus row — the degenerate eval embedding silently
     # disabling its own decontamination. Fail fast instead: the benchmark
     # side is tiny by contract (it broadcasts), so this eager probe is one
-    # bounded job, same class as the Bloom-mask collect
-    if b.filter(~(F.col("_bn") > 0.0)).limit(1).count():
+    # bounded job, same class as the Bloom-mask collect. NULL embeddings
+    # make _bn NULL and `~(NULL > 0)` is NULL (dropped by filter), so the
+    # predicate must fold NULL-norm to "degenerate" explicitly (ADVICE r6)
+    if b.filter(
+        ~F.coalesce(F.col("_bn") > 0.0, F.lit(False))
+    ).limit(1).count():
         raise ValueError(
             "decontaminate_semantic: benchmark contains a zero-norm or "
             "NULL embedding; it would match nothing (cosine undefined). "

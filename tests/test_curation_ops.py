@@ -551,6 +551,15 @@ def test_decontaminate_semantic_zero_norm_benchmark_raises(spark):
     with pytest.raises(ValueError, match="zero-norm"):
         decontaminate_semantic(corpus, bad_bench)
 
+    # ADVICE r6: a NULL benchmark embedding is the same silent-disable
+    # failure (NULL norm -> `~(NULL > 0)` is NULL -> filter dropped it and
+    # the guard never fired); it must raise too
+    null_bench = spark.createDataFrame(
+        [(9, None)], "vec_id int, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        decontaminate_semantic(corpus, null_bench)
+
     # zero-norm CORPUS rows are fine: they can't match anything and are
     # embedding_audit's problem, not the gate's
     z_corpus = spark.createDataFrame(

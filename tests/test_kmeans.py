@@ -122,3 +122,44 @@ def test_arrow_kernel_null_vector_parity(spark):
     )
     assert a == s and len(a) == 3
     assert next(t for t in a if t[0] == 2)[1:] == (None, None)
+
+
+def test_fewer_vectors_than_k_parity(spark):
+    """ADVICE r6: k=4 over 2 vectors crashed the arrow kernel (cids was
+    sized np.arange(k) while M had only len(seeds) rows). Both kernels
+    must return the same valid assignments when seeds < k."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    a = sorted(
+        (r.vec_id, r.cluster_id, r.dist)
+        for r in kmeans_assign(df, k=4, iters=2).collect()
+    )
+    s = sorted(
+        (r.vec_id, r.cluster_id, r.dist)
+        for r in kmeans_assign(df, k=4, iters=2, kernel="sql").collect()
+    )
+    assert a == s == [(1, 0, 0), (2, 1, 0)]
+
+
+def test_element_level_null_parity(spark):
+    """ADVICE r6: a NULL ELEMENT inside an otherwise non-NULL vector must
+    take the same NULL-status route as a whole-NULL vector in BOTH kernels
+    (the Catalyst zip_with folds element NULLs to NULL dist); the arrow
+    kernel used to crash in astype(int64)."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, None]), (3, None), (4, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    a = sorted(
+        (r.vec_id, r.cluster_id, r.dist)
+        for r in kmeans_assign(df, k=2, iters=2).collect()
+    )
+    s = sorted(
+        (r.vec_id, r.cluster_id, r.dist)
+        for r in kmeans_assign(df, k=2, iters=2, kernel="sql").collect()
+    )
+    assert a == s and len(a) == 4
+    assert next(t for t in a if t[0] == 2)[1:] == (None, None)
+    assert next(t for t in a if t[0] == 3)[1:] == (None, None)
