@@ -76,9 +76,12 @@ class DiffSpec:
 def _prepare_side(
     df: DataFrame, where: str | None, prefix: str, all_cols: list[str],
     own_cols: set[str], other_types: dict, column_case: str,
+    extras: list[str] = (),
 ) -> DataFrame:
     """Filter then project one side to prefixed columns, injecting typed NULLs
-    for columns the side lacks (schema drift, full_compare.sql.j2:44-45,51-52)."""
+    for columns the side lacks (schema drift, full_compare.sql.j2:44-45,51-52).
+    ``extras`` are passthrough columns (the null-safe bucket-key columns)
+    carried for the join but never compared."""
     if where:
         df = df.filter(F.expr(where))
     rename = {_norm(c, column_case): c for c in df.columns}
@@ -88,6 +91,8 @@ def _prepare_side(
             proj.append(F.col(f"`{rename[c]}`").alias(prefix + c))
         else:
             proj.append(F.lit(None).cast(other_types[c]).alias(prefix + c))
+    for e in extras:
+        proj.append(F.col(f"`{rename[e]}`").alias(prefix + e))
     # presence marker: lets presence_fix mode distinguish "row absent" from
     # "first key legitimately NULL" (reference quirk, SURVEY.md section 2.3)
     proj.append(F.lit(True).alias(prefix + "__present__"))
@@ -172,6 +177,15 @@ def diff(
     keys = [_norm(k, column_case) for k in keys]
     before_names = [_norm(c, column_case) for c in before.columns]
     after_names = [_norm(c, column_case) for c in after.columns]
+    # __nsb_/__nsn_ columns are bucket-layout metadata materialized by
+    # save_bucketed(null_safe=True) — derived from the keys, never part of
+    # the compared column universe (they'd otherwise show up as status
+    # columns and change the output contract). Reserved prefix.
+    _ns_meta = tuple(
+        _norm(p, column_case) for p in ("__nsb_", "__nsn_")
+    )
+    before_names = [c for c in before_names if not c.startswith(_ns_meta)]
+    after_names = [c for c in after_names if not c.startswith(_ns_meta)]
     # order-preserving union: before columns, then after-only (diffgen.py:76-80)
     all_cols = before_names + [c for c in after_names if c not in set(before_names)]
     for k in keys:
@@ -183,13 +197,42 @@ def diff(
     }
     a_types = {_norm(f.name, column_case): f.dataType for f in after.schema.fields}
 
+    # null-safe bucketed fast path (VERDICT r6 item 5): when BOTH sides
+    # carry the materialized (__nsb_<k>, __nsn_<k>) pair for every key
+    # (save_bucketed(null_safe=True)), join on those physical columns —
+    # plain `=` on the pair IS `<=>` on the key, and unlike `<=>` it
+    # matches the bucket spec, so re-diffs of bucketed snapshots are
+    # exchange-free under the DEFAULT null-safe semantics too
+    _bset = {_norm(c, column_case) for c in before.columns}
+    _aset = {_norm(c, column_case) for c in after.columns}
+    _vp, _np = (_norm(p, column_case) for p in ("__nsb_", "__nsn_"))
+    ns_join_pairs: list[tuple[str, str]] = []
+    if null_safe_keys and not faithful:
+        for k in keys:
+            v, n = _vp + k, _np + k
+            if v in _bset and v in _aset and n in _bset and n in _aset:
+                ns_join_pairs.append((v, n))
+            else:
+                ns_join_pairs = []
+                break
+    ns_extras = [c for pair in ns_join_pairs for c in pair]
+
     b = _prepare_side(before, before_where, _B, all_cols, set(before_names),
-                      a_types, column_case)
+                      a_types, column_case, extras=ns_extras)
     a = _prepare_side(after, after_where, _A, all_cols, set(after_names),
-                      b_types, column_case)
+                      b_types, column_case, extras=ns_extras)
 
     if faithful:
         joined = _join_faithful(b, a, keys)
+    elif ns_join_pairs:
+        cond = reduce(
+            lambda x, y: x & y,
+            [
+                (b[_B + v] == a[_A + v]) & (b[_B + n] == a[_A + n])
+                for v, n in ns_join_pairs
+            ],
+        )
+        joined = b.join(a, cond, "full_outer")
     else:
         cond = reduce(
             lambda x, y: x & y,

@@ -210,17 +210,87 @@ def compact_parquet(
     return n_files
 
 
+def _nullsafe_sentinel(dt):
+    """A non-NULL default of the key's type for the coalesced bucket
+    column. Any constant works — equality on the (value, isnull) PAIR is
+    what implements ``<=>``, the sentinel only has to be non-NULL so plain
+    ``=`` never returns NULL."""
+    s = dt.simpleString()
+    if s == "string" or s.startswith("varchar") or s.startswith("char"):
+        return F.lit("")
+    if s == "boolean":
+        return F.lit(False)
+    if s == "date":
+        return F.lit("1970-01-01").cast("date")
+    if s.startswith("timestamp"):
+        return F.lit("1970-01-01 00:00:00").cast(s)
+    if s in ("tinyint", "smallint", "int", "bigint", "float", "double") or (
+        s.startswith("decimal")
+    ):
+        return F.lit(0).cast(dt)
+    raise ValueError(
+        f"null-safe bucketing needs an atomic key type, got {s!r} — "
+        "cast the key or bucket with null_safe=False"
+    )
+
+
+def nullsafe_key_cols(keys: list[str]) -> list[str]:
+    """The interleaved materialized column names ``with_nullsafe_keys``
+    adds for ``keys`` — also the bucket/sort spec order."""
+    out: list[str] = []
+    for k in keys:
+        out += [f"__nsb_{k}", f"__nsn_{k}"]
+    return out
+
+
+def with_nullsafe_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Materialize, per key, ``__nsb_<k> = coalesce(k, sentinel)`` and
+    ``__nsn_<k> = isnull(k)``. Plain ``=`` on the (``__nsb``, ``__nsn``)
+    pair is EXACTLY ``k <=> k``: both-NULL rows agree on (sentinel, true);
+    a real sentinel value disagrees on the isnull flag; non-NULLs compare
+    normally — and because both columns are non-NULL physical columns,
+    they can carry a bucket spec, which ``<=>`` itself never can (Spark
+    compiles it to composite expressions that match no bucketing).
+    ``diff()`` recognizes the ``__nsb_``/``__nsn_`` prefix, joins on these
+    columns under ``null_safe_keys=True``, and excludes them from the
+    compared column universe (output hash unchanged)."""
+    out = df
+    for k in keys:
+        dt = df.schema[k].dataType
+        out = out.withColumn(
+            f"__nsb_{k}", F.coalesce(F.col(k), _nullsafe_sentinel(dt))
+        ).withColumn(f"__nsn_{k}", F.col(k).isNull())
+    return out
+
+
 def save_bucketed(
-    df: DataFrame, table: str, keys: list[str], buckets: int = 32
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    buckets: int = 32,
+    *,
+    null_safe: bool = False,
 ) -> None:
     """Persist a table bucketed+sorted by the diff keys. Two tables saved
     with the same spec diff with ZERO exchanges: the sort-merge join reads
     co-located buckets directly (verified in tests by asserting no Exchange
     in the physical plan). This is the 100 TB repeated-diff strategy —
-    shuffle each snapshot once at write time, never again at read time."""
+    shuffle each snapshot once at write time, never again at read time.
+
+    ``null_safe=True`` (VERDICT r6 item 5) buckets on materialized
+    ``(coalesce(key, sentinel), isnull(key))`` columns instead
+    (:func:`with_nullsafe_keys`), so the DEFAULT null-safe diff is also
+    exchange-free on re-diffs — ``<=>`` itself can never match a bucket
+    spec. ``null_safe=False`` keeps the plain spec, which only the
+    ``null_safe_keys=False`` diff can use."""
+    if null_safe:
+        df = with_nullsafe_keys(df, keys)
+        cols = nullsafe_key_cols(keys)
+    else:
+        cols = keys
     (
         df.write.mode("overwrite")
-        .bucketBy(buckets, keys[0], *keys[1:])
-        .sortBy(keys[0], *keys[1:])
+        .bucketBy(buckets, cols[0], *cols[1:])
+        .sortBy(cols[0], *cols[1:])
         .saveAsTable(table)
     )
