@@ -125,3 +125,35 @@ def test_pairs_match_python_mirror(spark, docs):
     ).collect()
     got = {(r.id_a, r.id_b): r.n_shared_fps for r in out}
     assert got == expected
+
+
+def test_detection_boundary_is_exactly_k_plus_w_minus_1(spark):
+    """VERDICT r6 item 7: the guarantee is SHARP. A shared verbatim run of
+    k+w-1 chars is always detected (w consecutive shared k-grams => some
+    selection window falls entirely inside the run); at k+w-2 only w-1
+    shared grams exist, every window straddles differing context, and
+    detection depends on hash order — a real miss, pinned with a found
+    fixture (seed 27: python-simulated winnowing shares zero
+    fingerprints). Property side: ten seeds at k+w-1 all detect."""
+    k, w = 40, 10
+    rows = []
+    for s in range(10):
+        shared = _rand(k + w - 1, seed=1000 + s)
+        rows += [
+            (10 * s, _rand(120, seed=2000 + s) + shared + _rand(120, seed=3000 + s)),
+            (10 * s + 1, _rand(120, seed=4000 + s) + shared + _rand(120, seed=5000 + s)),
+        ]
+    out = substring_dup_pairs(_docs(spark, rows), "text", "doc_id", k=k, w=w)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    for s in range(10):
+        assert (10 * s, 10 * s + 1) in got, f"k+w-1 guarantee broken, seed {s}"
+
+    # one char shorter: the found-miss fixture must emit NO pair
+    s = 27
+    shared = _rand(k + w - 2, seed=1000 + s)
+    rows2 = [
+        (1, _rand(120, seed=2000 + s) + shared + _rand(120, seed=3000 + s)),
+        (2, _rand(120, seed=4000 + s) + shared + _rand(120, seed=5000 + s)),
+    ]
+    out2 = substring_dup_pairs(_docs(spark, rows2), "text", "doc_id", k=k, w=w)
+    assert out2.collect() == []
