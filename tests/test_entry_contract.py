@@ -202,3 +202,33 @@ def test_greens_on_disk_numeric_round_sort(monkeypatch, tmp_path):
     # masked by it sorting last lexicographically
     (tmp_path / "CORRECTNESS_r100.json").write_text(json.dumps(row(False)))
     assert entrymod._greens_on_disk() == {}
+
+
+def test_latest_sweep_covers_current_contract():
+    """VERDICT r6 item 6: the sf0.1 full-contract sweep is the honesty
+    gate over the driver's 50-query window, and it must stay mechanical —
+    the NEWEST SWEEP_r*_sf01.txt in the repo must exist and report a pass
+    count equal to the CURRENT declared-query count. Adding a query
+    without re-running the sweep turns this red until the sweep is
+    re-run, which is the point."""
+    import re
+    from pathlib import Path
+
+    import __spark_entry__ as entry
+
+    repo = Path(__file__).resolve().parent.parent
+    sweeps = sorted(
+        repo.glob("SWEEP_r*_sf01.txt"),
+        key=lambda p: int(re.search(r"SWEEP_r(\d+)_sf01", p.name).group(1)),
+    )
+    assert sweeps, "no SWEEP_r<N>_sf01.txt committed — run tools/sweep_sf01.sh"
+    latest = sweeps[-1]
+    m = re.search(r"(\d+)/(\d+) passed", latest.read_text())
+    assert m, f"{latest.name} has no 'N/N passed' summary line"
+    passed, total = int(m.group(1)), int(m.group(2))
+    declared = len(entry.queries())
+    assert passed == total == declared, (
+        f"{latest.name} reports {passed}/{total} but the contract now "
+        f"declares {declared} queries — re-run: "
+        f"sh tools/sweep_sf01.sh | tee SWEEP_r<N>_sf01.txt"
+    )
