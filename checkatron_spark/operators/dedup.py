@@ -806,19 +806,28 @@ def connected_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
     ).localCheckpoint()
     changed = 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # pointer jumping: label assignments double as edges (lbl is in
         # the node's component by induction), collapsing long chains in
-        # O(log diameter) rounds; self-loops (lbl == node) are harmless
-        lbl_edges = labels.select(
-            F.col("node").alias("src"), F.col("lbl").alias("dst")
-        ).union(
-            labels.select(
-                F.col("lbl").alias("src"), F.col("node").alias("dst")
+        # O(log diameter) rounds. Round 0 skips them — labels are still
+        # the identity, so every pointer would be a useless self-loop
+        if it == 0:
+            prop_edges = edges
+        else:
+            lbl_edges = labels.filter(
+                F.col("lbl") != F.col("node")  # self-loops propagate nothing
             )
-        )
+            prop_edges = edges.unionByName(
+                lbl_edges.select(
+                    F.col("node").alias("src"), F.col("lbl").alias("dst")
+                ).union(
+                    lbl_edges.select(
+                        F.col("lbl").alias("src"), F.col("node").alias("dst")
+                    )
+                )
+            )
         prop = (
-            edges.unionByName(lbl_edges)
+            prop_edges
             .join(labels, F.col("src") == F.col("node"))
             .groupBy("dst")
             .agg(F.min("lbl").alias("nlbl"))

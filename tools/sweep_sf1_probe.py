@@ -1,20 +1,39 @@
-"""sf1 timing probe (VERDICT r5 item 6): time the 10 most expensive
-operators at 10x the bench scale and report per-query growth vs sf0.1.
+"""10x-scale timing probe: time the most expensive operators at 10x the
+bench scale and report per-query growth vs the small scale.
 
 sf0.1 is ~600k lineitem rows / 5k docs — nonlinear blowups (candidate
 explosion in LSH bands, window spills, driver collects that secretly
 scale with data) can hide below that. This probe runs each operator once
-warm at BOTH scales in one session and prints the sf1/sf0.1 ratio next
-to the 10x data growth, flagging anything super-linear (> ~12x after a
-fixed-overhead allowance).
+warm at BOTH scales in one session and prints the big/small ratio next
+to the 10x data growth, plus the OUTPUT ROW ratio, so growth is
+interpretable mechanically: an operator whose runtime grows no faster
+than max(data growth, output growth) is scale-clean.
+
+Two fixture families (VERDICT r6 item 1):
+
+- ``--docs``: documents-table operators against the REALISTIC-duplication
+  corpora from tools/gen_sf_realistic_docs.py (default /tmp/sfreal01 vs
+  /tmp/sfreal1 — 5k vs 50k docs at the same 10% dup rate, cluster sizes
+  2-5, token-level perturbations). Because the dup rate is
+  scale-invariant, pair counts grow ~linearly and a super-linear flag is
+  a real finding, not a clique artifact. The old tiled probe manufactured
+  ~10-member near-dup cliques (971x pair growth) here.
+- default / ``--batch2``: everything else (diff, TPC-H, events, streams,
+  embeddings) against the key-shifted tiled set from
+  tools/gen_sf_probe.py — correct for non-pair operators, where tiling
+  preserves exactly the marginals that matter.
 
 Correctness stays graded at sf0.01/sf0.1 (the driver's gate); this is
-timing only, against the deterministic tiled probe data from
-tools/gen_sf_probe.py (TESTDATA dirs are read-only, so the probe set
-lives in scratch).
+timing/growth only. TESTDATA dirs are read-only, so probe sets live in
+scratch.
 
-Usage: python tools/gen_sf_probe.py /tmp/sfprobe1 10 &&
-       python tools/sweep_sf1_probe.py /tmp/sfprobe1 > SWEEP_r06_sf1.txt
+Usage:
+  python tools/gen_sf_probe.py /tmp/sfprobe1 10
+  python tools/gen_sf_realistic_docs.py /tmp/sfreal01 5000
+  python tools/gen_sf_realistic_docs.py /tmp/sfreal1 50000
+  { python tools/sweep_sf1_probe.py /tmp/sfprobe1 &&
+    python tools/sweep_sf1_probe.py /tmp/sfprobe1 --batch2 &&
+    python tools/sweep_sf1_probe.py --docs ; } > SWEEP_r<N>_sf1.txt
 """
 
 from __future__ import annotations
@@ -29,40 +48,64 @@ import __spark_entry__ as entrymod  # noqa: E402
 from checkatron_spark.session import get_spark, release_scratch  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
+REAL_SMALL = "/tmp/sfreal01"
+REAL_BIG = "/tmp/sfreal1"
 
+# tiled-fixture batch 1: streams, embeddings, non-doc heavies
 PROBE = [
-    "neardup_minhash_lsh",
-    "neardup_minhash_banded",
     "stream_patch_apply",
     "stream_ivm_totals",
     "ann_ivf_topk",
-    "dedup_corpus_e2e",
-    "decontaminate_bloom",
-    "dedup_spans_keep_first",
-    "substring_dup_pairs",
+    "ann_lsh_topk",
     "kmeans_domains",
+    "split_by_cluster",
 ]
 
-# second batch (SWEEP_r06 part 2): the flagship diff + the heaviest
-# TPC-H/window/corpus/events shapes (needs the full tiled table set)
+# tiled-fixture batch 2: flagship diff + TPC-H/window/events shapes
+# (needs the full tiled table set)
 PROBE2 = [
     "diff_orders",
     "diff_lineitem_multikey",
     "q21_sole_late_supplier",
     "q9_product_profit",
-    "neardup_clusters",
-    "strip_boilerplate",
-    "curation_funnel",
-    "tfidf_top_terms",
     "events_sessionize",
     "trailing_30d_revenue",
 ]
 
+# realistic-duplication batch: every pair/cluster/corpus-shaped operator
+# over the documents table — the family the tiled cliques distorted
+PROBE_DOCS = [
+    "dedup_corpus_e2e",
+    "dedup_corpus_staged",
+    "neardup_clusters",
+    "neardup_ngram_jaccard",
+    "neardup_minhash_lsh",
+    "neardup_minhash_banded",
+    "substring_dup_pairs",
+    "dedup_spans_keep_first",
+    "strip_boilerplate",
+    "curation_funnel",
+    "tfidf_top_terms",
+    "decontaminate_bloom",
+    "dedup_exact",
+]
+
 
 def main() -> None:
-    probe_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfprobe1"
-    copies = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
-    batch = PROBE2 if "--batch2" in sys.argv else PROBE
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--docs" in sys.argv:
+        batch, small, big, label = (
+            PROBE_DOCS,
+            args[0] if len(args) > 0 else REAL_SMALL,
+            args[1] if len(args) > 1 else REAL_BIG,
+            "realistic-dup docs (10% dup rate both scales)",
+        )
+    else:
+        batch = PROBE2 if "--batch2" in sys.argv else PROBE
+        small = SF01
+        big = args[0] if args else "/tmp/sfprobe1"
+        label = "key-shifted tiled"
+    copies = 10.0
     spark = get_spark("sf1-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod._queries_unordered()
@@ -73,7 +116,7 @@ def main() -> None:
     def timed(name, sf_dir):
         release_scratch()
         best = None
-        for _ in range(2):  # min-of-2; JIT is warmed by the sf0.1 pass
+        for _ in range(2):  # min-of-2; JIT is warmed by the small pass
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
             best = (
@@ -83,19 +126,28 @@ def main() -> None:
             )
         return best
 
-    print(f"# sf1 probe: {probe_dir} ({copies:g}x sf0.1 tiled), "
+    def rows(name, sf_dir):
+        release_scratch()
+        return qs[name](spark, sf_dir).count()
+
+    print(f"# 10x probe [{label}]: {small} -> {big}, "
           f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}], min-of-2")
-    print(f"# {'query':28s} {'sf0.1':>8s} {'sf1':>9s} {'ratio':>7s}  note")
+    print(f"# {'query':26s} {'small':>7s} {'big':>8s} {'t-ratio':>8s} "
+          f"{'rows_s':>8s} {'rows_b':>9s} {'r-ratio':>8s}  note")
     for name in batch:
-        t_small = timed(name, SF01)
-        t_big = timed(name, probe_dir)
+        t_small = timed(name, small)
+        t_big = timed(name, big)
         ratio = t_big / t_small
-        # fixed per-query overhead (~0.3 s of job scheduling) forgiven
-        # before calling growth super-linear at a 10x data step
-        adj = (t_big - 0.3) / max(t_small - 0.3, 1e-9)
-        note = "OK (<= ~linear)" if adj <= copies * 1.2 else "SUPER-LINEAR"
+        n_small, n_big = rows(name, small), rows(name, big)
+        rratio = n_big / max(n_small, 1)
+        # fixed per-query overhead (~0.3 s of job scheduling) forgiven;
+        # clean = grows no faster than the data step OR the output rows
+        adj = (t_big - 0.3) / max(t_small - 0.3, 0.1)
+        bound = max(copies, rratio) * 1.2
+        note = "OK" if adj <= bound else "SUPER-LINEAR"
         print(
-            f"{name:30s} {t_small:7.2f}s {t_big:8.2f}s {ratio:6.1f}x  {note}"
+            f"{name:28s} {t_small:6.2f}s {t_big:7.2f}s {ratio:7.1f}x "
+            f"{n_small:8d} {n_big:9d} {rratio:7.1f}x  {note}"
         )
         sys.stdout.flush()
     spark.stop()
