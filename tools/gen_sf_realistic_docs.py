@@ -8,10 +8,18 @@ artificial pair count (971x at 10x) and turns every super-linear probe
 flag into manual forensics. This generator replaces the documents table
 with a corpus whose duplication is CONFIGURABLE and realistic:
 
-- marginals match the driver fixture: same 31-word vocabulary (read from
-  the sf0.1 documents — deterministic input), uniform 10-100 token
-  lengths (fixture: min 10 / max 100 / mean 54), same lang mix
-  (en 41%, zh/es/fr 15%, de 14%), 20 uniform sources;
+- length/lang/source marginals match the driver fixture (uniform 10-100
+  token lengths — fixture: min 10 / max 100 / mean 54; en 41%,
+  zh/es/fr 15%, de 14%; 20 uniform sources);
+- the VOCABULARY scales with the corpus (Heaps' law, V ~ 30·sqrt(N
+  tokens)) and tokens are zipf-distributed over it. This matters for
+  probe interpretability: a fixed tiny vocabulary (the fixture's 31
+  words) makes chance shingle collisions grow LINEARLY with corpus size,
+  so candidate volume in prefix-filtered similarity joins grows
+  quadratically even when the TRUE pair count is linear — measured
+  45x runtime at a 10x step before this change, 10x after. Real corpora
+  grow vocabulary with size, which is exactly what keeps candidate
+  density flat at 100 TB;
 - a ``dup_rate`` fraction of docs (default 10%) belong to near-dup
   clusters with REALISTIC sizes — mostly pairs (75%), occasionally 3-5
   (15/7/3%), never a copies-sized clique;
@@ -46,42 +54,40 @@ import sys
 import numpy as np
 import pandas as pd
 
-FIXTURE = "/root/testdata/sf0.1/documents.parquet"
 LANGS = ["en", "zh", "es", "fr", "de"]
 LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
 CLUSTER_SIZES = [2, 3, 4, 5]
 CLUSTER_P = [0.75, 0.15, 0.07, 0.03]
-
-
-def fixture_vocab() -> list[str]:
-    import pyarrow.parquet as pq
-
-    texts = pq.read_table(FIXTURE, columns=["text"]).column("text")
-    vocab: set[str] = set()
-    for t in texts.to_pylist():
-        if t:
-            vocab.update(t.split())
-    return sorted(vocab)
+MEAN_TOKENS = 55  # uniform(10, 100)
 
 
 def generate(n_docs: int, dup_rate: float, seed: int) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
-    vocab = np.array(fixture_vocab())
+    # Heaps' law vocabulary: V ~ K * N_tokens^0.5 (K=30), zipf token
+    # frequencies (exponent ~1.05). Keeps chance shingle-collision
+    # density flat as the corpus grows — see module docstring.
+    v_size = max(100, int(30 * (n_docs * MEAN_TOKENS) ** 0.5))
+    vocab = np.array([f"w{i:06d}" for i in range(v_size)])
+    w = 1.0 / np.arange(1, v_size + 1) ** 1.05
+    zipf_p = w / w.sum()
+
+    def draw(n: int) -> np.ndarray:
+        return vocab[rng.choice(v_size, size=n, p=zipf_p)]
 
     def fresh_tokens() -> np.ndarray:
-        return rng.choice(vocab, size=int(rng.integers(10, 101)))
+        return draw(int(rng.integers(10, 101)))
 
     def perturb(base: np.ndarray) -> np.ndarray:
         t = base.copy()
         for pos in rng.choice(len(t), size=int(rng.integers(1, 3)),
                               replace=False):
-            t[pos] = rng.choice(vocab)
+            t[pos] = draw(1)[0]
         if rng.random() < 0.3:  # length jitter: trim or extend 1-3 tokens
             d = int(rng.integers(1, 4))
             if rng.random() < 0.5 and len(t) > 10 + d:
                 t = t[:-d]
             else:
-                t = np.concatenate([t, rng.choice(vocab, size=d)])
+                t = np.concatenate([t, draw(d)])
         return t
 
     texts: list[str] = []

@@ -58,7 +58,6 @@ PROBE = [
     "ann_ivf_topk",
     "ann_lsh_topk",
     "kmeans_domains",
-    "split_by_cluster",
 ]
 
 # tiled-fixture batch 2: flagship diff + TPC-H/window/events shapes
@@ -78,6 +77,7 @@ PROBE_DOCS = [
     "dedup_corpus_e2e",
     "dedup_corpus_staged",
     "neardup_clusters",
+    "split_by_cluster",
     "neardup_ngram_jaccard",
     "neardup_minhash_lsh",
     "neardup_minhash_banded",
