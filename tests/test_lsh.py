@@ -35,3 +35,52 @@ def test_lsh_recall_vs_bruteforce(spark):
     recall = hits / total
     # 0.992 measured at sf0.1; pin loosely (tiny fixture, higher variance)
     assert recall >= 0.8, f"recall {recall:.2f}"
+
+
+def test_minhash_band_r_guards_and_recall(spark):
+    """Round 7 AND-amplification: num_hashes must divide by band_r (a
+    short trailing band is an OR-only quadratic leak), and the banded
+    pair set at the default 16/2 must match exact jaccard on a corpus
+    with heavy background token overlap — the regime where OR-only
+    banding drowns in false candidates."""
+    import pytest
+
+    from checkatron_spark.operators.dedup import (
+        neardup_minhash_banded,
+        neardup_minhash_lsh,
+        neardup_ngram_jaccard,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    with pytest.raises(ValueError, match="multiple of band_r"):
+        neardup_minhash_banded(
+            docs, "text", "doc_id", num_hashes=16, band_r=3
+        ).collect()
+    with pytest.raises(ValueError, match="multiple of band_r"):
+        neardup_minhash_lsh(
+            docs, "text", "doc_id", num_hashes=16, band_r=5
+        ).collect()
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in neardup_ngram_jaccard(
+            docs, "text", "doc_id", n=3, threshold=0.7
+        ).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in neardup_minhash_banded(
+            docs, "text", "doc_id", threshold=0.7
+        ).collect()
+    }
+    assert banded == exact and len(exact) > 0
+    # the MLlib-signature banded path: exact verification means no false
+    # positives; recall bound 1-(1-s^2)^8 -> subset-of-exact, near-equal
+    mll = {
+        (r.id_a, r.id_b)
+        for r in neardup_minhash_lsh(
+            docs, "text", "doc_id", threshold=0.7, band_r=2
+        ).collect()
+    }
+    assert mll <= exact
+    assert len(mll) >= int(0.95 * len(exact))
