@@ -141,10 +141,13 @@ def main() -> None:
         n_small, n_big = rows(name, small), rows(name, big)
         rratio = n_big / max(n_small, 1)
         # fixed per-query overhead (~0.3 s of job scheduling) forgiven;
-        # clean = grows no faster than the data step OR the output rows
+        # clean = grows no faster than the data step OR the output rows.
+        # BOTH the raw and the overhead-adjusted ratio must exceed the
+        # bound to flag: for sub-second baselines the adjustment divides
+        # by the 0.1 s floor and would flag trivially-linear operators
         adj = (t_big - 0.3) / max(t_small - 0.3, 0.1)
         bound = max(copies, rratio) * 1.2
-        note = "OK" if adj <= bound else "SUPER-LINEAR"
+        note = "OK" if (ratio <= bound or adj <= bound) else "SUPER-LINEAR"
         print(
             f"{name:28s} {t_small:6.2f}s {t_big:7.2f}s {ratio:7.1f}x "
             f"{n_small:8d} {n_big:9d} {rratio:7.1f}x  {note}"
