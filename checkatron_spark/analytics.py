@@ -354,6 +354,39 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_rollup_from_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup REUSE: the monthly aggregate is computed by
+    re-aggregating the materialized daily partials, never rescanning orders
+    — at 100 TB the daily layer is bytes-per-day while the raw table is the
+    100 TB, so every coarser granularity (week/month/quarter) must derive
+    from partials. Exactness is structural: counts and integer-cent sums
+    are associative, so sum-of-daily-sums is bit-identical to the direct
+    monthly aggregate — which is precisely what the oracle (a direct
+    monthly rollup of the raw table) grades. n_days is computed FROM the
+    daily layer (one row per day), pinning that the intermediate
+    granularity actually exists in the plan."""
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("_cents"),
+    )
+    return daily.groupBy(F.trunc("day", "month").alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("_n").alias("n_orders"),
+        _dollars(F.sum("_cents")).alias("revenue"),
+    )
+
+
+ROLLUP_FROM_PARTIALS_SQL = """
+SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+       COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_days,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       / 100.0 AS revenue
+FROM orders GROUP BY 1
+"""
+
+
 def q_supplier_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (nation, supplier account-balance sign): all grouping-set
     combinations in one pass."""
@@ -699,6 +732,7 @@ QUERIES = {
     "customers_semi_join": q_customers_semi,
     "customers_anti_join": q_customers_anti,
     "orders_rollup": q_orders_rollup,
+    "rollup_from_partials": q_rollup_from_partials,
     "supplier_cube": q_supplier_cube,
     "distinct_counts": q_distinct_counts,
     "price_histogram": q_price_histogram,
@@ -722,6 +756,7 @@ def oracles() -> dict[str, str]:
         "repeat_customers_intersect": REPEAT_CUSTOMERS_INTERSECT_SQL,
         "churned_customers_except": CHURNED_CUSTOMERS_EXCEPT_SQL,
         "orders_rollup": ORDERS_ROLLUP_SQL,
+        "rollup_from_partials": ROLLUP_FROM_PARTIALS_SQL,
         "supplier_cube": SUPPLIER_CUBE_SQL,
         "distinct_counts": DISTINCT_COUNTS_SQL,
         "price_histogram": PRICE_HISTOGRAM_SQL,

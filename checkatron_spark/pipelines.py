@@ -2548,6 +2548,52 @@ FROM events
 """
 
 
+def q_assign_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global doc-id assignment (the corpus-ingestion ordinal): the
+    exact equal of ``ROW_NUMBER() OVER (ORDER BY doc_id)`` computed via
+    sampled range buckets + bounded per-bucket windows instead of the
+    single-partition sort Catalyst plans for a partition-less window — the
+    shape that cannot run at 100 TB (operators/ids.py)."""
+    from checkatron_spark.operators.ids import assign_dense_ids
+
+    docs = load_table(spark, "documents", sf_dir)
+    return assign_dense_ids(docs, "doc_id", buckets=32).select(
+        "doc_id", "dense_id"
+    )
+
+
+ASSIGN_DOC_IDS_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS dense_id
+FROM documents
+"""
+
+
+def q_doc_length_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ordinals under a NON-unique, NULL-bearing order column
+    (raw text length; ties broken by doc_id) — exercises the two hard
+    paths of assign_dense_ids: ties always share a range bucket, and NULL
+    order values route to a leading bucket matching ASC NULLS FIRST."""
+    from checkatron_spark.operators.ids import assign_dense_ids
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "text_len", F.length("text")
+    )
+    return assign_dense_ids(
+        docs, "text_len", ("doc_id",), buckets=32, id_name="length_rank"
+    ).select("doc_id", "text_len", "length_rank")
+
+
+DOC_LENGTH_ORDINALS_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS text_len,
+       CAST(ROW_NUMBER() OVER
+            (ORDER BY length(text) ASC NULLS FIRST, doc_id ASC) AS BIGINT)
+           AS length_rank
+FROM documents
+"""
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_id_hist": q_lang_id_hist,
@@ -2611,6 +2657,8 @@ QUERIES = {
     "quantize_embeddings_int8": q_quantize_embeddings,
     "events_asof_join": q_events_asof,
     "events_range_join": q_events_range_join,
+    "assign_doc_ids": q_assign_doc_ids,
+    "doc_length_ordinals": q_doc_length_ordinals,
 }
 
 
@@ -2685,4 +2733,6 @@ def oracles() -> dict[str, str]:
         "quantize_embeddings_int8": QUANTIZE_SQL,
         "events_asof_join": EVENTS_ASOF_SQL,
         "events_range_join": EVENTS_RANGE_JOIN_SQL,
+        "assign_doc_ids": ASSIGN_DOC_IDS_SQL,
+        "doc_length_ordinals": DOC_LENGTH_ORDINALS_SQL,
     }

@@ -105,6 +105,33 @@ def test_aggregation_is_partial_final(spark):
     assert "partial_" in plan.lower() or "Partial" in plan
 
 
+def test_rollup_reuse_single_scan_two_layers(spark):
+    """rollup_from_partials must read the raw table ONCE and stack two
+    aggregation layers (daily partials -> monthly re-aggregate) — the
+    materialization-reuse shape; a second scan would mean the coarse layer
+    rescanned raw data."""
+    df = entrymod.queries()["rollup_from_partials"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    # two shuffled aggregate layers, each with a map-side partial:
+    # >= 4 HashAggregate nodes and two exchanges (day, then month)
+    assert plan.count("HashAggregate") >= 4
+    assert plan.count("Exchange") >= 2
+
+
+def test_assign_doc_ids_window_is_bucket_partitioned(spark):
+    """The global-ordinal query's window must be keyed on the range bucket
+    (partition-less would be the single-task funnel); the offset fold must
+    stay a codegen map literal — no extra join in the plan."""
+    df = entrymod.queries()["assign_doc_ids"](spark, SF_DIR)
+    plan = _plan(df)
+    # the Window node's partition spec is the bucket column (the global
+    # no-partition-less-window pin walks the tree; this pins WHICH key)
+    assert plan.count("Window") >= 1
+    assert "_bkt" in plan
+    assert "Join" not in plan
+
+
 def test_no_cartesian_in_any_query(spark):
     """Every declared query must avoid CartesianProduct — the one-way door
     at scale. (BroadcastNestedLoop is tolerated only for the deliberately

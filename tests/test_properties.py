@@ -770,10 +770,17 @@ def test_nullkey_multikey_diff_matches_generated_sql_oracle(spark, plan):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_tolerance_law(spark, deltas, tol_cents):
-    """Tolerance-relaxed equality law, fuzzed on exact integer cents (so
-    the |b-a| <= tol comparison has no float-representation ambiguity):
-    status must be 0 iff |delta| <= tol, 1 beyond it, and the NULL codes
-    (2/3) must be UNAFFECTED by the tolerance flag."""
+    """Tolerance-relaxed equality law fuzzed in integer cents. The operator
+    compares RAW doubles (|b-a| <= tol, diff.py _equal_pred) — identical
+    IEEE 754 arithmetic in Spark and the DuckDB oracle, which is why the
+    declared tolerance query grades bit-exact. The law is therefore
+    three-tiered: strictly inside the tolerance (d < tol) must be 0,
+    strictly outside (d > tol) must be 1 — both provable, the float error
+    ~1e-14 never bridges a full cent — and AT the boundary (d == tol) the
+    status must equal the mirrored double computation (Python floats are
+    the same IEEE doubles), where representation error legitimately
+    decides: e.g. (4*100+3)/100.0 - 4.0 = 0.03000000000000025 > 0.03.
+    NULL codes (2/3) must be UNAFFECTED by the tolerance flag."""
     from checkatron_spark import diff
 
     before = spark.createDataFrame(
@@ -794,7 +801,26 @@ def test_tolerance_law(spark, deltas, tol_cents):
     for i, (d, nul) in enumerate(deltas):
         if nul:
             assert got[i] == 3  # NULL in after only — tolerance irrelevant
-        elif d <= tol_cents:
+        elif d < tol_cents:
             assert got[i] == 0, (i, d, tol_cents)
-        else:
+        elif d > tol_cents:
             assert got[i] == 1, (i, d, tol_cents)
+        else:  # boundary: exactly the operator's double expression
+            b_val = i * 100 / 100.0
+            a_val = (i * 100 + d) / 100.0
+            want = 0 if abs(a_val - b_val) <= tol else 1
+            assert got[i] == want, (i, d, tol_cents, abs(a_val - b_val))
+
+
+def test_tolerance_boundary_is_ieee_not_wishful(spark):
+    """Regression for the shrunk hypothesis find: at k=4 a 3-cent delta
+    with a 3-cent tolerance lands ON the boundary and the double difference
+    (0.03000000000000025) exceeds tol — status 1, consistently in Spark,
+    DuckDB, and Python. Pinned deterministically so the boundary behavior
+    never depends on hypothesis' draw."""
+    from checkatron_spark import diff
+
+    before = spark.createDataFrame([(4, 4.0)], ["k", "amt"])
+    after = spark.createDataFrame([(4, 4.03)], ["k", "amt"])
+    got = diff(before, after, ["k"], tolerances={"amt": 0.03}).collect()[0]
+    assert got.AMT == (0 if abs(4.03 - 4.0) <= 0.03 else 1) == 1

@@ -164,3 +164,75 @@ def test_cms_state_survives_checkpoint_restart(spark, tmp_path):
     }
     want = {(r.row, r.cell): r.cnt for r in _sketch(docs).collect()}
     assert got == want and len(want) > 0
+
+
+def test_sessionize_state_survives_checkpoint_restart(spark, tmp_path):
+    """The applyInPandasWithState half of streaming recovery: kill the
+    sessionizer between feeds and restart from the same checkpoint. Events
+    20 minutes apart ACROSS THE RESTART (gap < 30 min) must land in one
+    session — only possible if the custom per-user state (last_ts,
+    n_sessions, n_events) was restored from the state store, not rebuilt
+    empty. Complements test_cms_state_survives_checkpoint_restart (built-in
+    agg state) and the LSM kill-and-resume test (sink-side log)."""
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    rows1 = [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00")]
+    # 10:30 continues the run-1 session iff state survived the restart;
+    # 12:00 then opens a second session
+    rows2 = [(1, "2024-01-01 10:30:00"), (1, "2024-01-01 12:00:00")]
+
+    def _append(rows):
+        spark.createDataFrame(rows, ["user_id", "ts_str"]).select(
+            "user_id", F.to_timestamp("ts_str").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(feed)
+
+    schema = "user_id bigint, ts timestamp"
+
+    def _emit(df, batch_id):
+        # update-mode memory sinks cannot recover from a checkpoint;
+        # foreachBatch -> parquet is the fault-tolerant spelling
+        df.withColumn("_bid", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    def _drain():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                ST.sessionize_stateful(sdf)
+                .writeStream.foreachBatch(_emit)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(300)
+            finally:
+                if q.isActive:
+                    q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    _append(rows1)
+    _drain()                      # run 1 processes rows1, then "dies"
+    emissions = sorted(
+        (r._bid, r.n_sessions, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert [e[1:] for e in emissions] == [(1, 2)]
+
+    _append(rows2)
+    _drain()                      # run 2: same checkpoint, only rows2 file
+    emissions = sorted(
+        (r._bid, r.n_sessions, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    )
+    # state restored -> 10:30 extends the 10:00/10:10 session: (2, 4);
+    # state lost -> 10:30 opens a fresh session over 0 events: (2, 2)
+    assert [e[1:] for e in emissions] == [(1, 2), (2, 4)]

@@ -62,6 +62,8 @@ HEADLINERS = [
     ("quality_linear_score", "hashed-linear inference: zero-shuffle JVM fold, weights ride the scan"),
     ("kmeans_domains", "exact k-means (round 6): Arrow assignment kernel — MapInPandas over the scan, NO join; refit groupBy map-side combined"),
     ("dedup_corpus_staged", "staged dedup (round 6): md5 exact-collapse groupBy + semi-join feeding the pair pipeline over representatives only"),
+    ("assign_doc_ids", "global ordinals (round 7): range-bucketed row_number — window PARTITIONED BY sampled bucket, offsets as a map literal; no single-partition window"),
+    ("rollup_from_partials", "rollup reuse (round 7): monthly derives from daily partials — two chained hash aggregates, one raw scan"),
 ]
 
 

@@ -69,6 +69,10 @@ PROBE2 = [
     "q9_product_profit",
     "events_sessionize",
     "trailing_30d_revenue",
+    # round 7: global ordinal assignment — the point is that the bounded
+    # per-bucket windows keep growth ~linear where the naive global
+    # window would funnel 10x the data through one task
+    "assign_doc_ids",
 ]
 
 # realistic-duplication batch: every pair/cluster/corpus-shaped operator
