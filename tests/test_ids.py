@@ -114,6 +114,33 @@ def test_property_matches_naive_under_dups_and_nulls(spark, keys, buckets):
     _check(df, "k", ("tb",), buckets=buckets)
 
 
+def test_all_null_order_column(spark):
+    # every row in the NULL bucket: ordinals come purely from tiebreaks
+    df = spark.createDataFrame([(None, i) for i in range(7)], "k double, tb int")
+    out = sorted((r.tb, r.dense_id) for r in
+                 assign_dense_ids(df, "k", ("tb",), buckets=4).collect())
+    assert out == [(i, i + 1) for i in range(7)]
+
+
+def test_nan_sorts_last_matching_spark_order(spark):
+    """Spark treats NaN as greater than any numeric in BOTH comparisons and
+    sorts, so `v >= cut` routes NaN to the top bucket — exactly where the
+    naive window puts it. NULL < numbers < NaN end to end."""
+    df = spark.createDataFrame(
+        [(float("nan"), 0), (1.0, 1), (None, 2), (2.0, 3)], "k double, tb int"
+    )
+
+    def norm(rows):  # NaN != NaN in Python; stringify for set compare
+        return {(str(r.k), r.tb, r.dense_id) for r in rows}
+
+    got = norm(assign_dense_ids(df, "k", ("tb",), buckets=4).collect())
+    want = norm(_naive(df, "k", ("tb",)).collect())
+    assert got == want
+    by_id = {r.dense_id: r.k for r in
+             assign_dense_ids(df, "k", ("tb",), buckets=4).collect()}
+    assert by_id[1] is None and str(by_id[4]) == "nan"
+
+
 def test_no_single_partition_window_in_plan(spark):
     df = spark.range(0, 100).select(F.col("id").alias("k"))
     plan = assign_dense_ids(df, "k", buckets=8)._jdf.queryExecution().optimizedPlan()

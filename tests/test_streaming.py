@@ -236,3 +236,66 @@ def test_sessionize_state_survives_checkpoint_restart(spark, tmp_path):
     # state restored -> 10:30 extends the 10:00/10:10 session: (2, 4);
     # state lost -> 10:30 opens a fresh session over 0 events: (2, 2)
     assert [e[1:] for e in emissions] == [(1, 2), (2, 4)]
+
+
+def test_dedup_state_survives_checkpoint_restart(spark, tmp_path):
+    """The dropDuplicates half of streaming recovery: an event id seen
+    BEFORE the restart must still be suppressed when it re-arrives AFTER
+    the restart — the dedup key set lives in the state store and must be
+    restored from the checkpoint. Fourth recovery pin alongside the agg
+    (CMS), applyInPandasWithState (sessionize), and sink-log (LSM) tests."""
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    # same ts everywhere: the 1 h watermark never evicts state mid-test
+    rows1 = [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")]
+    rows2 = [(2, "2024-01-01 10:00:00"), (3, "2024-01-01 10:00:00")]
+
+    def _append(rows):
+        spark.createDataFrame(rows, ["event_id", "ts_str"]).select(
+            "event_id", F.to_timestamp("ts_str").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(feed)
+
+    schema = "event_id bigint, ts timestamp"
+
+    def _emit(df, batch_id):
+        df.withColumn("_bid", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    def _drain():
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        deduped = (
+            sdf.withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id"])
+            .select("event_id")
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                deduped.writeStream.foreachBatch(_emit)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination(300)
+            finally:
+                if q.isActive:
+                    q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    _append(rows1)
+    _drain()                      # run 1 admits 1 and 2, then "dies"
+    assert sorted(r.event_id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    _append(rows2)
+    _drain()                      # run 2: id 2 re-arrives across the restart
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    # state restored -> 2 suppressed, only 3 new; state lost -> [1, 2, 2, 3]
+    assert got == [1, 2, 3]
