@@ -95,6 +95,11 @@ HEADLINE = [
     # round-6: exact k-means now runs the Arrow assignment kernel —
     # benched so the swap's effect is a recorded number, not a claim
     "kmeans_domains",
+    # round-7: global ordinal assignment (range-bucketed row_number — the
+    # anti-single-partition-window shape) and multi-granularity rollup
+    # reuse (monthly from daily partials, one raw scan)
+    "assign_doc_ids",
+    "rollup_from_partials",
 ]
 
 
