@@ -681,3 +681,59 @@ def test_split_sentences_expr_matches_udtf(spark):
         (1, 0, "a"), (1, 1, "b"), (1, 2, "c"),
         (5, 0, "x"), (5, 1, "y"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# round 7: the tiling re-plan (split-once + contested-only join-back) fuzzed
+# against the unchanged DuckDB oracles — random tiny corpora from a 6-word
+# alphabet force heavy tile collisions, plus NULL/empty/single-word docs
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["the", "a", "shared", "tile", "words", "x"]
+_doc_text = st.one_of(
+    st.none(),
+    st.just(""),
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=14).map(" ".join),
+)
+
+
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_tiling_rewrite_matches_oracles(spark, texts):
+    import duckdb
+
+    from checkatron_spark.corpus import (
+        DEDUP_SPANS_SQL,
+        STRIP_BOILERPLATE_SQL,
+        dedup_spans_keep_first,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    con = duckdb.connect(":memory:")
+    try:
+        con.sql("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+        got = sorted(
+            (r.doc_id, r.clean_text, r.n_chunks, r.n_removed)
+            for r in strip_boilerplate(docs, k=3, min_docs=2).collect()
+        )
+        want = sorted(tuple(t) for t in con.sql(STRIP_BOILERPLATE_SQL).fetchall())
+        assert got == want and len(got) == len(rows)
+
+        got2 = sorted(
+            (r.doc_id, r.clean_text, r.n_chunks, r.n_kept)
+            for r in dedup_spans_keep_first(docs, k=4).collect()
+        )
+        want2 = sorted(tuple(t) for t in con.sql(DEDUP_SPANS_SQL).fetchall())
+        assert got2 == want2 and len(got2) == len(rows)
+    finally:
+        con.close()
