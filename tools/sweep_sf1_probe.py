@@ -73,6 +73,9 @@ PROBE2 = [
     # per-bucket windows keep growth ~linear where the naive global
     # window would funnel 10x the data through one task
     "assign_doc_ids",
+    # round 7: rollup reuse — the coarse layer re-aggregates O(days)
+    # partials, so growth tracks the raw-scan term only
+    "rollup_from_partials",
 ]
 
 # realistic-duplication batch: every pair/cluster/corpus-shaped operator
