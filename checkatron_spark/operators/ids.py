@@ -35,7 +35,58 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from checkatron_spark.session import scratch_persist
+
 __all__ = ["assign_dense_ids"]
+
+# Above this many cut points, the flat O(cuts)-comparisons-per-row filter
+# is replaced by an O(log cuts) binary search (ADVICE r7): higher-order
+# lambdas are interpreted, so at the 10k-bucket scale the docstring
+# recommends for 100 TB the flat scan would cost ~10k comparisons per row
+# in BOTH jobs, dominating runtime.
+_FLAT_SCAN_MAX_CUTS = 64
+
+
+def _n_cuts_below(v: Column, cuts: list[float]) -> Column:
+    """``COUNT(c in cuts WHERE v >= c)`` for a sorted cut list — the
+    monotone bucket id. Two spellings, identical results:
+
+    - small lists: flat ``size(filter(...))`` — O(cuts) interpreted
+      comparisons per row, cheapest constant factor;
+    - large lists: branchless binary search (upper bound) unrolled as a
+      ``aggregate(sequence(1, ceil(log2(n+1))), ...)`` fold — O(log cuts)
+      interpreted steps per row, ~700x fewer comparisons at 10k buckets.
+
+    NaN routes to the top bucket under both (Spark orders NaN above every
+    numeric in ``>=`` and in sorts alike); NULL is handled by the caller.
+    """
+    n = len(cuts)
+    cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    if n <= _FLAT_SCAN_MAX_CUTS:
+        return F.size(F.filter(cut_arr, lambda c: v >= c))
+    # invariant: answer in [lo, hi]; each step halves the range. mid is in
+    # [lo+1, hi] ⊆ [1, n] while lo < hi, so element_at (1-based) is safe.
+    depth = n.bit_length()  # >= ceil(log2(n + 1)) iterations pins lo == hi
+
+    def _step(acc: Column, _: Column) -> Column:
+        mid = F.floor((acc["lo"] + acc["hi"] + 1) / 2).cast("int")
+        return F.when(acc["lo"] >= acc["hi"], acc).otherwise(
+            F.when(
+                v >= F.element_at(cut_arr, mid),
+                F.struct(mid.alias("lo"), acc["hi"].alias("hi")),
+            ).otherwise(
+                F.struct(
+                    acc["lo"].alias("lo"), (mid - F.lit(1)).alias("hi")
+                )
+            )
+        )
+
+    found = F.aggregate(
+        F.sequence(F.lit(1), F.lit(depth)),
+        F.struct(F.lit(0).alias("lo"), F.lit(n).alias("hi")),
+        _step,
+    )
+    return found["lo"]
 
 
 def assign_dense_ids(
@@ -47,9 +98,11 @@ def assign_dense_ids(
     id_name: str = "dense_id",
 ) -> DataFrame:
     """Add ``id_name``: the exact 1-based global ordinal of each row under
-    ``ORDER BY order_col ASC NULLS FIRST, *tiebreaks ASC`` — equal to the
-    single-partition ``row_number`` spelling, computed with a bounded
-    window instead.
+    ``ORDER BY order_col ASC NULLS FIRST, *tiebreaks ASC NULLS FIRST`` —
+    equal to the single-partition ``row_number`` spelling, computed with a
+    bounded window instead. NULL placement is pinned for tiebreaks too
+    (ADVICE r7): an oracle spelling must say ``NULLS FIRST`` explicitly,
+    since ANSI/DuckDB plain ``ASC`` defaults to NULLS LAST.
 
     ``order_col`` must be numeric (the boundary sample uses approxQuantile);
     ``(order_col, *tiebreaks)`` must be a total order (unique) for the
@@ -78,19 +131,18 @@ def assign_dense_ids(
         )
         cuts = sorted(set(qs))
 
-    # monotone bucket id: count of cut points <= value (0..len(cuts)), as a
-    # single flat higher-order expression — a chained `+` over thousands of
-    # comparisons nests an Add tree deep enough to overflow Catalyst's
-    # recursive traversal. NULLs route to bucket -1, which sorts first,
-    # matching ASC NULLS FIRST.
+    # monotone bucket id: count of cut points <= value (0..len(cuts)).
+    # NULLs route to bucket -1, which sorts first, matching ASC NULLS FIRST.
     v = F.col(order_col).cast("double")
-    if cuts:
-        cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
-        n_below = F.size(F.filter(cut_arr, lambda c: v >= c))
-    else:
-        n_below = F.lit(0)
+    n_below = _n_cuts_below(v, cuts) if cuts else F.lit(0)
     bkt: Column = F.when(v.isNull(), F.lit(-1)).otherwise(n_below)
-    bucketed = df.withColumn("_bkt", bkt)
+    # Persist before the count job: the offsets and the final plan MUST see
+    # the same bucket per row. Without the pin, a non-deterministic upstream
+    # (or a source mutated between the two jobs) can surface a bucket absent
+    # from the collected counts — silently dropped by the >256-bucket inner
+    # join, or a NULL id from the map lookup — instead of an error (ADVICE
+    # r7). Also avoids evaluating the bucketing expression twice.
+    bucketed = scratch_persist(df.withColumn("_bkt", bkt))
 
     # (2) per-bucket counts -> offsets (driver holds <= buckets + 1 rows)
     rows = bucketed.groupBy("_bkt").count().collect()
@@ -105,7 +157,7 @@ def assign_dense_ids(
     # expression itself gets large, so fold via a broadcast join instead —
     # same plan shape the window's _bkt shuffle already pays for.
     order = [F.col(order_col).asc_nulls_first()] + [
-        F.col(t).asc() for t in tiebreaks
+        F.col(t).asc_nulls_first() for t in tiebreaks
     ]
     w = Window.partitionBy("_bkt").orderBy(*order)
     rn = F.row_number().over(w)

@@ -2588,7 +2588,8 @@ DOC_LENGTH_ORDINALS_SQL = """
 SELECT doc_id,
        CAST(length(text) AS INTEGER) AS text_len,
        CAST(ROW_NUMBER() OVER
-            (ORDER BY length(text) ASC NULLS FIRST, doc_id ASC) AS BIGINT)
+            (ORDER BY length(text) ASC NULLS FIRST,
+                      doc_id ASC NULLS FIRST) AS BIGINT)
            AS length_rank
 FROM documents
 """

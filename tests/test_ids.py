@@ -15,7 +15,7 @@ from checkatron_spark.operators.ids import assign_dense_ids
 
 def _naive(df, order_col, tiebreaks=()):
     order = [F.col(order_col).asc_nulls_first()] + [
-        F.col(t).asc() for t in tiebreaks
+        F.col(t).asc_nulls_first() for t in tiebreaks
     ]
     return df.withColumn(
         "dense_id", F.row_number().over(Window.orderBy(*order)).cast("bigint")
@@ -139,6 +139,59 @@ def test_nan_sorts_last_matching_spark_order(spark):
     by_id = {r.dense_id: r.k for r in
              assign_dense_ids(df, "k", ("tb",), buckets=4).collect()}
     assert by_id[1] is None and str(by_id[4]) == "nan"
+
+
+def test_null_bearing_tiebreak_pins_nulls_first(spark):
+    """Tiebreak NULL placement is part of the contract (ADVICE r7): NULL
+    tiebreaks sort FIRST within an order-value tie, matching the documented
+    ASC NULLS FIRST — not DuckDB's plain-ASC NULLS LAST default."""
+    rows = [(1, None), (1, 5), (1, 2), (0, None), (0, 9), (2, 1)]
+    df = spark.createDataFrame(
+        [(k, tb, i) for i, (k, tb) in enumerate(rows)], "k int, tb int, pk int"
+    )
+    _check(df, "k", ("tb", "pk"), buckets=4)
+    by_pk = {
+        r.pk: r.dense_id
+        for r in assign_dense_ids(df, "k", ("tb", "pk"), buckets=4).collect()
+    }
+    assert by_pk[3] < by_pk[4]  # (0, NULL) before (0, 9)
+    assert by_pk[0] < by_pk[2]  # (1, NULL) before (1, 2)
+
+
+@given(
+    cuts=st.lists(
+        st.integers(-50, 50).map(float), min_size=65, max_size=120, unique=True
+    ),
+    vals=st.lists(
+        st.one_of(st.just(float("nan")), st.integers(-60, 60).map(float)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_binary_search_bucketing_equals_flat_scan(spark, cuts, vals):
+    """The O(log cuts) binary-search bucket id (taken above
+    _FLAT_SCAN_MAX_CUTS cut points) computes exactly `count(c <= v)` — the
+    flat filter's answer — for every value, including NaN (top bucket)."""
+    from checkatron_spark.operators.ids import _FLAT_SCAN_MAX_CUTS, _n_cuts_below
+
+    cuts = sorted(cuts)
+    assert len(cuts) > _FLAT_SCAN_MAX_CUTS
+    df = spark.createDataFrame([(x,) for x in vals], "v double")
+    got = [
+        r.b
+        for r in df.select(
+            _n_cuts_below(F.col("v"), cuts).alias("b")
+        ).collect()
+    ]
+    want = [
+        len(cuts) if v != v else sum(1 for c in cuts if v >= c) for v in vals
+    ]
+    assert got == want
 
 
 def test_no_single_partition_window_in_plan(spark):
