@@ -420,6 +420,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_diff_orders": W.map_diff_orders,
         "ivm_orders_totals": W.ivm_orders_totals,
         "ivm_orders_minmax": W.ivm_orders_minmax,
+        "ivm_join_enriched": W.ivm_join_enriched,
         "zorder_bucket_audit": W.zorder_bucket_audit,
         "keys_union": _q_keys_union,
         "labeled_counts": _q_labeled_counts,
@@ -485,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
         "map_diff_orders": W.map_diff_orders_oracle_sql(),
         "ivm_orders_totals": W.ivm_orders_totals_oracle_sql(),
         "ivm_orders_minmax": W.ivm_orders_minmax_oracle_sql(),
+        "ivm_join_enriched": W.ivm_join_enriched_oracle_sql(),
         "zorder_bucket_audit": W.zorder_bucket_audit_oracle_sql(),
         "keys_union": (
             f"SELECT o_orderkey FROM {W.BEFORE_SRC_SQL} "

@@ -38,6 +38,8 @@ __all__ = [
     "maintain_sum_view",
     "minmax_view",
     "maintain_minmax_view",
+    "join_view",
+    "maintain_join_view",
 ]
 
 
@@ -235,3 +237,77 @@ def maintain_minmax_view(
         count_col=count_col,
     )
     return clean.unionByName(dirty)
+
+
+def join_view(fact: DataFrame, dim: DataFrame, join_col: str) -> DataFrame:
+    """Materialize the inner equi-join view :func:`maintain_join_view`
+    keeps current: ``fact JOIN dim USING (join_col)`` — the enriched-fact
+    shape every warehouse maintains (orders x customer, events x device,
+    documents x source)."""
+    return fact.join(dim, join_col, "inner")
+
+
+def maintain_join_view(
+    view: DataFrame,
+    delta_fact: DataFrame,
+    delta_dim: DataFrame,
+    new_fact: DataFrame,
+    new_dim: DataFrame,
+    fact_keys: list[str],
+    join_col: str,
+) -> DataFrame:
+    """Join-view maintenance: bring ``view = old_fact ⋈ old_dim`` current
+    under compact changefeeds on BOTH sides, without recomputing the join —
+    the classic delta rule Δ(A⋈B) = ΔA⋈B' ∪ (A'∖ΔA)⋈ΔB specialized to
+    keyed upsert feeds. Returns exactly ``join_view(new_fact, new_dim,
+    join_col)`` (the oracle identity, hash-checked by the driver).
+
+    Contract: ``delta_fact`` / ``delta_dim`` are ``compact_delta`` outputs
+    (one net 'I'/'U'/'D' row per key; keys always populated) keyed by
+    ``fact_keys`` and ``join_col`` respectively. ``join_col`` must be the
+    dim side's primary key — a dim row "changing key" therefore arrives as
+    D+I, which ``compact_delta`` keyed on it guarantees. Fact rows MAY move
+    their ``join_col`` (fk re-point) and MAY be dangling (inner join drops
+    them, same as the recompute).
+
+    The three pieces, each ∝ churn except one pruned pass:
+
+    1. *kept*: view rows whose fact key AND dim key are both untouched —
+       two broadcast anti joins, one pass over the stored view, no shuffle
+       (at 100 TB the view is the big operand; a linear no-shuffle pass is
+       the floor for any system that stores its output).
+    2. *fact churn*: after-images of 'I'/'U' fact rows joined to the new
+       dim — churn-sized build side, broadcastable.
+    3. *dim churn*: surviving facts whose fk hits an 'I'/'U' dim key —
+       found by a broadcast LEFT SEMI against the new fact side (one
+       pushdown-friendly scan; with the fact table partitioned/bucketed
+       by ``join_col`` this prunes to the touched partitions) minus the
+       fact-churn keys, joined to the churn-sized new dim images. Dim
+       INSERTS resolving previously-dangling facts are exactly why this
+       must probe the fact table and not the view.
+
+    Deletes on either side are handled by (1) plus absence from the
+    after-image sets."""
+    touched_f = delta_fact.select(*fact_keys).distinct()
+    touched_d = delta_dim.select(join_col).distinct()
+    kept = view.join(touched_f, fact_keys, "left_anti").join(
+        touched_d, [join_col], "left_anti"
+    )
+
+    f1 = delta_fact.filter(F.col("_op").isin(OP_INSERT, OP_UPDATE)).select(
+        *new_fact.columns
+    )
+    add_fact = f1.join(new_dim, join_col, "inner")
+
+    live_d = (
+        delta_dim.filter(F.col("_op").isin(OP_INSERT, OP_UPDATE))
+        .select(join_col)
+        .distinct()
+    )
+    f0_affected = new_fact.join(live_d, [join_col], "left_semi").join(
+        touched_f, fact_keys, "left_anti"
+    )
+    d1 = new_dim.join(live_d, [join_col], "left_semi")
+    add_dim = f0_affected.join(d1, join_col, "inner")
+
+    return kept.unionByName(add_fact).unionByName(add_dim)

@@ -726,6 +726,86 @@ def ivm_orders_minmax_oracle_sql() -> str:
     )
 
 
+# dim-side changefeed fixture for join-view IVM: customers gain/lose rows
+# and churn an attribute between the "before" and "after" dim snapshots —
+# % 31 == 2 rows are absent BEFORE (so their AFTER arrival is a dim INSERT
+# that must resolve previously-dangling facts), % 29 == 5 rows are deleted
+# AFTER, and % 17 == 0 survivors get an acctbal bump (dim UPDATE)
+_DIM_FK_MOVE = (
+    "CASE WHEN o_orderkey % 37 = 1 THEN o_custkey + 1 ELSE o_custkey END"
+)
+CUST_BEFORE_SQL = (
+    "(SELECT c_custkey AS o_custkey, c_name, c_acctbal "
+    "FROM customer WHERE c_custkey % 31 <> 2) cb"
+)
+CUST_AFTER_SQL = (
+    "(SELECT c_custkey AS o_custkey, c_name, "
+    "CASE WHEN c_custkey % 17 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END "
+    "AS c_acctbal FROM customer WHERE c_custkey % 29 <> 5) ca"
+)
+
+
+def ivm_join_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view IVM (operators/ivm.py maintain_join_view): the enriched
+    orders⋈customer view materialized over the BEFORE snapshots is brought
+    current from compact changefeeds on BOTH sides — fact churn (the
+    flagship before→after orders perturbation plus an fk re-point on
+    o_orderkey % 37 == 1), dim updates (acctbal bump), dim deletes (orders
+    pointing at them drop out), and dim inserts that resolve previously-
+    dangling facts. The oracle recomputes the join over the after
+    snapshots; both must hash-match exactly."""
+    from checkatron_spark.operators.ivm import join_view, maintain_join_view
+    from checkatron_spark.operators.patch import compact_delta
+
+    fact_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    f_b = orders_before(spark, sf_dir).select(*fact_cols)
+    f_a = orders_after(spark, sf_dir).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 37 == 1, F.col("o_custkey") + 1)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_totalprice",
+    )
+
+    cust = load_table(spark, "customer", sf_dir)
+    d_b = cust.filter(F.col("c_custkey") % 31 != 2).select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
+    )
+    d_a = cust.filter(F.col("c_custkey") % 29 != 5).select(
+        F.col("c_custkey").alias("o_custkey"),
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 17 == 0, F.col("c_acctbal") + F.lit(10.0)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+
+    view = join_view(f_b, d_b, "o_custkey")
+    delta_f = compact_delta(
+        f_b, f_a, ["o_orderkey"], ["o_custkey", "o_totalprice"]
+    )
+    delta_d = compact_delta(
+        d_b, d_a, ["o_custkey"], ["c_name", "c_acctbal"]
+    )
+    out = maintain_join_view(
+        view, delta_f, delta_d, f_a, d_a, ["o_orderkey"], "o_custkey"
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal"
+    )
+
+
+def ivm_join_enriched_oracle_sql() -> str:
+    return (
+        "SELECT o.o_orderkey, ca.o_custkey, o.o_totalprice, "
+        "ca.c_name, ca.c_acctbal "
+        f"FROM (SELECT o_orderkey, {_DIM_FK_MOVE} AS o_custkey, "
+        f"o_totalprice FROM {AFTER_SRC_SQL}) o "
+        f"JOIN {CUST_AFTER_SQL} ON o.o_custkey = ca.o_custkey"
+    )
+
+
 def zorder_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout audit (functions/layout.py): Morton-interleave
     (o_custkey, order-date-days) into a 32-bit key, group by its high bits

@@ -197,3 +197,131 @@ def test_streaming_view_maintenance_matches_recompute(spark):
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# join-view maintenance: maintained fact⋈dim view equals the join recomputed
+# over the new snapshots — fk moves, dangling facts, dim inserts resolving
+# danglers, deletes cascading, and churn on both sides at once
+# ---------------------------------------------------------------------------
+
+def _join_fixture(spark, fact_rows, dim_rows):
+    fact = spark.createDataFrame(fact_rows, "fid int, dk int, fv int")
+    dim = spark.createDataFrame(dim_rows, "dk int, dv string")
+    return fact, dim
+
+
+def _maintain(spark, f_b, f_a, d_b, d_a):
+    from checkatron_spark.operators.ivm import join_view, maintain_join_view
+
+    view = join_view(f_b, d_b, "dk")
+    delta_f = compact_delta(f_b, f_a, ["fid"], ["dk", "fv"])
+    delta_d = compact_delta(d_b, d_a, ["dk"], ["dv"])
+    got = maintain_join_view(
+        view, delta_f, delta_d, f_a, d_a, ["fid"], "dk"
+    )
+    want = join_view(f_a, d_a, "dk")
+    assert got.columns == want.columns
+    return (
+        sorted(map(tuple, got.collect())),
+        sorted(map(tuple, want.collect())),
+    )
+
+
+def test_join_view_fact_churn_only(spark):
+    f_b, d = _join_fixture(
+        spark,
+        [(1, 10, 100), (2, 20, 200), (3, 10, 300)],
+        [(10, "a"), (20, "b"), (30, "c")],
+    )
+    # insert fid 4 (matching), update fid 1's value, re-point fid 3's fk to
+    # a different dim, delete fid 2
+    f_a = spark.createDataFrame(
+        [(1, 10, 101), (3, 30, 300), (4, 20, 400)], "fid int, dk int, fv int"
+    )
+    got, want = _maintain(spark, f_b, f_a, d, d)
+    assert got == want
+
+
+def test_join_view_dim_insert_resolves_dangling_fact(spark):
+    # fid 2 points at dk 99 which does not exist BEFORE (dangling, not in
+    # the view); the dim insert of 99 must surface it — the case that
+    # forces probing the fact table, not the view
+    f, d_b = _join_fixture(
+        spark,
+        [(1, 10, 100), (2, 99, 200)],
+        [(10, "a")],
+    )
+    d_a = spark.createDataFrame(
+        [(10, "a"), (99, "new")], "dk int, dv string"
+    )
+    got, want = _maintain(spark, f, f, d_b, d_a)
+    assert got == want
+    # join col is first in join_view's output: rows are (dk, fid, fv, dv)
+    assert any(r[1] == 2 for r in got)  # the dangler is now matched
+
+
+def test_join_view_dim_delete_cascades(spark):
+    f, d_b = _join_fixture(
+        spark,
+        [(1, 10, 100), (2, 20, 200)],
+        [(10, "a"), (20, "b")],
+    )
+    d_a = spark.createDataFrame([(10, "a")], "dk int, dv string")
+    got, want = _maintain(spark, f, f, d_b, d_a)
+    assert got == want
+    assert not any(r[0] == 20 for r in got)  # rows are (dk, fid, fv, dv)
+
+
+def test_join_view_dim_update_rewrites_matches(spark):
+    # one dim attribute changes; every fact pointing at it must carry the
+    # new image, facts pointing elsewhere must be byte-identical
+    f, d_b = _join_fixture(
+        spark,
+        [(1, 10, 100), (2, 10, 200), (3, 20, 300)],
+        [(10, "old"), (20, "keep")],
+    )
+    d_a = spark.createDataFrame(
+        [(10, "NEW"), (20, "keep")], "dk int, dv string"
+    )
+    got, want = _maintain(spark, f, f, d_b, d_a)
+    assert got == want
+    assert sum(1 for r in got if r[3] == "NEW") == 2
+
+
+def test_join_view_null_fk_stays_dropped(spark):
+    # NULL fk facts never join (inner semantics) — before, after, and
+    # through churn on the same rows
+    f_b = spark.createDataFrame(
+        [(1, None, 100), (2, 10, 200)], "fid int, dk int, fv int"
+    )
+    f_a = spark.createDataFrame(
+        [(1, 10, 100), (2, None, 200)], "fid int, dk int, fv int"
+    )
+    d = spark.createDataFrame([(10, "a")], "dk int, dv string")
+    got, want = _maintain(spark, f_b, f_a, d, d)
+    assert got == want
+    assert [r[1] for r in got] == [1]  # rows are (dk, fid, fv, dv)
+
+
+def test_join_view_property_random_churn_both_sides(spark):
+    """Randomized upserts on both sides simultaneously: maintained ==
+    recomputed for every seed (deterministic arithmetic churn)."""
+    for seed in (1, 2, 3):
+        fact_b = [
+            (i, (i * 3 + seed) % 8, i * 10) for i in range(30)
+        ]
+        dim_b = [(k, f"v{k}") for k in range(0, 8, 1) if k % 3 != seed % 3]
+        fact_a = [
+            (i, (i * 5 + seed) % 10, i * 10 + (i % 4))
+            for i in range(2, 34)  # drops fids 0-1, inserts 30-33
+        ]
+        dim_a = [
+            (k, f"v{k}{'x' if k % 2 == 0 else ''}")
+            for k in range(0, 10)
+            if k % 4 != seed % 4
+        ]
+        f_b, d_b = _join_fixture(spark, fact_b, dim_b)
+        f_a, d_a = _join_fixture(spark, fact_a, dim_a)
+        got, want = _maintain(spark, f_b, f_a, d_b, d_a)
+        assert got == want, f"seed {seed}"
