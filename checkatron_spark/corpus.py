@@ -1254,6 +1254,117 @@ FROM (SELECT doc_id FROM documents JOIN u USING (doc_id) WHERE u >= 0.1) d
 LEFT JOIN scored s USING (doc_id)
 """
 
+def pmi_collocations(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-level collocation mining by pointwise mutual information:
+    PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ) over whitespace bigrams — the
+    classic "new york"/"et al" detector every tokenizer-vocabulary and
+    phrase-merge pipeline runs before training. All probabilities are
+    ratios of EXACT integer counts; the single ``ln`` is applied to one
+    double ratio and rounded to 6 places (the tfidf_top_terms precedent
+    for absorbing last-bit libm differences across engines).
+
+    Plan: two corpus passes (unigram and bigram explode→count, both
+    map-side combined), then the min_count-filtered pair table — tiny
+    relative to the corpus, frequency filters are Zipf guillotines — joins
+    the unigram counts twice and broadcast-crosses the two 1-row totals.
+    At 100 TB nothing here funnels: counts shuffle by token value, and the
+    expensive joins happen only above the frequency floor.
+
+    Returns (bigram, n_pair, n_left, n_right, pmi), one row per bigram
+    with n_pair >= min_count.
+    """
+    from checkatron_spark.session import scratch_persist
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.split(F.trim(t), r"\s+")
+    w = docs.select(words.alias("_w"))
+    uni = scratch_persist(
+        w.select(F.explode("_w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    )
+    pairs = scratch_persist(
+        w.select(F.explode(_word_ngrams("_w", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    # totals are computed over the UNfiltered tables: PMI's denominators
+    # are corpus probabilities, not surviving-pair probabilities
+    n_uni = uni.agg(F.sum("n_tok").cast("bigint").alias("_n_uni"))
+    n_bi = pairs.agg(F.sum("n_pair").cast("bigint").alias("_n_bi"))
+
+    parts = F.split(F.col("bigram"), " ")
+    u1 = uni.select(
+        F.col("tok").alias("_t1"), F.col("n_tok").alias("n_left")
+    )
+    u2 = uni.select(
+        F.col("tok").alias("_t2"), F.col("n_tok").alias("n_right")
+    )
+    joined = (
+        pairs.filter(F.col("n_pair") >= min_count)
+        .withColumn("_t1", parts.getItem(0))
+        .withColumn("_t2", parts.getItem(1))
+        .join(u1, "_t1")
+        .join(u2, "_t2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n_pair") * d("_n_uni") * d("_n_uni")
+    den = d("n_left") * d("n_right") * d("_n_bi")
+    return joined.select(
+        "bigram",
+        "n_pair",
+        "n_left",
+        "n_right",
+        F.round(F.log(num / den), 6).alias("pmi"),
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_collocations(load_table(spark, "documents", sf_dir))
+
+
+PMI_COLLOCATIONS_SQL = r"""
+WITH w AS (
+    SELECT string_split_regex(trim(coalesce(text, '')), '\s+') AS w
+    FROM documents
+),
+uni AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok
+    FROM (SELECT unnest(w) AS tok FROM w) GROUP BY tok
+),
+pairs AS (
+    SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM (
+        SELECT unnest(
+            CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                 ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+            END) AS bg
+        FROM w
+    ) GROUP BY bg
+),
+nuni AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_uni FROM uni),
+nbi AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bi FROM pairs)
+SELECT p.bg AS bigram, p.n_pair,
+       u1.n_tok AS n_left, u2.n_tok AS n_right,
+       round(ln((CAST(p.n_pair AS DOUBLE) * CAST(n_uni AS DOUBLE)
+                 * CAST(n_uni AS DOUBLE))
+                / (CAST(u1.n_tok AS DOUBLE) * CAST(u2.n_tok AS DOUBLE)
+                   * CAST(n_bi AS DOUBLE))), 6) AS pmi
+FROM pairs p
+JOIN uni u1 ON u1.tok = string_split(p.bg, ' ')[1]
+JOIN uni u2 ON u2.tok = string_split(p.bg, ' ')[2]
+CROSS JOIN nuni CROSS JOIN nbi
+WHERE p.n_pair >= 5
+"""
+
+
 QUERIES = {
     "dup_ngram_profile": q_dup_ngram_profile,
     "chunk_documents": q_chunk_documents,
@@ -1268,6 +1379,7 @@ QUERIES = {
     "dedup_spans_keep_first": q_dedup_spans_keep_first,
     "token_heavy_hitters_cms": q_token_heavy_hitters,
     "lm_bigram_coverage": q_lm_bigram_coverage,
+    "pmi_collocations": q_pmi_collocations,
 }
 
 
@@ -1286,4 +1398,5 @@ def oracles() -> dict[str, str]:
         "dedup_spans_keep_first": DEDUP_SPANS_SQL,
         "token_heavy_hitters_cms": TOKEN_CMS_SQL,
         "lm_bigram_coverage": LM_BIGRAM_SQL,
+        "pmi_collocations": PMI_COLLOCATIONS_SQL,
     }

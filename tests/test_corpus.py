@@ -259,3 +259,45 @@ def test_lm_bigram_coverage_orders_text_by_reference_fit(spark):
     assert rows[4].n_bigrams == 0 and rows[4].known_frac == 0.0
     assert rows[5].n_bigrams == 0 and rows[5].mean_band == 0.0
     assert len(rows) == 5  # every target doc reports
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations
+# ---------------------------------------------------------------------------
+
+def test_pmi_collocations_hand_computed(spark):
+    """3 docs, one dominant collocation: counts and the PMI value match the
+    by-hand computation ln(n_ab * N_uni^2 / (n_a * n_b * N_bi))."""
+    import math
+
+    from checkatron_spark.corpus import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york"), (2, "new york"), (3, "york new")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.bigram: r
+        for r in pmi_collocations(docs, min_count=2).collect()
+    }
+    # unigrams: new=4, york=4, N_uni=8; bigrams: "new york"x3 (doc1 has 2,
+    # doc2 has 1), "york new"x2 (doc1 bridge + doc3), N_bi=5
+    assert out["new york"].n_pair == 3
+    assert out["new york"].n_left == 4 and out["new york"].n_right == 4
+    want = round(math.log((3 * 8.0 * 8.0) / (4 * 4.0 * 5.0)), 6)
+    assert abs(out["new york"].pmi - want) < 1e-9
+    assert out["york new"].n_pair == 2
+
+
+def test_pmi_collocations_min_count_floor_and_degenerate_docs(spark):
+    """NULL text, empty text, and one-word docs produce no bigrams and do
+    not crash; pairs below min_count are excluded."""
+    from checkatron_spark.corpus import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "solo"), (4, "a b"), (5, "a b"), (6, "c d")],
+        "doc_id bigint, text string",
+    )
+    rows = pmi_collocations(docs, min_count=2).collect()
+    assert [r.bigram for r in rows] == ["a b"]
+    assert rows[0].n_pair == 2
