@@ -875,6 +875,102 @@ def stream_patch_apply_sql() -> str:
     return W.apply_delta_roundtrip_oracle_sql()
 
 
+def q_stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming JOIN-view maintenance, composed from parts that already
+    exist: each fact-changefeed micro-batch is enriched against the static
+    customer dim in-flight (stream-static broadcast join), which turns a
+    FACT delta into a VIEW delta — an 'I'/'U' whose new fk misses the dim
+    becomes a 'D' (the row leaves the inner-join view); a previously-
+    dangling fact becomes an upsert the store has never seen (apply_delta
+    inserts it) — and the resulting view-delta stream is folded by the
+    crash-recoverable LSM store (apply_delta_stream). Dim churn is the
+    batch operator's job (ivm_join_enriched / maintain_join_view); the
+    streaming variant handles the high-rate side, the standard production
+    split. Final store must equal the recomputed after⋈dim join
+    bit-for-bit.
+
+    The dim is restricted (c_custkey % 41 <> 3) and the feed re-points fks
+    (o_orderkey % 37 == 1 → custkey+1) so every conversion path — match,
+    dangle, re-point onto a hole, re-point out of one — actually fires at
+    every SF."""
+    import shutil
+    import tempfile
+
+    from checkatron_spark import workloads as W
+    from checkatron_spark.operators.ivm import join_view
+    from checkatron_spark.operators.patch import OP_DELETE, compact_delta
+    from checkatron_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="stream_ivmjoin_")
+    try:
+        fact_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+        f_b = W.orders_before(spark, sf_dir).select(*fact_cols)
+        f_a = W.orders_after(spark, sf_dir).select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 37 == 1, F.col("o_custkey") + 1)
+            .otherwise(F.col("o_custkey"))
+            .alias("o_custkey"),
+            "o_totalprice",
+        )
+        dim = (
+            load_table(spark, "customer", sf_dir)
+            .filter(F.col("c_custkey") % 41 != 3)
+            .select(
+                F.col("c_custkey").alias("o_custkey"),
+                "c_name",
+                "c_acctbal",
+            )
+        )
+        view_cols = ["o_custkey", "o_totalprice", "c_name", "c_acctbal"]
+
+        delta = compact_delta(
+            f_b, f_a, ["o_orderkey"], ["o_custkey", "o_totalprice"]
+        )
+        feed = _cached_feed(spark, "ivmjoin", sf_dir, delta)
+        sdf = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        hit = dim.withColumn("_dim_hit", F.lit(True))
+        enriched = sdf.join(F.broadcast(hit), "o_custkey", "left").select(
+            F.when(F.col("_op") == OP_DELETE, F.lit(OP_DELETE))
+            .when(F.col("_dim_hit").isNull(), F.lit(OP_DELETE))
+            .otherwise(F.col("_op"))
+            .alias("_op"),
+            "o_orderkey",
+            *view_cols,
+        )
+        base_view = join_view(f_b, dim, "o_custkey").select(
+            "o_orderkey", *view_cols
+        )
+        return apply_delta_stream(
+            enriched, base_view, ["o_orderkey"], view_cols,
+            state_dir=f"{work}/state",
+        )
+    except BaseException:
+        shutil.rmtree(work, ignore_errors=True)
+        raise
+
+
+def stream_ivm_join_sql() -> str:
+    from checkatron_spark import workloads as W
+
+    fk_move = (
+        "CASE WHEN o_orderkey % 37 = 1 THEN o_custkey + 1 "
+        "ELSE o_custkey END"
+    )
+    return (
+        "SELECT o.o_orderkey, c.o_custkey, o.o_totalprice, "
+        "c.c_name, c.c_acctbal "
+        f"FROM (SELECT o_orderkey, {fk_move} AS o_custkey, o_totalprice "
+        f"FROM {W.AFTER_SRC_SQL}) o "
+        "JOIN (SELECT c_custkey AS o_custkey, c_name, c_acctbal "
+        "FROM customer WHERE c_custkey % 41 <> 3) c "
+        "ON o.o_custkey = c.o_custkey"
+    )
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the documents fixture (schema from a
     batch peek, like read_events_stream)."""
@@ -1063,6 +1159,7 @@ QUERIES = {
     "stream_dedup": _q_stream_dedup_drained,
     "stream_patch_apply": q_stream_patch_apply,
     "stream_ivm_totals": q_stream_ivm_totals,
+    "stream_ivm_join": q_stream_ivm_join,
     "stream_corpus_curation": q_stream_corpus_curation,
     "stream_admission_gate": q_stream_admission_gate,
     "stream_bloom_gate": q_stream_bloom_gate,
@@ -1079,6 +1176,7 @@ def oracles() -> dict[str, str]:
         "stream_dedup": STREAM_DEDUP_SQL,
         "stream_patch_apply": stream_patch_apply_sql(),
         "stream_ivm_totals": stream_ivm_totals_sql(),
+        "stream_ivm_join": stream_ivm_join_sql(),
         "stream_corpus_curation": stream_corpus_curation_sql(),
         "stream_admission_gate": stream_admission_gate_sql(),
         "stream_bloom_gate": stream_bloom_gate_sql(),

@@ -163,6 +163,10 @@ def test_no_cartesian_in_any_query(spark):
         # scalar shape: the 1-row corpus token total broadcast against the
         # n_shards-row manifest for the per-mille share
         "shard_manifest",
+        # scalar shape twice over: the 1-row unigram and bigram totals
+        # broadcast against the min_count-filtered pair table (the data
+        # passes are hash aggregations; only totals ride the BNLJ)
+        "pmi_collocations",
     }
     for name, q in entrymod.queries().items():
         if name.startswith("stream_"):

@@ -299,3 +299,54 @@ def test_dedup_state_survives_checkpoint_restart(spark, tmp_path):
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     # state restored -> 2 suppressed, only 3 new; state lost -> [1, 2, 2, 3]
     assert got == [1, 2, 3]
+
+
+def test_stream_ivm_join_matches_batch_recompute(spark):
+    """Streaming join-view maintenance: the drained LSM store equals the
+    batch-recomputed after⋈dim join, including every fk conversion path —
+    re-point onto a dim hole (row leaves the view), dim hit (row upserts),
+    and plain delete."""
+    from checkatron_spark import workloads as W
+    from checkatron_spark.sources.tables import load_table
+    from checkatron_spark.streaming import q_stream_ivm_join
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, q_stream_ivm_join(spark, sf).collect()))
+
+    f_a = W.orders_after(spark, sf).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 37 == 1, F.col("o_custkey") + 1)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_totalprice",
+    )
+    dim = (
+        load_table(spark, "customer", sf)
+        .filter(F.col("c_custkey") % 41 != 3)
+        .select(
+            F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            f_a.join(dim, "o_custkey")
+            .select(
+                "o_orderkey", "o_custkey", "o_totalprice",
+                "c_name", "c_acctbal",
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+    # the dim holes are real and really drop rows: every order whose
+    # after-image fk points at a % 41 == 3 customer must be absent from the
+    # maintained view (rows are (o_orderkey, o_custkey, ...))
+    hole_orders = [
+        r.o_orderkey
+        for r in f_a.filter((F.col("o_custkey") % 41) == 3).collect()
+    ]
+    assert hole_orders
+    kept_orderkeys = {r[0] for r in got}
+    assert not (set(hole_orders) & kept_orderkeys)
+    assert len(got) < f_a.count()
