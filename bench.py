@@ -100,6 +100,11 @@ HEADLINE = [
     # reuse (monthly from daily partials, one raw scan)
     "assign_doc_ids",
     "rollup_from_partials",
+    # round-8: join-view IVM (batch delta rule + the streaming LSM-store
+    # composition) and PMI collocation mining (two corpus count passes)
+    "ivm_join_enriched",
+    "stream_ivm_join",
+    "pmi_collocations",
 ]
 
 

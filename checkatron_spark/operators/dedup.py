@@ -45,6 +45,7 @@ __all__ = [
     "neardup_simhash",
     "connected_components",
     "dedup_corpus",
+    "reelect_representatives",
     "split_by_cluster",
     "substring_dup_pairs",
 ]
@@ -1000,6 +1001,34 @@ def dedup_corpus(
     )
     keep = labels.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def reelect_representatives(
+    labels: DataFrame,
+    survivor_ids: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Promote new cluster representatives after members leave (takedown,
+    license retraction, quality re-gate) WITHOUT re-running the pair job:
+    the near-dup graph does not change because a member was deleted, so
+    re-election reads only the existing component ``labels`` (id,
+    cluster_id) and the surviving id set. Keep rule: min surviving id per
+    cluster — identical to dedup_corpus's min-id rule restricted to
+    survivors, so a cluster whose original representative survives keeps
+    it, a cluster whose representative left promotes the next-smallest
+    member, and a fully-removed cluster emits nothing.
+
+    Cost ∝ |labels| (a semi join + a map-side-combined min per cluster) —
+    never the corpus, never the pairs. Returns the kept id set
+    (``id_col`` only), ready for a semi join against the payload table."""
+    return (
+        labels.join(survivor_ids.select(id_col), id_col, "left_semi")
+        .groupBy(cluster_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
 
 
 def dedup_corpus_staged(

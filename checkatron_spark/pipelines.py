@@ -1467,6 +1467,136 @@ WHERE lab.node = lab.cluster_id
 """
 
 
+# takedown request set shared by the two right-to-be-forgotten queries:
+# two source-level requests (a whole feed retracts) plus an explicit
+# per-document list (individual takedown notices)
+_TAKEDOWN_PRED_SQL = (
+    "(source IN ('src7', 'src13') OR doc_id % 101 = 3)"
+)
+
+
+def _takedown_pred():
+    return F.col("source").isin("src7", "src13") | (
+        F.col("doc_id") % 101 == 3
+    )
+
+
+def q_takedown_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: a takedown request set
+    (two whole sources + an explicit doc list) is removed from the
+    documents table and PROPAGATED to the embeddings table through the
+    vec_id = doc_id linkage — the multi-table cascade every training-data
+    pipeline must run on legal notice, with the per-table audit row
+    (rows_before / rows_removed / rows_after) it must file afterwards.
+
+    Plan: the documents pass is a zero-join codegen aggregate (the
+    predicate rides the scan); the embeddings pass joins the removed-id
+    projection (id + flag only, never text) — churn-sized, broadcast. At
+    100 TB neither table is shuffled and nothing funnels."""
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    td = _takedown_pred()
+
+    doc_audit = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_before"),
+        F.sum(F.when(td, 1).otherwise(0)).cast("bigint").alias(
+            "rows_removed"
+        ),
+    ).select(F.lit("documents").alias("table_name"), "*")
+
+    removed_ids = docs.filter(td).select(
+        F.col("doc_id").alias("vec_id"), F.lit(1).alias("_hit")
+    )
+    emb_audit = (
+        emb.select("vec_id")
+        .join(F.broadcast(removed_ids), "vec_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("rows_before"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("rows_removed"),
+        )
+        .select(F.lit("embeddings").alias("table_name"), "*")
+    )
+    return doc_audit.unionByName(emb_audit).select(
+        "table_name",
+        "rows_before",
+        "rows_removed",
+        (F.col("rows_before") - F.col("rows_removed"))
+        .cast("bigint")
+        .alias("rows_after"),
+    )
+
+
+TAKEDOWN_PROPAGATION_SQL = f"""
+WITH removed AS (
+    SELECT doc_id FROM documents WHERE {_TAKEDOWN_PRED_SQL}
+)
+SELECT 'documents' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS rows_before,
+       CAST(SUM(CASE WHEN {_TAKEDOWN_PRED_SQL} THEN 1 ELSE 0 END) AS BIGINT)
+           AS rows_removed,
+       CAST(COUNT(*) - SUM(CASE WHEN {_TAKEDOWN_PRED_SQL} THEN 1 ELSE 0 END)
+            AS BIGINT) AS rows_after
+FROM documents
+UNION ALL
+SELECT 'embeddings' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS rows_before,
+       CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS rows_removed,
+       CAST(COUNT(*) - SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS rows_after
+FROM embeddings e LEFT JOIN removed r ON e.vec_id = r.doc_id
+"""
+
+
+def q_dedup_reelect_after_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative re-election after takedown: when a takedown removes
+    the KEPT representative of a near-dup cluster, the next-smallest
+    surviving member must be promoted — WITHOUT re-running the pair job
+    (the expensive near-dup graph does not change because a member was
+    deleted; re-electing from the existing cluster labels is the
+    operational move at 100 TB). Cluster labels come from the full-corpus
+    component graph (taken-down docs still act as bridges — two survivors
+    transitively linked through a removed copy stay one cluster, so the
+    keep-list stays at most one per template family); the keep rule is
+    min surviving doc_id per cluster; clusters with every member removed
+    emit nothing. Output: the surviving corpus rows that remain (or
+    become) representatives."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.neardup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.8)
+    labels = D.connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    survivors = docs.filter(~_takedown_pred())
+    keep = D.reelect_representatives(labels, survivors.select("doc_id"))
+    return survivors.join(keep, "doc_id", "left_semi")
+
+
+DEDUP_REELECT_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({NEARDUP_JACCARD_SQL}) t),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+    SELECT doc_id AS node, doc_id AS r FROM documents
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+lab AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+surv AS (SELECT * FROM documents WHERE NOT {_TAKEDOWN_PRED_SQL}),
+keep AS (
+    SELECT lab.cluster_id, MIN(lab.node) AS doc_id
+    FROM lab JOIN surv ON lab.node = surv.doc_id
+    GROUP BY lab.cluster_id
+)
+SELECT s.* FROM surv s JOIN keep k ON s.doc_id = k.doc_id
+"""
+
+
 def q_dedup_corpus_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged near-dup removal (operators/dedup.py dedup_corpus_staged,
     round 6): exact-duplicate collapse by content hash FIRST, then the
@@ -2628,6 +2758,8 @@ QUERIES = {
     "neardup_degree_histogram": q_neardup_degree_histogram,
     "cross_source_overlap": q_cross_source_overlap,
     "dedup_corpus_e2e": q_dedup_corpus_e2e,
+    "takedown_propagation": q_takedown_propagation,
+    "dedup_reelect_after_takedown": q_dedup_reelect_after_takedown,
     "dedup_corpus_staged": q_dedup_corpus_staged,
     "substring_dup_pairs": q_substring_dup_pairs,
     "decontaminate_semantic": q_decontaminate_semantic,
@@ -2695,6 +2827,8 @@ def oracles() -> dict[str, str]:
         "neardup_degree_histogram": NEARDUP_DEGREE_HIST_SQL,
         "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
         "dedup_corpus_e2e": DEDUP_CORPUS_E2E_SQL,
+        "takedown_propagation": TAKEDOWN_PROPAGATION_SQL,
+        "dedup_reelect_after_takedown": DEDUP_REELECT_SQL,
         # same oracle by design: the staged variant's output is provably
         # identical (exact-equal docs share shingle sets, so collapsing
         # them quotients the same components; min-of-group-mins == global

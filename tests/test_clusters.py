@@ -91,3 +91,61 @@ def test_unconverged_at_max_iter_raises(spark):
     )
     with pytest.raises(RuntimeError, match="still changing"):
         connected_components(nodes, pairs, max_iter=2)
+
+
+# ---------------------------------------------------------------------------
+# reelect_representatives: keep-list re-election after takedown
+# ---------------------------------------------------------------------------
+
+def test_reelect_promotes_next_surviving_member(spark):
+    from checkatron_spark.operators.dedup import reelect_representatives
+
+    # cluster {1,2,3} rep 1; cluster {7} rep 7; cluster {8,9} rep 8
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 8), (9, 8)],
+        "doc_id int, cluster_id int",
+    )
+    # takedown removes 1 (a rep) and 7 (a whole singleton cluster)
+    survivors = spark.createDataFrame(
+        [(2,), (3,), (8,), (9,)], "doc_id int"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in reelect_representatives(labels, survivors).collect()
+    )
+    # 2 promoted over 1; 8 keeps its seat; cluster {7} vanishes
+    assert kept == [2, 8]
+
+
+def test_reelect_bridge_member_removal_keeps_one_rep(spark):
+    """A removed doc that BRIDGED two survivors does not split the
+    cluster: labels are from the full graph, so the two survivors still
+    share a cluster and only one is kept."""
+    from checkatron_spark.operators.dedup import reelect_representatives
+
+    # full-graph cluster {4,5,6} where 5 is the A~5~B bridge; takedown 5
+    labels = spark.createDataFrame(
+        [(4, 4), (5, 4), (6, 4)], "doc_id int, cluster_id int"
+    )
+    survivors = spark.createDataFrame([(4,), (6,)], "doc_id int")
+    kept = [
+        r.doc_id
+        for r in reelect_representatives(labels, survivors).collect()
+    ]
+    assert kept == [4]
+
+
+def test_reelect_identity_when_nothing_removed(spark):
+    """With every member surviving, re-election returns exactly the
+    original min-id keep list (dedup_corpus's rule)."""
+    from checkatron_spark.operators.dedup import reelect_representatives
+
+    labels = spark.createDataFrame(
+        [(3, 3), (4, 3), (10, 10)], "doc_id int, cluster_id int"
+    )
+    survivors = labels.select("doc_id")
+    kept = sorted(
+        r.doc_id
+        for r in reelect_representatives(labels, survivors).collect()
+    )
+    assert kept == [3, 10]

@@ -64,6 +64,8 @@ HEADLINERS = [
     ("dedup_corpus_staged", "staged dedup (round 6): md5 exact-collapse groupBy + semi-join feeding the pair pipeline over representatives only"),
     ("assign_doc_ids", "global ordinals (round 7): range-bucketed row_number — window PARTITIONED BY sampled bucket, offsets as a map literal; no single-partition window"),
     ("rollup_from_partials", "rollup reuse (round 7): monthly derives from daily partials — two chained hash aggregates, one raw scan"),
+    ("ivm_join_enriched", "join-view IVM (round 8): broadcast anti joins keep untouched view rows; churn-sized delta joins; semi-pruned fact probe for dim churn"),
+    ("pmi_collocations", "PMI collocations (round 8): two map-combined count passes; min_count-filtered pairs join unigrams; 1-row totals broadcast"),
 ]
 
 
