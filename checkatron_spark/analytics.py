@@ -721,8 +721,106 @@ def price_quantiles_by_priority_sql() -> str:
     )
 
 
+# $500 histogram bins: TPC-H order totals top out near $600k, so the
+# merged histogram is bounded (~1200 bins) BY CONSTRUCTION at any SF
+_QH_BIN_CENTS = 50_000
+
+
+def q_price_quantiles_from_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantiles — the sketch algebra exact percentiles lack:
+    per-day value histograms (the materialized partial a pipeline stores
+    next to its daily rollups) merge by plain count addition into the
+    global histogram, and quantiles read off the merged cumulative walk.
+    Contrast with ``percentile``: exact but not mergeable (needs the raw
+    column); the binned quantile is deterministic, mergeable, and exact AT
+    BIN RESOLUTION — quantile(q) = the smallest bin whose running count
+    reaches ceil(q*N), the quantile_disc rule applied to bin ids. The
+    oracle computes the same binned quantile straight from the raw rows,
+    so the grade pins merge == direct.
+
+    Plan: two chained map-side-combined aggregates (day×bin, then bin),
+    then ONE row carries the sorted (bin, n) array (bounded ~1200 structs)
+    and an O(bins) fold extracts each requested q — no global window, no
+    driver collect. At 100 TB the raw scan builds the daily layer once;
+    every later quantile request costs O(days × bins)."""
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    binned = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        F.col("o_orderdate").alias("_day"),
+        F.floor(cents.cast("double") / F.lit(float(_QH_BIN_CENTS)))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    partials = binned.groupBy("_day", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    merged = partials.groupBy("bin").agg(F.sum("n").alias("n"))
+    hist = merged.agg(
+        F.sort_array(F.collect_list(F.struct("bin", "n"))).alias("_h"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    qs = hist.select(
+        F.explode(
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+        ).alias("q"),
+        "_h",
+        "n_total",
+    )
+    target = F.ceil(F.col("q") * F.col("n_total")).cast("bigint")
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("cum"),
+        F.lit(-1).cast("bigint").alias("bin"),
+    )
+
+    def _walk(acc, x):
+        cum = acc["cum"] + x["n"]
+        return F.when(acc["bin"] >= 0, acc).otherwise(
+            F.when(
+                cum >= target,
+                F.struct(cum.alias("cum"), x["bin"].alias("bin")),
+            ).otherwise(
+                F.struct(cum.alias("cum"), F.lit(-1).cast("bigint").alias("bin"))
+            )
+        )
+
+    found = F.aggregate(F.col("_h"), init, _walk)
+    return qs.select(
+        "q",
+        found["bin"].alias("bin"),
+        (found["bin"].cast("double") * F.lit(_QH_BIN_CENTS / 100.0)).alias(
+            "bin_lo"
+        ),
+        found["cum"].alias("n_le"),
+        "n_total",
+    )
+
+
+def price_quantiles_from_partials_sql() -> str:
+    b = _QH_BIN_CENTS
+    return f"""
+WITH bins AS (
+    SELECT CAST(floor(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                      / {float(b)}) AS BIGINT) AS bin
+    FROM orders WHERE o_totalprice IS NOT NULL
+),
+hist AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM bins GROUP BY bin),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM hist),
+cum AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS n_le FROM hist),
+qs AS (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q)
+SELECT qs.q AS q, MIN(c.bin) AS bin,
+       CAST(MIN(c.bin) AS DOUBLE) * {b / 100.0} AS bin_lo,
+       CAST(MIN(c.n_le) AS BIGINT) AS n_le, t.n_total
+FROM qs CROSS JOIN tot t
+JOIN cum c ON c.n_le >= CAST(ceil(qs.q * t.n_total) AS BIGINT)
+GROUP BY qs.q, t.n_total
+"""
+
+
 QUERIES = {
     "price_quantiles_by_priority": q_price_quantiles_by_priority,
+    "price_quantiles_from_partials": q_price_quantiles_from_partials,
     "q1_pricing_summary": q_pricing_summary,
     "q3_top_revenue_orders": q_top_revenue_orders,
     "q5_region_revenue": q_region_revenue,
@@ -749,6 +847,7 @@ QUERIES = {
 
 def oracles() -> dict[str, str]:
     return {
+        "price_quantiles_from_partials": price_quantiles_from_partials_sql(),
         "customers_semi_join": CUSTOMERS_SEMI_SQL,
         "customers_anti_join": CUSTOMERS_ANTI_SQL,
         "q6_forecast_revenue": FORECAST_REVENUE_SQL,
