@@ -96,6 +96,64 @@ def ann_bruteforce_topk(
     )
 
 
+def ann_blocked_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Filtered vector search: exact top-k cosine neighbors per query
+    restricted to candidates sharing the query's ``block_col`` value (label
+    / tenant / language / shard) — the attribute-constrained retrieval
+    every production vector store serves ("nearest within my collection").
+
+    The constraint is also the scale lever: the candidate set joins on
+    ``block_col`` EQUALITY (hash join, no broadcast nested loop), so
+    per-query work is |block|, not |corpus|, and the plan shuffles both
+    sides by block value — the metadata-blocked shape recommended at
+    similarity.py:119-124 for when broadcast probe-all stops fitting.
+    NULL block values match nothing (SQL equi-join semantics).
+    Deterministic tie-break: score desc, neighbor id asc. Returns
+    (query_id, neighbor_id, rank, cosine_sim)."""
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = queries.select(
+        F.col(block_col),
+        F.col(id_col).alias("query_id"),
+        dv.alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = vectors.select(
+        F.col(block_col),
+        F.col(id_col).alias("neighbor_id"),
+        dv.alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = (
+        c.join(q, block_col)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
 def _allpairs_cosine_numpy(
     vectors: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:

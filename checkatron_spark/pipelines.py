@@ -1794,6 +1794,17 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_bruteforce_topk(emb, queries, k=3)
 
 
+def q_ann_label_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search (operators/similarity.py ann_blocked_topk):
+    top-3 cosine neighbors per query AMONG CANDIDATES SHARING THE QUERY'S
+    LABEL — attribute-constrained retrieval on a label-equality hash join
+    instead of the broadcast probe-all, so per-query work is |block|, not
+    |corpus|."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ann_blocked_topk(emb, queries, block_col="label", k=3)
+
+
 _DOT = (
     "list_reduce(list_transform(range(1, len({a}) + 1), "
     "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
@@ -1814,6 +1825,25 @@ c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
 scored AS (
     SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
     FROM q JOIN c ON query_id <> neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+       round(cos, 6) AS cosine_sim
+FROM ranked WHERE rank <= 3
+"""
+
+
+ANN_LABEL_FILTERED_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, label, embedding AS qv FROM embeddings
+           WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, label, embedding AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+    FROM q JOIN c ON q.label = c.label AND query_id <> neighbor_id
 ),
 ranked AS (
     SELECT query_id, neighbor_id, cos,
@@ -2772,6 +2802,7 @@ QUERIES = {
     "neardup_simhash": q_neardup_simhash,
     "neardup_hybrid_semantic": q_neardup_hybrid,
     "ann_bruteforce_topk": q_ann_bruteforce,
+    "ann_label_filtered_topk": q_ann_label_filtered,
     "kmeans_domains": q_kmeans_domains,
     "embedding_audit": q_embedding_audit,
     "neardup_embedding_cosine": q_neardup_embedding,
@@ -2853,6 +2884,7 @@ def oracles() -> dict[str, str]:
         "ann_ivf_topk": ANN_BRUTEFORCE_SQL,
         "sketch_users_daily": SKETCH_USERS_SQL,
         "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
+        "ann_label_filtered_topk": ANN_LABEL_FILTERED_SQL,
         "kmeans_domains": _kmeans_sql(),
         "embedding_audit": EMBEDDING_AUDIT_SQL,
         "neardup_embedding_cosine": NEARDUP_EMBEDDING_SQL,

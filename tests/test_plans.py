@@ -132,6 +132,17 @@ def test_assign_doc_ids_window_is_bucket_partitioned(spark):
     assert "Join" not in plan
 
 
+def test_ann_label_filtered_joins_on_block_equality(spark):
+    """Filtered ANN's selling point vs the brute-force probe-all: the
+    label constraint compiles to an EQUI join (hash/sort-merge), never a
+    nested loop — per-query work is |block|, not |corpus|."""
+    df = entrymod.queries()["ann_label_filtered_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
 def test_no_cartesian_in_any_query(spark):
     """Every declared query must avoid CartesianProduct — the one-way door
     at scale. (BroadcastNestedLoop is tolerated only for the deliberately
