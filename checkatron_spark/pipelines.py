@@ -2435,6 +2435,115 @@ GROUP BY label, pos
 """
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift by label — the vector-space twin of drift_orders:
+    between two embedding snapshots (re-encoded corpus, new encoder
+    checkpoint), report the per-label L1 centroid shift in EXACT
+    arithmetic. Components quantize to a 1e-3 grid (bigint); the per-dim
+    centroid difference qs_a/n_a − qs_b/n_b rides the common denominator
+    n_a·n_b, so the L1 numerator Σ_d |qs_a[d]·n_b − qs_b[d]·n_a| is an
+    exact bigint and the single double division happens once per label.
+    A drifted encoder (here: +0.01 on every component of vec_id % 17 == 0
+    vectors, with vec_id % 29 == 5 rows absent from the before snapshot)
+    shows up as a nonzero shift; identical snapshots give exactly 0.
+
+    Overflow budget: |q| ≤ 1e4 (audit range gate), so each cross term is
+    ≤ n²·1e4 and the 64-dim sum stays inside int64 up to ~10⁶ vectors per
+    label — 100 TB-safe with any realistic label fan-out. Plan: two
+    posexplode→groupBy passes (shuffle by (label, dim), 64 rows per
+    vector) + bounded label-keyed joins; no windows, no collects."""
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    def qdims(df: DataFrame, shift) -> DataFrame:
+        qarr = F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(
+                (x.cast("double") + shift) * F.lit(1000.0) + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        return df.select("label", F.posexplode(qarr).alias("d", "qv"))
+
+    before = emb.filter(F.col("vec_id") % 29 != 5)
+    after = emb
+    a_shift = F.when(F.col("vec_id") % 17 == 0, F.lit(0.01)).otherwise(
+        F.lit(0.0)
+    )
+    sb = qdims(before, F.lit(0.0)).groupBy("label", "d").agg(
+        F.sum("qv").alias("_qs_b")
+    )
+    sa = qdims(after, a_shift).groupBy("label", "d").agg(
+        F.sum("qv").alias("_qs_a")
+    )
+    nb = before.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    na = after.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after")
+    )
+    num = F.sum(
+        F.abs(
+            F.col("_qs_a") * F.col("n_before")
+            - F.col("_qs_b") * F.col("n_after")
+        )
+    ).cast("bigint")
+    return (
+        sb.join(sa, ["label", "d"])
+        .join(nb, "label")
+        .join(na, "label")
+        .groupBy("label", "n_before", "n_after")
+        .agg(num.alias("shift_l1_num"))
+        .select(
+            "label",
+            "n_before",
+            "n_after",
+            "shift_l1_num",
+            (
+                F.col("shift_l1_num").cast("double")
+                / (
+                    F.col("n_before").cast("double")
+                    * F.col("n_after").cast("double")
+                    * F.lit(1000.0)
+                )
+            ).alias("shift_l1"),
+        )
+    )
+
+
+def _emb_qdims_sql(src: str, shift: str) -> str:
+    return (
+        f"SELECT label, "
+        f"unnest(range(1, len(embedding) + 1)) AS d, "
+        f"unnest(list_transform(embedding, v -> "
+        f"CAST(floor((CAST(v AS DOUBLE) + {shift}) * 1000.0 + 0.5) "
+        f"AS BIGINT))) AS qv FROM {src}"
+    )
+
+
+EMBEDDING_DRIFT_SQL = f"""
+WITH b AS (SELECT * FROM embeddings WHERE vec_id % 29 <> 5),
+a AS (SELECT *,
+             CASE WHEN vec_id % 17 = 0 THEN 0.01 ELSE 0.0 END AS _shift
+      FROM embeddings),
+bd AS ({_emb_qdims_sql('b', '0.0')}),
+ad AS ({_emb_qdims_sql('a', '_shift')}),
+sb AS (SELECT label, d, CAST(SUM(qv) AS BIGINT) AS qs_b FROM bd GROUP BY 1, 2),
+sa AS (SELECT label, d, CAST(SUM(qv) AS BIGINT) AS qs_a FROM ad GROUP BY 1, 2),
+nb AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_before FROM b GROUP BY 1),
+na AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_after FROM a GROUP BY 1)
+SELECT sb.label, nb.n_before, na.n_after,
+       CAST(SUM(ABS(sa.qs_a * nb.n_before - sb.qs_b * na.n_after))
+            AS BIGINT) AS shift_l1_num,
+       CAST(SUM(ABS(sa.qs_a * nb.n_before - sb.qs_b * na.n_after))
+            AS DOUBLE)
+       / (CAST(nb.n_before AS DOUBLE) * CAST(na.n_after AS DOUBLE) * 1000.0)
+           AS shift_l1
+FROM sb JOIN sa ON sb.label = sa.label AND sb.d = sa.d
+JOIN nb ON sb.label = nb.label
+JOIN na ON sb.label = na.label
+GROUP BY sb.label, nb.n_before, na.n_after
+"""
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of embeddings (the storage/serving
     compression step of an embedding pipeline): per-vector scale =
@@ -2805,6 +2914,7 @@ QUERIES = {
     "ann_label_filtered_topk": q_ann_label_filtered,
     "kmeans_domains": q_kmeans_domains,
     "embedding_audit": q_embedding_audit,
+    "embedding_drift": q_embedding_drift,
     "neardup_embedding_cosine": q_neardup_embedding,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
@@ -2887,6 +2997,7 @@ def oracles() -> dict[str, str]:
         "ann_label_filtered_topk": ANN_LABEL_FILTERED_SQL,
         "kmeans_domains": _kmeans_sql(),
         "embedding_audit": EMBEDDING_AUDIT_SQL,
+        "embedding_drift": EMBEDDING_DRIFT_SQL,
         "neardup_embedding_cosine": NEARDUP_EMBEDDING_SQL,
         "events_windowed": EVENTS_WINDOWED_SQL,
         "events_json_extract": EVENTS_JSON_SQL,

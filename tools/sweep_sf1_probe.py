@@ -55,8 +55,14 @@ REAL_BIG = "/tmp/sfreal1"
 PROBE = [
     "stream_patch_apply",
     "stream_ivm_totals",
+    # round 8: streaming join-view maintenance — growth should track the
+    # changefeed (the store folds churn, not the snapshot)
+    "stream_ivm_join",
     "ann_ivf_topk",
     "ann_lsh_topk",
+    # round 8: filtered ANN — the block-equality join should grow with
+    # block population (10x here: same label count, 10x members)
+    "ann_label_filtered_topk",
     "kmeans_domains",
 ]
 
@@ -76,6 +82,14 @@ PROBE2 = [
     # round 7: rollup reuse — the coarse layer re-aggregates O(days)
     # partials, so growth tracks the raw-scan term only
     "rollup_from_partials",
+    # round 8: join-view IVM — kept/churn passes are all ∝ view or churn
+    "ivm_join_enriched",
+    # round 8: mergeable binned quantiles — bin count is scale-invariant,
+    # so growth is the raw-scan term only (like rollup_from_partials)
+    "price_quantiles_from_partials",
+    # round 8: takedown cascade — one codegen aggregate + one broadcast
+    # join on the removed-id projection
+    "takedown_propagation",
 ]
 
 # realistic-duplication batch: every pair/cluster/corpus-shaped operator
@@ -95,6 +109,10 @@ PROBE_DOCS = [
     "tfidf_top_terms",
     "decontaminate_bloom",
     "dedup_exact",
+    # round 8: collocation mining (two corpus count passes + Zipf-floored
+    # pair join) and keep-list re-election (labels-only semi join + min)
+    "pmi_collocations",
+    "dedup_reelect_after_takedown",
 ]
 
 
