@@ -2342,6 +2342,78 @@ FROM lagged GROUP BY user_id
 """
 
 
+def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SESSION analytics on top of the 30-min-gap sessionizer: each
+    (user, session) row carries start/end, exact microsecond duration,
+    event count, exact integer-micro value total, and a conversion flag
+    (any purchase) — the session table every product-analytics warehouse
+    materializes. One window shuffle on user_id assigns the running
+    session index (ROWS frame pinned — RANGE over tied keys would
+    mis-group); the rest is a map-side-combined groupBy. Duration stays a
+    bigint microsecond diff, value rides integer micros: FP-free."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess_id = F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    micros = F.floor(
+        F.col("value") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        ev.withColumn("_new", new_sess)
+        .withColumn("session_id", sess_id.cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            .cast("bigint")
+            .alias("duration_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(micros).cast("double") / F.lit(1000000.0)).alias(
+                "total_value"
+            ),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("converted"),
+        )
+    )
+
+
+EVENTS_SESSION_STATS_SQL = """
+WITH lagged AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT *,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM lagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0 AS total_value,
+       CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS INTEGER) AS converted
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap filling: hourly event counts per
     event_type, densified so silent hours appear as zero rows. The hour
@@ -2921,6 +2993,7 @@ QUERIES = {
     "events_windowed": q_events_windowed,
     "events_json_extract": q_events_json,
     "events_sessionize": q_events_sessionize,
+    "events_session_stats": q_events_session_stats,
     "events_interarrival": q_events_interarrival,
     "events_ewma": q_events_ewma,
     "events_pit_join": q_events_pit_join,
@@ -3002,6 +3075,7 @@ def oracles() -> dict[str, str]:
         "events_windowed": EVENTS_WINDOWED_SQL,
         "events_json_extract": EVENTS_JSON_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "events_session_stats": EVENTS_SESSION_STATS_SQL,
         "events_interarrival": EVENTS_INTERARRIVAL_SQL,
         "events_ewma": EVENTS_EWMA_SQL,
         "events_pit_join": events_pit_join_sql(),
