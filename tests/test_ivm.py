@@ -325,3 +325,44 @@ def test_join_view_property_random_churn_both_sides(spark):
         f_a, d_a = _join_fixture(spark, fact_a, dim_a)
         got, want = _maintain(spark, f_b, f_a, d_b, d_a)
         assert got == want, f"seed {seed}"
+
+
+def test_join_view_sequential_equals_composed_deltas(spark):
+    """Algebra chain: maintaining through (d1 then d2) equals maintaining
+    once with compose_deltas(d1, d2) on both sides — the law that lets a
+    day of hourly changefeeds be folded into the view as ONE compacted
+    application."""
+    from checkatron_spark.operators.ivm import join_view, maintain_join_view
+    from checkatron_spark.operators.patch import compose_deltas
+
+    def fact(rows):
+        return spark.createDataFrame(rows, "fid int, dk int, fv int")
+
+    def dim(rows):
+        return spark.createDataFrame(rows, "dk int, dv string")
+
+    f0 = fact([(1, 10, 100), (2, 20, 200), (3, 10, 300)])
+    f1 = fact([(1, 20, 101), (3, 10, 300), (4, 30, 400)])  # move, del, ins
+    f2 = fact([(1, 20, 102), (4, 10, 400), (5, 99, 500)])  # upd, move, dangle
+    d0 = dim([(10, "a"), (20, "b")])
+    d1 = dim([(10, "a2"), (20, "b"), (30, "c")])  # upd, ins
+    d2 = dim([(10, "a2"), (30, "c2")])  # del 20, upd 30
+
+    df1 = compact_delta(f0, f1, ["fid"], ["dk", "fv"])
+    df2 = compact_delta(f1, f2, ["fid"], ["dk", "fv"])
+    dd1 = compact_delta(d0, d1, ["dk"], ["dv"])
+    dd2 = compact_delta(d1, d2, ["dk"], ["dv"])
+
+    v0 = join_view(f0, d0, "dk")
+    step = maintain_join_view(v0, df1, dd1, f1, d1, ["fid"], "dk")
+    sequential = maintain_join_view(step, df2, dd2, f2, d2, ["fid"], "dk")
+
+    one_shot = maintain_join_view(
+        v0,
+        compose_deltas(df1, df2, ["fid"], ["dk", "fv"]),
+        compose_deltas(dd1, dd2, ["dk"], ["dv"]),
+        f2, d2, ["fid"], "dk",
+    )
+    want = sorted(map(tuple, join_view(f2, d2, "dk").collect()))
+    assert sorted(map(tuple, sequential.collect())) == want
+    assert sorted(map(tuple, one_shot.collect())) == want
