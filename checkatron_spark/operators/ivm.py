@@ -287,7 +287,23 @@ def maintain_join_view(
        must probe the fact table and not the view.
 
     Deletes on either side are handled by (1) plus absence from the
-    after-image sets."""
+    after-image sets. Keys must be non-null on both sides (they are
+    primary keys; a NULL key would silently dodge the null-unsafe anti
+    joins), and each delta must carry its side's FULL row — value_cols =
+    every non-key column — because after-images are read straight from
+    it."""
+    missing_f = set(new_fact.columns) - set(delta_fact.columns)
+    if missing_f:
+        raise ValueError(
+            f"delta_fact must carry the full fact row (compact_delta with "
+            f"value_cols = all non-key columns); missing: {sorted(missing_f)}"
+        )
+    missing_d = set(new_dim.columns) - set(delta_dim.columns)
+    if missing_d:
+        raise ValueError(
+            f"delta_dim must carry the full dim row; missing: "
+            f"{sorted(missing_d)}"
+        )
     touched_f = delta_fact.select(*fact_keys).distinct()
     touched_d = delta_dim.select(join_col).distinct()
     kept = view.join(touched_f, fact_keys, "left_anti").join(

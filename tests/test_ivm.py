@@ -366,3 +366,23 @@ def test_join_view_sequential_equals_composed_deltas(spark):
     want = sorted(map(tuple, join_view(f2, d2, "dk").collect()))
     assert sorted(map(tuple, sequential.collect())) == want
     assert sorted(map(tuple, one_shot.collect())) == want
+
+
+def test_join_view_rejects_partial_delta(spark):
+    """A delta missing a fact column cannot supply after-images — refused
+    loudly instead of producing a wrong view."""
+    import pytest
+
+    from checkatron_spark.operators.ivm import join_view, maintain_join_view
+
+    f = spark.createDataFrame([(1, 10, 100)], "fid int, dk int, fv int")
+    d = spark.createDataFrame([(10, "a")], "dk int, dv string")
+    # delta lacking fv: compact_delta over a projection
+    partial = compact_delta(
+        f.select("fid", "dk"), f.select("fid", "dk"), ["fid"], ["dk"]
+    )
+    full_d = compact_delta(d, d, ["dk"], ["dv"])
+    with pytest.raises(ValueError, match="full fact row"):
+        maintain_join_view(
+            join_view(f, d, "dk"), partial, full_d, f, d, ["fid"], "dk"
+        )
