@@ -101,10 +101,14 @@ HEADLINE = [
     "assign_doc_ids",
     "rollup_from_partials",
     # round-8: join-view IVM (batch delta rule + the streaming LSM-store
-    # composition) and PMI collocation mining (two corpus count passes)
+    # composition), PMI collocation mining (two corpus count passes),
+    # per-session analytics (the heaviest window+agg shape), and filtered
+    # ANN (block-equality join)
     "ivm_join_enriched",
     "stream_ivm_join",
     "pmi_collocations",
+    "events_session_stats",
+    "ann_label_filtered_topk",
 ]
 
 

@@ -66,6 +66,10 @@ HEADLINERS = [
     ("rollup_from_partials", "rollup reuse (round 7): monthly derives from daily partials — two chained hash aggregates, one raw scan"),
     ("ivm_join_enriched", "join-view IVM (round 8): broadcast anti joins keep untouched view rows; churn-sized delta joins; semi-pruned fact probe for dim churn"),
     ("pmi_collocations", "PMI collocations (round 8): two map-combined count passes; min_count-filtered pairs join unigrams; 1-row totals broadcast"),
+    ("price_quantiles_from_partials", "mergeable quantiles (round 8): two chained hash aggregates + single-row bounded array fold — no global window, no collect"),
+    ("ann_label_filtered_topk", "filtered ANN (round 8): block-equality hash join, per-query work = |block|; no nested loop"),
+    ("events_session_stats", "session table (round 8): ONE user_id window shuffle (lag + ROWS running sum), then map-combined per-session aggregate"),
+    ("takedown_propagation", "takedown cascade (round 8): codegen aggregate + broadcast removed-id join; neither table shuffles"),
 ]
 
 

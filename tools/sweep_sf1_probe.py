@@ -90,6 +90,10 @@ PROBE2 = [
     # round 8: takedown cascade — one codegen aggregate + one broadcast
     # join on the removed-id projection
     "takedown_propagation",
+    # round 8: one bounded user_id window + map-combined session aggregate
+    "events_session_stats",
+    # round 8: posexplode→(label, dim) groupBys; 64 rows per vector
+    "embedding_drift",
 ]
 
 # realistic-duplication batch: every pair/cluster/corpus-shaped operator
