@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["range_join_binned"]
+__all__ = ["range_join_binned", "interval_overlap_join"]
 
 
 def range_join_binned(
@@ -59,6 +59,57 @@ def range_join_binned(
         .filter(
             (F.col(point_ts) >= F.col(start_ts))
             & (F.col(point_ts) < F.col(end_ts))
+        )
+        .drop("_bin")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Interval×interval overlap join (CLOSED intervals: pairs with
+    ``l_start <= r_end AND r_start <= l_end``), binned into an equi-join
+    like :func:`range_join_binned` — the raw theta join is a nested loop.
+
+    Both sides explode over the bins they cover. The usual hazard — a pair
+    sharing k bins appearing k times — is removed WITHOUT a distinct: each
+    overlapping pair is attributed to exactly ONE bin, the bin of
+    ``greatest(l_start, r_start)`` (the later start lies inside both
+    intervals whenever they overlap, so that bin is covered by both
+    explode ranges; every other shared bin is filtered). Degenerate
+    [t, t] intervals behave as points. Cost scales with overlap density;
+    set ``bin_seconds`` near the median interval length."""
+    w = float(bin_seconds)
+
+    def bins(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(s)) / w).cast("bigint"),
+                    F.floor(F.unix_timestamp(F.col(e)) / w).cast("bigint"),
+                )
+            ),
+        )
+
+    lb = bins(left, l_start, l_end)
+    rb = bins(right, r_start, r_end)
+    later_start_bin = F.floor(
+        F.unix_timestamp(F.greatest(F.col(l_start), F.col(r_start))) / w
+    ).cast("bigint")
+    return (
+        lb.join(rb, "_bin")
+        .filter(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("_bin") == later_start_bin)
         )
         .drop("_bin")
     )

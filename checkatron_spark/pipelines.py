@@ -1390,6 +1390,87 @@ GROUP BY 1
 """
 
 
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GRAPH CLUSTERING-COEFFICIENT audit: exact edge / wedge /
+    triangle counts and the global clustering coefficient 3·tri/wedges of
+    the jaccard pair graph. Together with the degree histogram this
+    separates clique-shaped duplication (template families: coefficient
+    → 1) from chain/star-shaped duplication (scraper trails: → 0) — the
+    graph-shape number that predicts pair-stage cost at 100 TB, since a
+    k-clique costs O(k²) pairs. Triangle counting is the ordered-edge
+    join-intersect (edges carry id_a < id_b, so each triangle is counted
+    exactly once as a<b<c); wedges are Σ C(deg,2) from the degree table.
+    Work ∝ Σ deg² over the PAIR SET — corpus text is never touched."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.neardup_ngram_jaccard(docs, "text", "doc_id", n=3, threshold=0.8)
+    from checkatron_spark.session import scratch_persist
+
+    e = scratch_persist(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    wedges_node = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .agg(
+            F.sum(
+                (F.col("_deg") * (F.col("_deg") - 1) / F.lit(2)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("n_wedges")
+        )
+    )
+    x = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    y = e.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
+    z = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
+    tri = (
+        x.join(y, "t_b")
+        .join(z, ["t_a", "t_c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    out = (
+        n_edges.crossJoin(F.broadcast(wedges_node))
+        .crossJoin(F.broadcast(tri))
+    )
+    return out.select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(F.col("n_wedges") > 0,
+               (F.lit(3) * F.col("n_triangles")).cast("double")
+               / F.col("n_wedges").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+
+
+NEARDUP_TRIANGLES_SQL = f"""
+WITH e AS (SELECT id_a AS a, id_b AS b FROM ({NEARDUP_JACCARD_SQL}) t),
+deg AS (
+    SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+    ) GROUP BY v
+),
+w AS (SELECT CAST(SUM(CAST(d * (d - 1) / 2 AS BIGINT)) AS BIGINT)
+          AS n_wedges FROM deg),
+tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e x JOIN e y ON x.b = y.a JOIN e z ON z.a = x.a AND z.b = y.b
+),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+SELECT ne.n_edges, w.n_wedges, tri.n_triangles,
+       CASE WHEN w.n_wedges > 0
+            THEN CAST(3 * tri.n_triangles AS DOUBLE)
+                 / CAST(w.n_wedges AS DOUBLE)
+            ELSE 0.0 END AS clustering_coeff
+FROM ne CROSS JOIN w CROSS JOIN tri
+"""
+
+
 def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication report: which pairs of sources share
     near-duplicate documents, and how often — the corpus-composition audit
@@ -2414,6 +2495,76 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def q_sessions_overlap_promos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/rangejoin.py
+    interval_overlap_join): user sessions against daily promo windows
+    ([10:00, 14:00] each event day), closed-interval semantics, with the
+    exact microsecond overlap per pair — the campaign-attribution shape.
+    The raw theta join is a nested loop; the binned formulation explodes
+    both interval sets over hour bins, equi-joins, and attributes each
+    pair to the single later-start bin (no distinct)."""
+    from checkatron_spark.operators.rangejoin import interval_overlap_join
+
+    ev = load_table(spark, "events", sf_dir)
+    sessions = q_events_session_stats(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    promos = (
+        ev.select(F.to_date("ts").alias("promo_day"))
+        .distinct()
+        .select(
+            "promo_day",
+            (
+                F.col("promo_day").cast("timestamp")
+                + F.expr("INTERVAL 10 HOURS")
+            ).alias("promo_start"),
+            (
+                F.col("promo_day").cast("timestamp")
+                + F.expr("INTERVAL 14 HOURS")
+            ).alias("promo_end"),
+        )
+    )
+    joined = interval_overlap_join(
+        sessions,
+        promos,
+        l_start="session_start",
+        l_end="session_end",
+        r_start="promo_start",
+        r_end="promo_end",
+    )
+    return joined.select(
+        "user_id",
+        "session_id",
+        "promo_day",
+        (
+            F.unix_micros(F.least("session_end", "promo_end"))
+            - F.unix_micros(F.greatest("session_start", "promo_start"))
+        )
+        .cast("bigint")
+        .alias("overlap_us"),
+    )
+
+
+SESSIONS_OVERLAP_PROMOS_SQL = f"""
+WITH sessions AS (
+    SELECT user_id, session_id, session_start, session_end
+    FROM ({EVENTS_SESSION_STATS_SQL}) s
+),
+promos AS (
+    SELECT promo_day,
+           CAST(promo_day AS TIMESTAMP) + INTERVAL 10 HOUR AS promo_start,
+           CAST(promo_day AS TIMESTAMP) + INTERVAL 14 HOUR AS promo_end
+    FROM (SELECT DISTINCT CAST(ts AS DATE) AS promo_day FROM events)
+)
+SELECT s.user_id, s.session_id, p.promo_day,
+       CAST(epoch_us(least(s.session_end, p.promo_end))
+            - epoch_us(greatest(s.session_start, p.promo_start))
+            AS BIGINT) AS overlap_us
+FROM sessions s JOIN promos p
+  ON s.session_start <= p.promo_end AND p.promo_start <= s.session_end
+"""
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap filling: hourly event counts per
     event_type, densified so silent hours appear as zero rows. The hour
@@ -2971,6 +3122,7 @@ QUERIES = {
     "dedup_corpus_e2e": q_dedup_corpus_e2e,
     "takedown_propagation": q_takedown_propagation,
     "dedup_reelect_after_takedown": q_dedup_reelect_after_takedown,
+    "neardup_triangles": q_neardup_triangles,
     "dedup_corpus_staged": q_dedup_corpus_staged,
     "substring_dup_pairs": q_substring_dup_pairs,
     "decontaminate_semantic": q_decontaminate_semantic,
@@ -2994,6 +3146,7 @@ QUERIES = {
     "events_json_extract": q_events_json,
     "events_sessionize": q_events_sessionize,
     "events_session_stats": q_events_session_stats,
+    "sessions_overlap_promos": q_sessions_overlap_promos,
     "events_interarrival": q_events_interarrival,
     "events_ewma": q_events_ewma,
     "events_pit_join": q_events_pit_join,
@@ -3043,6 +3196,7 @@ def oracles() -> dict[str, str]:
         "dedup_corpus_e2e": DEDUP_CORPUS_E2E_SQL,
         "takedown_propagation": TAKEDOWN_PROPAGATION_SQL,
         "dedup_reelect_after_takedown": DEDUP_REELECT_SQL,
+        "neardup_triangles": NEARDUP_TRIANGLES_SQL,
         # same oracle by design: the staged variant's output is provably
         # identical (exact-equal docs share shingle sets, so collapsing
         # them quotients the same components; min-of-group-mins == global
@@ -3076,6 +3230,7 @@ def oracles() -> dict[str, str]:
         "events_json_extract": EVENTS_JSON_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "events_session_stats": EVENTS_SESSION_STATS_SQL,
+        "sessions_overlap_promos": SESSIONS_OVERLAP_PROMOS_SQL,
         "events_interarrival": EVENTS_INTERARRIVAL_SQL,
         "events_ewma": EVENTS_EWMA_SQL,
         "events_pit_join": events_pit_join_sql(),

@@ -149,3 +149,27 @@ def test_reelect_identity_when_nothing_removed(spark):
         for r in reelect_representatives(labels, survivors).collect()
     )
     assert kept == [3, 10]
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge: 5 edges, 2 triangles, wedges = 2*C(3,2)+2*C(2,2)
+    ... computed from degrees (3,3,2,2) -> 3+3+1+1 = 8."""
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "a int, b int"
+    )  # missing (3,4)
+    x = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    y = e.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
+    z = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
+    tri = x.join(y, "t_b").join(z, ["t_a", "t_c"]).count()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    )
+    wedges = sum(r.d * (r.d - 1) // 2 for r in deg)
+    assert tri == 2
+    assert wedges == 8

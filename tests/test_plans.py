@@ -178,6 +178,10 @@ def test_no_cartesian_in_any_query(spark):
         # broadcast against the min_count-filtered pair table (the data
         # passes are hash aggregations; only totals ride the BNLJ)
         "pmi_collocations",
+        # scalar shape: three 1-row aggregates (edges/wedges/triangles)
+        # crossed into the single output row; the triangle join itself is
+        # an ordered-edge equi-join
+        "neardup_triangles",
     }
     for name, q in entrymod.queries().items():
         if name.startswith("stream_"):

@@ -71,3 +71,74 @@ def test_plan_is_equijoin(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join
+# ---------------------------------------------------------------------------
+
+def _iv(spark, rows, s, e):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, f"iid int, {s} string, {e} string")
+    return df.select(
+        "iid", F.to_timestamp(s).alias(s), F.to_timestamp(e).alias(e)
+    )
+
+
+def test_interval_overlap_multibin_pair_counted_once(spark):
+    """Two long intervals sharing MANY hour bins must emit their pair
+    exactly once (later-start-bin attribution, no distinct)."""
+    from checkatron_spark.operators.rangejoin import interval_overlap_join
+
+    left = _iv(spark, [(1, "2024-01-01 00:30:00", "2024-01-01 09:30:00")],
+               "ls", "le")
+    right = _iv(spark, [(10, "2024-01-01 01:15:00", "2024-01-01 08:45:00")],
+                "rs", "re")
+    out = interval_overlap_join(
+        left, right, l_start="ls", l_end="le", r_start="rs", r_end="re"
+    ).collect()
+    assert len(out) == 1  # 8+ shared hour bins, ONE pair
+
+
+def test_interval_overlap_matches_naive_theta_join(spark):
+    """Randomized-ish small set: binned result set == the exact theta
+    join, including point intervals and closed-boundary touches."""
+    from pyspark.sql import functions as F
+
+    from checkatron_spark.operators.rangejoin import interval_overlap_join
+
+    lrows = [
+        (1, "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+        (2, "2024-01-01 05:00:00", "2024-01-01 05:00:00"),  # point
+        (3, "2024-01-01 03:00:00", "2024-01-01 10:00:00"),
+        (4, "2024-01-02 00:00:00", "2024-01-02 01:00:00"),
+    ]
+    rrows = [
+        (10, "2024-01-01 02:00:00", "2024-01-01 04:00:00"),  # touches 1 & 3
+        (11, "2024-01-01 04:30:00", "2024-01-01 05:00:00"),  # touches point 2
+        (12, "2024-01-01 23:00:00", "2024-01-02 00:00:00"),  # touches 4
+        (13, "2024-01-03 00:00:00", "2024-01-03 01:00:00"),  # no match
+    ]
+    left = _iv(spark, lrows, "ls", "le")
+    right = _iv(spark, rrows, "rs", "re")
+    got = sorted(
+        (r.iid, r[3])
+        for r in interval_overlap_join(
+            left, right, l_start="ls", l_end="le", r_start="rs", r_end="re"
+        ).collect()
+    )
+    naive = sorted(
+        (r[0], r[1])
+        for r in left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")),
+        )
+        .select(F.col("l.iid"), F.col("r.iid"))
+        .collect()
+    )
+    assert got == naive
+    # the touches are real: 1-10 (end==start), 2-11 (point at boundary)
+    assert (1, 10) in got and (2, 11) in got and (4, 12) in got
+    assert not any(b == 13 for _, b in got)

@@ -70,6 +70,8 @@ HEADLINERS = [
     ("ann_label_filtered_topk", "filtered ANN (round 8): block-equality hash join, per-query work = |block|; no nested loop"),
     ("events_session_stats", "session table (round 8): ONE user_id window shuffle (lag + ROWS running sum), then map-combined per-session aggregate"),
     ("takedown_propagation", "takedown cascade (round 8): codegen aggregate + broadcast removed-id join; neither table shuffles"),
+    ("sessions_overlap_promos", "interval overlap join (round 8): both sides bin-exploded into an equi-join, later-start-bin pair attribution, no nested loop"),
+    ("neardup_triangles", "triangle count (round 8): ordered-edge equi-join intersect; scalar 1-row crosses only"),
 ]
 
 

@@ -92,6 +92,8 @@ PROBE2 = [
     "takedown_propagation",
     # round 8: one bounded user_id window + map-combined session aggregate
     "events_session_stats",
+    # round 8: binned interval-overlap join — growth ∝ overlap density
+    "sessions_overlap_promos",
     # round 8: posexplode→(label, dim) groupBys; 64 rows per vector
     "embedding_drift",
 ]
@@ -117,6 +119,8 @@ PROBE_DOCS = [
     # pair join) and keep-list re-election (labels-only semi join + min)
     "pmi_collocations",
     "dedup_reelect_after_takedown",
+    # round 8: graph-shape audit — work ∝ sum(deg²) over the pair set
+    "neardup_triangles",
 ]
 
 
