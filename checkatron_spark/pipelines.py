@@ -1471,6 +1471,62 @@ FROM ne CROSS JOIN w CROSS JOIN tri
 """
 
 
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix entropy — the corpus-composition number a
+    mixing plan reads ("is src7 monolingual or balanced?"). Float
+    discipline: a grouped SUM of -p·ln(p) terms is shuffle-order-dependent
+    (doubles don't associate), so the terms are folded over a
+    LANG-SORTED ARRAY — a sequential left fold with a pinned order in
+    both engines (Spark `aggregate` with 0.0 init vs DuckDB `list_reduce`;
+    0.0+t1 is bit-exact t1) — then rounded once. Entropy of a
+    single-language source is computed as 0.0 - 0.0 (never -0.0). Counts
+    per (source, lang) are one map-side-combined pass; the fold runs on
+    |langs|-sized arrays, one per source."""
+    docs = load_table(spark, "documents", sf_dir)
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = c.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sort_array(F.collect_list(F.struct("lang", "c"))).alias("_cs"),
+    )
+
+    def term(x):
+        p = x["c"].cast("double") / F.col("n_docs").cast("double")
+        return p * F.log(p)
+
+    ent = F.aggregate("_cs", F.lit(0.0), lambda acc, x: acc + term(x))
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.round(F.lit(0.0) - ent, 6).alias("lang_entropy"),
+    )
+
+
+SOURCE_LANG_ENTROPY_SQL = """
+WITH c AS (
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2
+),
+g AS (
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           list(c ORDER BY lang) AS cs
+    FROM c GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       round(0.0 - list_reduce(
+           list_prepend(0.0, list_transform(cs, x ->
+               (CAST(x AS DOUBLE) / CAST(n_docs AS DOUBLE))
+               * ln(CAST(x AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+           (a, b) -> a + b), 6) AS lang_entropy
+FROM g
+"""
+
+
 def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication report: which pairs of sources share
     near-duplicate documents, and how often — the corpus-composition audit
@@ -3123,6 +3179,7 @@ QUERIES = {
     "takedown_propagation": q_takedown_propagation,
     "dedup_reelect_after_takedown": q_dedup_reelect_after_takedown,
     "neardup_triangles": q_neardup_triangles,
+    "source_lang_entropy": q_source_lang_entropy,
     "dedup_corpus_staged": q_dedup_corpus_staged,
     "substring_dup_pairs": q_substring_dup_pairs,
     "decontaminate_semantic": q_decontaminate_semantic,
@@ -3197,6 +3254,7 @@ def oracles() -> dict[str, str]:
         "takedown_propagation": TAKEDOWN_PROPAGATION_SQL,
         "dedup_reelect_after_takedown": DEDUP_REELECT_SQL,
         "neardup_triangles": NEARDUP_TRIANGLES_SQL,
+        "source_lang_entropy": SOURCE_LANG_ENTROPY_SQL,
         # same oracle by design: the staged variant's output is provably
         # identical (exact-equal docs share shingle sets, so collapsing
         # them quotients the same components; min-of-group-mins == global
