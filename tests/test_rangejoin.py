@@ -142,3 +142,45 @@ def test_interval_overlap_matches_naive_theta_join(spark):
     # the touches are real: 1-10 (end==start), 2-11 (point at boundary)
     assert (1, 10) in got and (2, 11) in got and (4, 12) in got
     assert not any(b == 13 for _, b in got)
+
+
+def test_interval_overlap_property_fuzz_vs_theta(spark):
+    """Property fuzz of the later-start-bin attribution: for arbitrary
+    interval sets (degenerate points, bin-boundary endpoints, long spans,
+    disjoint tails), the binned join's multiset of pairs equals the naive
+    theta join exactly — no duplicate from shared bins, no pair lost at a
+    bin edge. Deterministic arithmetic fixture, 3 seeds."""
+    from checkatron_spark.operators.rangejoin import interval_overlap_join
+
+    for seed in (1, 2, 3):
+        def mk(n, salt):
+            rows = []
+            for i in range(n):
+                # starts land on/off bin boundaries; lengths 0..5h
+                start = T0 + timedelta(
+                    minutes=(i * 97 + salt * 31 + seed * 13) % (60 * 48)
+                )
+                length = timedelta(minutes=((i * 53 + salt) % 7) * 50)
+                rows.append((i + salt * 1000, start, start + length))
+            return spark.createDataFrame(rows, "iid int, s timestamp, e timestamp")
+
+        left = mk(25, 1).withColumnRenamed("s", "ls").withColumnRenamed("e", "le")
+        right = mk(20, 2).withColumnRenamed("s", "rs").withColumnRenamed("e", "re")
+        got = sorted(
+            (r[0], r[3])  # columns: iid, ls, le, iid, rs, re
+            for r in interval_overlap_join(
+                left, right, l_start="ls", l_end="le",
+                r_start="rs", r_end="re",
+            ).collect()
+        )
+        naive = sorted(
+            (r[0], r[1])
+            for r in left.join(
+                right,
+                (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")),
+            )
+            .select(left["iid"], right["iid"])
+            .collect()
+        )
+        assert got == naive, f"seed {seed}: {len(got)} vs {len(naive)}"
+        assert len(got) == len(set(got))  # no pair duplicated
