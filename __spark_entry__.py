@@ -305,14 +305,15 @@ def _query_source_files(fn) -> set[str]:
     return files  # type: ignore[return-value]
 
 
-def _stale_greens(
+def _stale_greens_or_none(
     full: dict[str, Callable], green: dict[str, str]
-) -> set[str]:
+) -> set[str] | None:
     """Green queries whose implementation changed since the commit that
     recorded their latest green row — their proof is stale and they must
     re-enter the check window. Derived from git (the driver commits each
-    CORRECTNESS_r*.json); best-effort, empty on any git failure so
-    queries() can never crash over it."""
+    CORRECTNESS_r*.json). Returns None when git itself fails, so callers
+    can tell "nothing is stale" from "staleness is unknowable" — the
+    prune step must NOT run on the latter."""
     import os
     import subprocess
 
@@ -343,7 +344,7 @@ def _stale_greens(
             )
             changed_since[round_file] = {c.strip() for c in changed if c.strip()}
     except Exception:
-        return set()
+        return None
 
     stale: set[str] = set()
     for name, round_file in green.items():
@@ -355,6 +356,74 @@ def _stale_greens(
     return stale
 
 
+def _stale_greens(
+    full: dict[str, Callable], green: dict[str, str]
+) -> set[str]:
+    """Best-effort set view of :func:`_stale_greens_or_none` — empty on
+    any git failure so queries() can never crash over it."""
+    return _stale_greens_or_none(full, green) or set()
+
+
+# Driver-facing size cap (round 9, VERDICT r8 #3): at ~195 declared queries
+# and a 50-slot driver check window, one round that edits a widely-imported
+# module creates more stale greens than slots and re-grades queue a full
+# round behind the backlog. Ever-green queries that are (a) unchanged per
+# _stale_greens and (b) whose latest green is >= 2 rounds old (so at least
+# two committed full-contract sf0.1 sweeps have re-proven them bit-exact
+# since) are PRUNED from the driver-facing dict, oldest green first, until
+# it fits _DRIVER_DICT_CAP. The pruned queries remain fully declared:
+# full_queries()/oracle_sql() still carry them, the per-round sf0.1 sweep
+# (tools/sweep_sf01.sh -> test_latest_sweep_covers_current_contract) still
+# grades every one of them bit-exact, and any code change flips them stale,
+# which puts them straight back into the driver window. A mass-stale round
+# (an edit to a widely-imported module) can legitimately exceed the cap —
+# stale entries are never pruned, correctness beats the cap — and shrinks
+# back as the re-grades land over the following rounds.
+_DRIVER_DICT_CAP = 120
+
+
+def full_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The COMPLETE declared contract — every implemented query, including
+    the ever-green ones pruned from the driver-facing :func:`queries`
+    window. This is what the sf0.1 sweep, the pytest oracle gate, and
+    bench enumerate."""
+    return {
+        n: _with_scratch_release(f) for n, f in _queries_unordered().items()
+    }
+
+
+def _prunable(
+    full: dict[str, Callable],
+    green: dict[str, str],
+    stale: set[str] | None,
+) -> list[str]:
+    """Names eligible for pruning, oldest green first (deterministic):
+    fresh-green (not stale), latest green recorded >= 2 rounds before the
+    newest round file on disk, and not manually fronted. Returns [] when
+    staleness is unknowable (git failure) — pruning without staleness
+    information could hide a changed query from the driver."""
+    import re
+
+    if stale is None or not green:
+        return []
+
+    def _round_no(fname: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)", fname)
+        return int(m.group(1)) if m else -1
+
+    latest = max(_round_no(f) for f in green.values())
+    keep_front = set(_CHECK_FIRST)
+    eligible = [
+        n
+        for n in green
+        if n in full
+        and n not in stale
+        and n not in keep_front
+        and _round_no(green[n]) <= latest - 2
+    ]
+    return sorted(eligible, key=lambda n: (_round_no(green[n]), n))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full = _queries_unordered()
     green = _greens_on_disk()
@@ -364,7 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-enter the window AFTER the never-checked backlog: a big module
     # refactor must not crowd out first-time coverage, but it may not hide
     # behind an outdated green row either
-    stale = _stale_greens(full, green)
+    stale_opt = _stale_greens_or_none(full, green)
+    stale = stale_opt or set()
     last = set(_CHECK_LAST)
     ordered_names = (
         front
@@ -375,6 +445,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         + [n for n in rest if n in stale]  # changed since green -> re-grade
         + [n for n in rest if n in green and n not in stale]  # proven
     )
+    # prune ever-green unchanged queries (oldest green first) down to the
+    # driver-facing cap; the sf0.1 sweep still grades the full contract
+    overflow = len(ordered_names) - _DRIVER_DICT_CAP
+    if overflow > 0:
+        drop = set(_prunable(full, green, stale_opt)[:overflow])
+        ordered_names = [n for n in ordered_names if n not in drop]
     return {n: _with_scratch_release(full[n]) for n in ordered_names}
 
 

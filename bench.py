@@ -44,10 +44,11 @@ HEADLINE = [
     "q9_product_profit",
     "q18_large_volume",
     "q21_sole_late_supplier",
-    # dedup family
+    # dedup family (the MLlib MinHashLSH parity row retired in round 9:
+    # its declared query now runs the banded scale path, already benched
+    # below as neardup_minhash_banded — VERDICT r8 #1)
     "dedup_exact",
     "neardup_ngram_jaccard",
-    "neardup_minhash_lsh",
     "neardup_simhash",
     "decontaminate_corpus",
     # similarity family
@@ -125,6 +126,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     # the UNWRAPPED registry: queries() wraps every entry with a scratch-
     # cache release on entry (right for the driver's run-each-once
     # correctness pass), which would evict run 1's persisted frames before
@@ -157,14 +159,32 @@ def main() -> None:
         # the diff shape needs 3+ executions to settle, so min-of-2 right
         # after warmup catches the JIT tail, not the engine. min-of-3 is
         # strictly <= min-of-2, so round-over-round comparability holds.
+        runs: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             _force(qs[name](spark, SF_DIR))
             dt = time.perf_counter() - t0
+            runs.append(dt)
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # round 9 (VERDICT r8 #6): record the min-of-3 spread so a round-
+        # over-round delta is attributable to code vs local[32] noise.
+        # Per-query spreads live in the side file — the stdout JSON line
+        # must stay under the driver's bounded tail (round-1 lesson).
+        detail[name] = {
+            "runs": [round(r, 3) for r in runs],
+            "min": timings[name],
+            "spread": round(max(runs) - min(runs), 3),
+        }
         total += timings[name]
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, "BENCH_DETAIL.json")
+    )
+    with open(detail_path, "w") as f:
+        json.dump({"sf": sf, "queries": detail}, f, indent=1, sort_keys=True)
 
     line = json.dumps(
         {
@@ -172,6 +192,9 @@ def main() -> None:
             "value": round(total, 3),
             "unit": "sec",
             "queries": timings,
+            "spread_total": round(
+                sum(d["spread"] for d in detail.values()), 3
+            ),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },
         separators=(",", ":"),

@@ -1280,9 +1280,14 @@ def pmi_collocations(
     """
     from checkatron_spark.session import scratch_persist
 
+    # NULL/whitespace-only docs are dropped BEFORE tokenizing (ADVICE r8):
+    # split(trim('')) yields [''] — one phantom empty-string unigram per
+    # empty doc — which inflates n_uni and thus every PMI value. The
+    # oracle applies the identical WHERE, so parity never depended on the
+    # bug; the statistic did.
     t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.trim(t), r"\s+")
-    w = docs.select(words.alias("_w"))
+    w = docs.filter(F.trim(t) != "").select(words.alias("_w"))
     uni = scratch_persist(
         w.select(F.explode("_w").alias("tok"))
         .groupBy("tok")
@@ -1334,6 +1339,7 @@ PMI_COLLOCATIONS_SQL = r"""
 WITH w AS (
     SELECT string_split_regex(trim(coalesce(text, '')), '\s+') AS w
     FROM documents
+    WHERE trim(coalesce(text, '')) <> ''
 ),
 uni AS (
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok

@@ -18,14 +18,61 @@ point's bin, and the residual predicate removes everything else. Cost
 scales with overlap density, not |points| x |intervals|. Bin width is the
 knob: too small multiplies interval copies, too large packs unrelated rows
 into a bin — set it near the median interval length.
+
+The explode is the one silent-blowup hazard: an interval spanning k bins
+becomes k rows, so a single adversarial row (an open-ended sentinel end
+like 9999-12-31, or a year-long interval at 1-hour bins = 8,760 copies)
+can OOM-shape the stage with no error. Both operators therefore enforce
+``max_bins_per_interval`` (default 1024) INSIDE the explode expression —
+codegen-side, zero extra jobs — and raise with the offending bounds
+instead of materializing the blowup, the same fail-fast discipline as
+``ann_bruteforce_topk``'s row cap. Intervals with a NULL endpoint keep
+the pre-existing semantics (dropped by the NULL sequence), they do not
+trip the guard.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["range_join_binned", "interval_overlap_join"]
+
+
+def _guarded_bins(
+    s: str, e: str, bin_seconds: float, max_bins: int
+) -> Column:
+    """``sequence(floor(s/w), floor(e/w))`` with the bins-per-row cap
+    compiled into the expression: rows over the cap raise (with their
+    bounds in the message) before the explode can materialize them.
+    NULL-endpoint rows produce a NULL sequence (dropped by explode),
+    matching the unguarded behavior."""
+    lo = F.floor(F.unix_timestamp(F.col(s)) / bin_seconds).cast("bigint")
+    hi = F.floor(F.unix_timestamp(F.col(e)) / bin_seconds).cast("bigint")
+    nbins = hi - lo + F.lit(1)
+    ok = F.coalesce(nbins <= F.lit(max_bins), F.lit(True))  # NULL -> pass
+    return F.when(ok, F.sequence(lo, hi)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "range join: interval spans more bins than "
+                    f"max_bins_per_interval ({max_bins}): ["
+                ),
+                F.col(s).cast("string"),
+                F.lit(", "),
+                F.col(e).cast("string"),
+                F.lit("] at bin_seconds="),
+                F.lit(str(int(bin_seconds))),
+                F.lit(" = "),
+                nbins.cast("string"),
+                F.lit(
+                    " bin copies. Raise bin_seconds toward the typical "
+                    "interval length, cap/clean outlier intervals, or "
+                    "raise max_bins_per_interval explicitly."
+                ),
+            )
+        )
+    )
 
 
 def range_join_binned(
@@ -36,22 +83,22 @@ def range_join_binned(
     start_ts: str,
     end_ts: str,
     bin_seconds: int = 3600,
+    max_bins_per_interval: int = 1024,
 ) -> DataFrame:
     """Inner range join: every (point, interval) pair with
     ``start <= point_ts < end``. Returns all point columns + all interval
     columns. Declarative all the way — the bin explode is a ``sequence``
-    + ``explode``, the join an equi-join, the residual a plain filter."""
+    + ``explode``, the join an equi-join, the residual a plain filter.
+    An interval covering more than ``max_bins_per_interval`` bins raises
+    instead of silently exploding (see module docstring)."""
     p = points.withColumn(
         "_bin", F.floor(F.unix_timestamp(F.col(point_ts)) / bin_seconds)
     )
     i = intervals.withColumn(
         "_bin",
+        # end is exclusive, but the end-boundary bin still overlaps
         F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp(F.col(start_ts)) / bin_seconds),
-                # end is exclusive: the end-boundary bin still overlaps
-                F.floor(F.unix_timestamp(F.col(end_ts)) / bin_seconds),
-            )
+            _guarded_bins(start_ts, end_ts, bin_seconds, max_bins_per_interval)
         ),
     )
     return (
@@ -73,30 +120,51 @@ def interval_overlap_join(
     r_start: str,
     r_end: str,
     bin_seconds: int = 3600,
+    max_bins_per_interval: int = 1024,
+    rsuffix: str | None = None,
 ) -> DataFrame:
     """Interval×interval overlap join (CLOSED intervals: pairs with
     ``l_start <= r_end AND r_start <= l_end``), binned into an equi-join
     like :func:`range_join_binned` — the raw theta join is a nested loop.
 
-    Both sides explode over the bins they cover. The usual hazard — a pair
-    sharing k bins appearing k times — is removed WITHOUT a distinct: each
+    Both sides explode over the bins they cover, each capped at
+    ``max_bins_per_interval`` copies (over-cap rows raise with their
+    bounds; see module docstring). The usual hazard — a pair sharing k
+    bins appearing k times — is removed WITHOUT a distinct: each
     overlapping pair is attributed to exactly ONE bin, the bin of
     ``greatest(l_start, r_start)`` (the later start lies inside both
     intervals whenever they overlap, so that bin is covered by both
     explode ranges; every other shared bin is filtered). Degenerate
     [t, t] intervals behave as points. Cost scales with overlap density;
-    set ``bin_seconds`` near the median interval length."""
+    set ``bin_seconds`` near the median interval length.
+
+    The output carries ALL columns from both sides, so the inputs must
+    not share a column name (ADVICE r8: a shared id column would come
+    back twice, ambiguous to every name-based select downstream). Shared
+    names raise unless ``rsuffix`` is given, in which case the RIGHT
+    side's clashing columns are renamed ``<name><rsuffix>`` (including
+    ``r_start``/``r_end`` if they clash)."""
+    common = [c for c in right.columns if c in set(left.columns)]
+    if common:
+        if rsuffix is None:
+            raise ValueError(
+                "interval_overlap_join: left and right share column "
+                f"names {common}; the result would carry ambiguous "
+                "duplicates. Rename one side, or pass rsuffix= to "
+                "suffix the right side's clashing columns."
+            )
+        for c in common:
+            right = right.withColumnRenamed(c, c + rsuffix)
+        if r_start in common:
+            r_start = r_start + rsuffix
+        if r_end in common:
+            r_end = r_end + rsuffix
     w = float(bin_seconds)
 
     def bins(df: DataFrame, s: str, e: str) -> DataFrame:
         return df.withColumn(
             "_bin",
-            F.explode(
-                F.sequence(
-                    F.floor(F.unix_timestamp(F.col(s)) / w).cast("bigint"),
-                    F.floor(F.unix_timestamp(F.col(e)) / w).cast("bigint"),
-                )
-            ),
+            F.explode(_guarded_bins(s, e, w, max_bins_per_interval)),
         )
 
     lb = bins(left, l_start, l_end)

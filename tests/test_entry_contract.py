@@ -51,9 +51,9 @@ def test_entry_smoke(spark):
     assert "_row_status" in df.columns
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+@pytest.mark.parametrize("name", sorted(entrymod.full_queries().keys()))
 def test_query_matches_oracle(spark, duck_views, name):
-    q = entrymod.queries()[name]
+    q = entrymod.full_queries()[name]
     spark_df = q(spark, SF_DIR)
     oracle = entrymod.oracle_sql().get(name)
     if oracle is None:
@@ -150,7 +150,7 @@ def test_every_query_has_an_oracle():
     # the driver records a weaker rows-only check for oracle-less queries;
     # this repo's bar is 100% oracle coverage — a new query without a
     # matching oracle_sql() entry (or an orphaned oracle) fails here
-    qs = set(entrymod.queries())
+    qs = set(entrymod.full_queries())
     osql = set(entrymod.oracle_sql())
     assert qs - osql == set(), f"queries without oracle: {sorted(qs - osql)}"
     assert osql - qs == set(), f"orphan oracles: {sorted(osql - qs)}"
@@ -226,9 +226,71 @@ def test_latest_sweep_covers_current_contract():
     m = re.search(r"(\d+)/(\d+) passed", latest.read_text())
     assert m, f"{latest.name} has no 'N/N passed' summary line"
     passed, total = int(m.group(1)), int(m.group(2))
-    declared = len(entry.queries())
+    declared = len(entry.full_queries())
     assert passed == total == declared, (
         f"{latest.name} reports {passed}/{total} but the contract now "
         f"declares {declared} queries — re-run: "
         f"sh tools/sweep_sf01.sh | tee SWEEP_r<N>_sf01.txt"
     )
+
+
+def test_driver_window_prune_invariants():
+    """Round 9 (VERDICT r8 #3): the driver-facing queries() dict is capped
+    so re-grades never queue behind an ever-green backlog, but pruning may
+    ONLY touch entries whose correctness is still independently proven:
+    fresh-green (not stale), green for >= 2 rounds, and still declared in
+    full_queries() + oracle_sql() so the sf0.1 sweep keeps grading them."""
+    driver = entrymod.queries()
+    full = entrymod.full_queries()
+    green = entrymod._greens_on_disk()
+    stale_opt = entrymod._stale_greens_or_none(
+        entrymod._queries_unordered(), green
+    )
+    prunable = entrymod._prunable(
+        entrymod._queries_unordered(), green, stale_opt
+    )
+    # the cap binds whenever prunable mass exists; a mass-stale round (an
+    # edit to a widely-imported module flips most greens stale, and stale
+    # entries must NEVER be pruned) legitimately exceeds it until the
+    # re-grades land
+    assert (
+        len(driver) <= entrymod._DRIVER_DICT_CAP
+        or set(prunable) & set(driver) == set()
+    ), "driver dict over cap while prunable entries remain"
+    assert set(driver) <= set(full)
+    pruned = set(full) - set(driver)
+    stale = stale_opt or set()
+    # nothing never-checked or stale may be pruned
+    assert pruned <= set(green) - stale, (
+        f"pruned queries lacking a fresh green: "
+        f"{sorted(pruned - (set(green) - stale))}"
+    )
+    # every pruned query keeps its oracle (the sweep grades full_queries)
+    osql = set(entrymod.oracle_sql())
+    assert pruned <= osql
+    # determinism: two computations agree
+    assert list(driver) == list(entrymod.queries())
+
+
+def test_prunable_ordering_and_eligibility():
+    """_prunable is pure: eligibility = fresh-green, >= 2 rounds older
+    than the newest round file, not fronted; order = oldest green first,
+    name tiebreak; git-unknowable staleness (None) disables pruning."""
+    def f(spark, sf):  # pragma: no cover - never called
+        raise AssertionError
+
+    full = {f"q{i}": f for i in range(6)}
+    green = {
+        "q0": "CORRECTNESS_r3.json",
+        "q1": "CORRECTNESS_r8.json",   # too recent (8 > 8-2)
+        "q2": "CORRECTNESS_r5.json",   # stale -> never prunable
+        "q3": "CORRECTNESS_r4.json",
+        "q4": "CORRECTNESS_r6.json",
+        "q5": "CORRECTNESS_r3.json",
+    }
+    stale = {"q2"}
+    assert entrymod._prunable(full, green, stale) == [
+        "q0", "q5", "q3", "q4"
+    ]
+    assert entrymod._prunable(full, green, None) == []
+    assert entrymod._prunable(full, {}, stale) == []

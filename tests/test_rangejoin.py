@@ -96,7 +96,8 @@ def test_interval_overlap_multibin_pair_counted_once(spark):
     right = _iv(spark, [(10, "2024-01-01 01:15:00", "2024-01-01 08:45:00")],
                 "rs", "re")
     out = interval_overlap_join(
-        left, right, l_start="ls", l_end="le", r_start="rs", r_end="re"
+        left, right, l_start="ls", l_end="le", r_start="rs", r_end="re",
+        rsuffix="_r",
     ).collect()
     assert len(out) == 1  # 8+ shared hour bins, ONE pair
 
@@ -123,9 +124,10 @@ def test_interval_overlap_matches_naive_theta_join(spark):
     left = _iv(spark, lrows, "ls", "le")
     right = _iv(spark, rrows, "rs", "re")
     got = sorted(
-        (r.iid, r[3])
+        (r.iid, r.iid_r)
         for r in interval_overlap_join(
-            left, right, l_start="ls", l_end="le", r_start="rs", r_end="re"
+            left, right, l_start="ls", l_end="le", r_start="rs", r_end="re",
+            rsuffix="_r",
         ).collect()
     )
     naive = sorted(
@@ -167,10 +169,10 @@ def test_interval_overlap_property_fuzz_vs_theta(spark):
         left = mk(25, 1).withColumnRenamed("s", "ls").withColumnRenamed("e", "le")
         right = mk(20, 2).withColumnRenamed("s", "rs").withColumnRenamed("e", "re")
         got = sorted(
-            (r[0], r[3])  # columns: iid, ls, le, iid, rs, re
+            (r.iid, r.iid_r)
             for r in interval_overlap_join(
                 left, right, l_start="ls", l_end="le",
-                r_start="rs", r_end="re",
+                r_start="rs", r_end="re", rsuffix="_r",
             ).collect()
         )
         naive = sorted(
@@ -184,3 +186,101 @@ def test_interval_overlap_property_fuzz_vs_theta(spark):
         )
         assert got == naive, f"seed {seed}: {len(got)} vs {len(naive)}"
         assert len(got) == len(set(got))  # no pair duplicated
+
+
+# ---------------------------------------------------------------------------
+# guards: bins-per-interval cap, duplicate-column refusal (round 9)
+# ---------------------------------------------------------------------------
+
+def test_long_interval_raises_instead_of_exploding(spark):
+    """A single year-long interval at 1-hour bins would be 8,760 explode
+    copies — the guard must raise (with the bounds in the message) before
+    the blowup materializes, not after."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from checkatron_spark.operators.rangejoin import interval_overlap_join
+
+    left = _iv(spark, [(1, "2024-01-01 00:00:00", "2025-01-01 00:00:00")],
+               "ls", "le")
+    right = _iv(spark, [(10, "2024-06-01 00:00:00", "2024-06-01 01:00:00")],
+                "rs", "re")
+    with pytest.raises(SparkRuntimeException, match="max_bins_per_interval"):
+        interval_overlap_join(
+            left, right, l_start="ls", l_end="le", r_start="rs", r_end="re",
+            rsuffix="_r",
+        ).collect()
+    # raising the cap (or the bin width) admits the same data
+    out = interval_overlap_join(
+        left, right, l_start="ls", l_end="le", r_start="rs", r_end="re",
+        rsuffix="_r", max_bins_per_interval=10000,
+    ).collect()
+    assert [(r.iid, r.iid_r) for r in out] == [(1, 10)]
+
+
+def test_range_join_binned_long_interval_raises(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from checkatron_spark.operators.rangejoin import range_join_binned
+
+    points = spark.createDataFrame([(1, T0)], ["pid", "ts"])
+    intervals = spark.createDataFrame(
+        [(10, T0 - timedelta(days=400), T0 + timedelta(days=400))],
+        ["iid", "w_start", "w_end"],
+    )
+    with pytest.raises(SparkRuntimeException, match="max_bins_per_interval"):
+        range_join_binned(
+            points, intervals, point_ts="ts", start_ts="w_start",
+            end_ts="w_end",
+        ).collect()
+
+
+def test_null_endpoint_interval_still_dropped_not_raised(spark):
+    """NULL-endpoint intervals keep the pre-guard semantics: dropped by
+    the NULL sequence, never counted against the bins cap."""
+    from checkatron_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, T0, None), (2, T0, T0 + timedelta(hours=1))],
+        "iid int, ls timestamp, le timestamp",
+    )
+    right = _iv(spark, [(10, "2024-01-01 00:30:00", "2024-01-01 02:00:00")],
+                "rs", "re")
+    out = interval_overlap_join(
+        left, right, l_start="ls", l_end="le", r_start="rs", r_end="re",
+        rsuffix="_r",
+    ).collect()
+    assert [(r.iid, r.iid_r) for r in out] == [(2, 10)]
+
+
+def test_shared_column_names_raise_without_rsuffix(spark):
+    import pytest
+
+    from checkatron_spark.operators.rangejoin import interval_overlap_join
+
+    left = _iv(spark, [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+               "ls", "le")
+    right = _iv(spark, [(10, "2024-01-01 00:30:00", "2024-01-01 02:00:00")],
+                "rs", "re")
+    with pytest.raises(ValueError, match="iid"):
+        interval_overlap_join(
+            left, right, l_start="ls", l_end="le", r_start="rs", r_end="re"
+        )
+
+
+def test_rsuffix_renames_clashing_bound_columns(spark):
+    """rsuffix must track r_start/r_end themselves when BOTH sides use
+    the same bound names."""
+    from checkatron_spark.operators.rangejoin import interval_overlap_join
+
+    left = _iv(spark, [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+               "s", "e")
+    right = _iv(spark, [(10, "2024-01-01 00:30:00", "2024-01-01 02:00:00")],
+                "s", "e")
+    out = interval_overlap_join(
+        left, right, l_start="s", l_end="e", r_start="s", r_end="e",
+        rsuffix="_r",
+    )
+    assert sorted(out.columns) == ["e", "e_r", "iid", "iid_r", "s", "s_r"]
+    assert [(r.iid, r.iid_r) for r in out.collect()] == [(1, 10)]

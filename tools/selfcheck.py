@@ -99,7 +99,10 @@ def main() -> int:
     from checkatron_spark.session import get_spark
 
     spark = get_spark()
-    qs = entry.queries()
+    # the FULL declared contract — queries() is the driver-facing view and
+    # prunes ever-green entries out of its 50-slot check window; the sweep
+    # is exactly the gate that must keep grading those (round 9)
+    qs = entry.full_queries()
     oracles = entry.oracle_sql()
     names = sorted(qs)
     if args.only:
