@@ -179,6 +179,38 @@ def main() -> None:
         total += timings[name]
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
+    # round 9 (VERDICT r8 #5): wide-diff stress at warehouse-DESCRIBE width.
+    # Recorded as its OWN metric, not summed into the headline total — the
+    # cost is ~46 s of driver-side planning (SCALE.md "Core diff"), a
+    # constant that would swamp round-over-round query deltas. One run
+    # (planning-dominated, low variance), synthetic frames (no sf tables
+    # have 1200 columns).
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from checkatron_spark import diff as _diff
+
+    n_cols = 1200
+    wbase = spark.range(2000).select(
+        F.col("id").alias("k"),
+        *[(F.col("id") + i).alias(f"c{i}") for i in range(n_cols)],
+    )
+    wchanged = spark.range(2000).select(
+        F.col("id").alias("k"),
+        *[
+            ((F.col("id") + i) + F.when(F.lit(i == 7), 1).otherwise(0)).alias(
+                f"c{i}"
+            )
+            for i in range(n_cols)
+        ],
+    )
+    t0 = time.perf_counter()
+    _force(_diff(wbase, wchanged, ["k"]))
+    wide_dt = round(time.perf_counter() - t0, 3)
+    print(f"[bench] wide_diff_1200col: {wide_dt}s (not in total)",
+          file=sys.stderr)
+    detail["wide_diff_1200col"] = {"runs": [wide_dt], "min": wide_dt,
+                                   "spread": 0.0, "in_total": False}
+
     here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, "BENCH_DETAIL.json")
@@ -195,6 +227,7 @@ def main() -> None:
             "spread_total": round(
                 sum(d["spread"] for d in detail.values()), 3
             ),
+            "wide_diff_1200col_sec": wide_dt,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },
         separators=(",", ":"),

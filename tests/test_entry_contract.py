@@ -294,3 +294,59 @@ def test_prunable_ordering_and_eligibility():
     ]
     assert entrymod._prunable(full, green, None) == []
     assert entrymod._prunable(full, {}, stale) == []
+
+
+def test_latest_sf1_probe_is_scale_clean():
+    """Round 9 (VERDICT r8 #7): the 10x-scale probe is the scale-honesty
+    gate and it must be mechanical, not hand-annotated — the NEWEST
+    SWEEP_r*_sf1.json must exist, cover every query in the probe battery,
+    and contain no row that is both over its growth bound and not
+    allow-listed (the allow-list lives in tools/sweep_sf1_probe.py with
+    the growth-law reason). Extending a battery without re-running the
+    probe turns this red until it is re-run, which is the point."""
+    import importlib.util
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    probes = sorted(
+        repo.glob("SWEEP_r*_sf1.json"),
+        key=lambda p: int(re.search(r"SWEEP_r(\d+)_sf1", p.name).group(1)),
+    )
+    assert probes, (
+        "no SWEEP_r<N>_sf1.json committed — run the three "
+        "tools/sweep_sf1_probe.py batches with --json (see its docstring)"
+    )
+    latest = probes[-1]
+    records = {}
+    for line in latest.read_text().splitlines():
+        if line.strip():
+            rec = json.loads(line)
+            records[rec["query"]] = rec  # last write per query wins
+
+    spec = importlib.util.spec_from_file_location(
+        "sweep_sf1_probe", repo / "tools" / "sweep_sf1_probe.py"
+    )
+    probe_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe_mod)
+    battery = set(probe_mod.PROBE) | set(probe_mod.PROBE2) | set(
+        probe_mod.PROBE_DOCS
+    )
+    missing = battery - set(records)
+    assert not missing, (
+        f"{latest.name} misses battery queries {sorted(missing)} — re-run "
+        "the probe batches"
+    )
+    bad = {
+        n: r
+        for n, r in records.items()
+        if not r["ok"] and not r["allowed"]
+    }
+    assert not bad, (
+        "non-allow-listed SUPER-LINEAR probe rows: "
+        + ", ".join(
+            f"{n} (t-ratio {r['t_ratio']}x vs bound {r['bound']}x)"
+            for n, r in sorted(bad.items())
+        )
+    )
