@@ -69,9 +69,11 @@ HEADLINERS = [
     ("price_quantiles_from_partials", "mergeable quantiles (round 8): two chained hash aggregates + single-row bounded array fold — no global window, no collect"),
     ("ann_label_filtered_topk", "filtered ANN (round 8): block-equality hash join, per-query work = |block|; no nested loop"),
     ("events_session_stats", "session table (round 8): ONE user_id window shuffle (lag + ROWS running sum), then map-combined per-session aggregate"),
-    ("takedown_propagation", "takedown cascade (round 8): codegen aggregate + broadcast removed-id join; neither table shuffles"),
-    ("sessions_overlap_promos", "interval overlap join (round 8): both sides bin-exploded into an equi-join, later-start-bin pair attribution, no nested loop"),
+    ("takedown_propagation", "takedown cascade (round 8; r9: no forced broadcast — AQE sizes the source-scale removal set): codegen aggregate + removed-id join"),
+    ("sessions_overlap_promos", "interval overlap join (round 8; r9: bins-per-interval cap compiled into the explode): both sides bin-exploded into an equi-join, later-start-bin pair attribution, no nested loop"),
     ("neardup_triangles", "triangle count (round 8): ordered-edge equi-join intersect; scalar 1-row crosses only"),
+    ("ann_lsh_topk", "round 9: re-pointed at the IVF exact scale path (8 cells / 3 probed); MLlib BRP-LSH parity is pytest-only"),
+    ("neardup_minhash_lsh", "round 9: re-pointed at the banded-MinHash scale path (16 hashes, 8 AND-bands of 2, exact-Jaccard verify); MLlib MinHashLSH parity is pytest-only"),
 ]
 
 
