@@ -81,7 +81,10 @@ from checkatron_spark.operators.dedup import (
 from checkatron_spark.operators.kmeans import kmeans_assign
 from checkatron_spark.sampling import mix_budget_plan, shard_manifest
 from checkatron_spark.functions.text import pii_count, pii_scrub
-from checkatron_spark.operators.rangejoin import range_join_binned
+from checkatron_spark.operators.rangejoin import (
+    interval_overlap_join,
+    range_join_binned,
+)
 from checkatron_spark.operators.skew import salted_agg, salted_join
 from checkatron_spark.operators.guard import (
     DuplicateKeyError,
@@ -160,6 +163,7 @@ __all__ = [
     "load_csv_table",
     "load_json_table",
     "parse_args",
+    "interval_overlap_join",
     "range_join_binned",
     "row_checksum",
     "salted_agg",
