@@ -150,10 +150,13 @@ ALLOW: dict[str, str] = {
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     json_path = None
-    if "--json" in sys.argv:
-        json_path = sys.argv[sys.argv.index("--json") + 1]
+    argv = list(sys.argv[1:])
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i : i + 2]  # the PATH value must not leak into positionals
+    args = [a for a in argv if not a.startswith("--")]
     if "--docs" in sys.argv:
         batch, small, big, label = (
             PROBE_DOCS,
