@@ -350,3 +350,34 @@ def test_latest_sf1_probe_is_scale_clean():
             for n, r in sorted(bad.items())
         )
     )
+
+
+def test_bench_and_probe_batteries_reference_declared_queries():
+    """bench.py filters HEADLINE through the registry (`n in qs`) and the
+    probe indexes it directly — a renamed/retired query would silently
+    drop a bench row (or crash the probe mid-battery). Pin every battery
+    name to the declared contract."""
+    import importlib.util
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    full = set(entrymod._queries_unordered())
+
+    def _load(path, name):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    bench = _load(repo / "bench.py", "bench_mod")
+    missing = [n for n in bench.HEADLINE if n not in full]
+    assert not missing, f"bench HEADLINE names not in contract: {missing}"
+
+    probe = _load(repo / "tools" / "sweep_sf1_probe.py", "sweep_sf1_probe_t")
+    for battery in (probe.PROBE, probe.PROBE2, probe.PROBE_DOCS):
+        missing = [n for n in battery if n not in full]
+        assert not missing, f"probe battery names not in contract: {missing}"
+    # ALLOW entries must reference battery queries, not ghosts
+    batt = set(probe.PROBE) | set(probe.PROBE2) | set(probe.PROBE_DOCS)
+    ghosts = [n for n in probe.ALLOW if n not in batt]
+    assert not ghosts, f"ALLOW entries outside the batteries: {ghosts}"
