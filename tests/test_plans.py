@@ -150,6 +150,9 @@ def test_no_cartesian_in_any_query(spark):
     # brute-force small-side scorers + scalar (1-row) broadcast crossJoins
     allowed_bnl = {
         "ann_bruteforce_topk", "neardup_embedding_cosine", "ann_ivf_topk",
+        # round 9: re-pointed at the IVF exact path, so it inherits IVF's
+        # deliberate corpus x k-centroid-literals BNLJ (probe stage)
+        "ann_lsh_topk",
         "tfidf_top_terms",
         # probe-all against the broadcast eval set IS the semantics (tiny
         # build side, similarity predicate pushed into the join)
