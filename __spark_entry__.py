@@ -184,16 +184,26 @@ def _q_orders_filtered(spark, sf_dir):
 # ever-green ones go last. Rotation is AUTOMATIC — _greens_on_disk() reads
 # every CORRECTNESS_r*.json committed to the repo root, and queries() demotes
 # anything that has ever hash-matched — UNLESS its implementation changed
-# since the green was recorded (_stale_greens, git-derived), in which case it
-# re-enters the window after the never-checked backlog. _CHECK_FIRST is the
+# since the green was recorded (_stale_greens — git-derived file hits,
+# attributed down to the query's cross-module symbol closure by
+# _query_fingerprint since round 9, so a big module's unrelated edits no
+# longer flood the window), in which case it re-enters the window after the
+# never-checked backlog. _CHECK_FIRST is the
 # manual priority override on top: it fronts queries whose re-grade must land
 # THIS round (a stale green that cannot wait behind the backlog). Entries
 # that are already green AND unchanged can be pruned each round; leaving
 # them costs a window slot, nothing else.
 _CHECK_FIRST: list[str] = [
-    # (round 5: empty — qty_price_corr and curation_funnel (the two
-    # round-4 oracle-layer fixes) have never been hash-green, so the
-    # auto-rotation fronts them without an override)
+    # round 9: the seven queries whose BEHAVIOR changed this round (LSH
+    # re-points, rangejoin guards, ADVICE fixes) must re-grade in THIS
+    # round's window, ahead of the conservatively-stale backlog
+    "ann_lsh_topk",
+    "neardup_minhash_lsh",
+    "sessions_overlap_promos",
+    "events_range_join",
+    "takedown_propagation",
+    "source_lang_entropy",
+    "pmi_collocations",
 ]
 
 # Queries declared in the CURRENT round sit at the END of the never-checked
@@ -243,6 +253,11 @@ def _greens_on_disk() -> dict[str, str]:
     return green
 
 
+_SOURCE_FILES_CACHE: dict[str, frozenset] = {}
+# per-process cache: the import graph of a module is stable within one
+# driver/test invocation; staleness reloads per process anyway
+
+
 def _query_source_files(fn) -> set[str]:
     """Repo-relative source files whose edits invalidate a query's green:
     the defining module plus any package modules it imports ANYWHERE in its
@@ -284,6 +299,9 @@ def _query_source_files(fn) -> set[str]:
     mod_file = _rel(mod) if mod is not None else None
     if mod is None or mod_file is None:
         return set()
+    cached = _SOURCE_FILES_CACHE.get(mod_file)
+    if cached is not None:
+        return set(cached)
     files: set[str | None] = {mod_file}
     try:
         tree = ast.parse(open(os.path.join(here, mod_file)).read())
@@ -302,7 +320,367 @@ def _query_source_files(fn) -> set[str]:
                 for a in node.names:
                     files.add(_mod_file(f"{node.module}.{a.name}"))
     files.discard(None)
+    _SOURCE_FILES_CACHE[mod_file] = frozenset(files)  # type: ignore[arg-type]
     return files  # type: ignore[return-value]
+
+
+def _defining_module_file(fn) -> str | None:
+    """Repo-relative path of the module that defines the query function."""
+    import os
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    while hasattr(fn, "__wrapped__"):
+        fn = fn.__wrapped__
+    mod = sys.modules.get(getattr(fn, "__module__", ""), None)
+    f = getattr(mod, "__file__", None) if mod is not None else None
+    if not f:
+        return None
+    f = os.path.abspath(f)
+    return os.path.relpath(f, here) if f.startswith(here + os.sep) else None
+
+
+@__import__("functools").lru_cache(maxsize=4096)
+def _mod_path(dotted: str) -> str | None:
+    """Repo-relative file for a dotted module name; None when the module is
+    external (site-packages never count toward staleness) or unresolvable."""
+    import importlib.util
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        spec = importlib.util.find_spec(dotted)
+    except (ImportError, ValueError, AttributeError):
+        return None
+    if spec is None or not spec.origin or not getattr(spec, "has_location", False):
+        return None  # builtin/frozen origins are sentinels, not paths
+    if not os.path.isabs(spec.origin):
+        return None
+    f = os.path.abspath(spec.origin)
+    return os.path.relpath(f, here) if f.startswith(here + os.sep) else None
+
+
+_INFO_CACHE: dict = {}
+
+
+def _parse_module_info(src: str):
+    """Static summary of ONE module version for closure fingerprints
+    (round 9): module-level defs by name, the preamble (imports + loose
+    statements — both can change behavior without touching any def, so
+    they fingerprint globally per module), and the import bindings that
+    let symbol references resolve across repo modules. Returns None on a
+    syntax error, a relative import, or a repo-module star import — the
+    three shapes per-symbol attribution cannot survive."""
+    import ast
+    import hashlib
+
+    key = hashlib.md5(src.encode()).hexdigest()
+    if key in _INFO_CACHE:
+        return _INFO_CACHE[key]
+
+    def _build():
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            return None
+        mod_aliases: dict[str, str] = {}  # local name -> dotted repo module
+        sym_imports: dict[str, tuple] = {}  # local -> (dotted module, orig)
+        ambiguous: set[str] = set()
+
+        def bind(target: dict, name: str, value) -> None:
+            if name in ambiguous:
+                return
+            other = sym_imports if target is mod_aliases else mod_aliases
+            if name in other or (name in target and target[name] != value):
+                ambiguous.add(name)
+                target.pop(name, None)
+                other.pop(name, None)
+                return
+            target[name] = value
+
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.asname:
+                        if _mod_path(a.name) is not None:
+                            bind(mod_aliases, a.asname, a.name)
+                    else:
+                        root = a.name.split(".")[0]
+                        if _mod_path(root) is not None:
+                            bind(mod_aliases, root, root)
+            elif isinstance(node, ast.ImportFrom):
+                if node.level:
+                    return None  # relative import — out of contract
+                mod = node.module or ""
+                for a in node.names:
+                    if a.name == "*":
+                        if mod.startswith("checkatron_spark"):
+                            return None  # repo star import — unsound
+                        continue
+                    local = a.asname or a.name
+                    sub = f"{mod}.{a.name}" if mod else a.name
+                    if _mod_path(sub) is not None:
+                        bind(mod_aliases, local, sub)
+                    elif _mod_path(mod) is not None:
+                        bind(sym_imports, local, (mod, a.name))
+
+        defs: dict[str, ast.stmt] = {}
+        preamble: list[str] = []
+        for i, node in enumerate(tree.body):
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                defs[node.name] = node
+            elif isinstance(node, ast.Assign) and all(
+                isinstance(t, ast.Name) for t in node.targets
+            ):
+                for t in node.targets:
+                    defs[t.id] = node
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                defs[node.target.id] = node
+            elif (
+                i == 0
+                and isinstance(node, ast.Expr)
+                and isinstance(node.value, ast.Constant)
+                and isinstance(node.value.value, str)
+            ):
+                pass  # module docstring
+            else:
+                preamble.append(
+                    ast.get_source_segment(src, node) or ast.dump(node)
+                )
+        return {
+            "src": src,
+            "defs": defs,
+            "preamble": sorted(preamble),
+            "mod_aliases": mod_aliases,
+            "sym_imports": sym_imports,
+            "ambiguous": ambiguous,
+            # per-version memo of _node_refs / source segments: the same
+            # module version is consulted by every query that reaches it,
+            # so resolve each symbol once (info dicts are cached by md5)
+            "_refs": {},
+            "_segs": {},
+        }
+
+    info = _build()
+    _INFO_CACHE[key] = info
+    return info
+
+
+def _sym_refs(info, sym):
+    """Memoized :func:`_node_refs` for a module-level symbol."""
+    if sym not in info["_refs"]:
+        info["_refs"][sym] = _node_refs(info, info["defs"][sym])
+    return info["_refs"][sym]
+
+
+def _seg(info, node) -> str:
+    """Source segment via a per-module-version line table:
+    ast.get_source_segment re-splits the WHOLE module on every call
+    (measured 11 s across one staleness pass), this is O(segment)."""
+    import ast
+
+    lines = info.get("_lines")
+    if lines is None:
+        lines = info["_lines"] = info["src"].splitlines(keepends=True)
+    try:
+        i0, c0 = node.lineno - 1, node.col_offset
+        i1, c1 = node.end_lineno - 1, node.end_col_offset
+    except AttributeError:
+        return ast.dump(node)
+    if i0 == i1:
+        return lines[i0][c0:c1]
+    return lines[i0][c0:] + "".join(lines[i0 + 1 : i1]) + lines[i1][:c1]
+
+
+def _sym_seg(info, sym) -> str:
+    """Memoized source segment for a module-level symbol (decorator lines
+    included — they are outside node.lineno but change behavior)."""
+    if sym not in info["_segs"]:
+        node = info["defs"][sym]
+        deco = "".join(
+            "@" + _seg(info, d) + "\n"
+            for d in getattr(node, "decorator_list", [])
+        )
+        info["_segs"][sym] = deco + _seg(info, node)
+    return info["_segs"][sym]
+
+
+def _node_refs(info, node):
+    """Resolve every name referenced inside ``node`` against the module
+    summary: returns (local_names, external_(file, symbol)_pairs) or None
+    when a reference is unsound to attribute (ambiguous rebinding, a repo
+    module alias used as a bare value)."""
+    import ast
+
+    # longest attribute chain per base Name node (walk is breadth-first,
+    # so the outermost Attribute is seen before its inner ones)
+    chains: dict[int, tuple] = {}
+    attr_base_ids: set[int] = set()
+    for sub in ast.walk(node):
+        if isinstance(sub, ast.Attribute):
+            chain = []
+            cur = sub
+            while isinstance(cur, ast.Attribute):
+                chain.append(cur.attr)
+                cur = cur.value
+            if isinstance(cur, ast.Name):
+                attr_base_ids.add(id(cur))
+                prev = chains.get(id(cur))
+                flat = tuple(reversed(chain))
+                if prev is None or len(flat) > len(prev):
+                    chains[id(cur)] = flat
+
+    local: set[str] = set()
+    ext: set[tuple] = set()
+    for sub in ast.walk(node):
+        if not isinstance(sub, ast.Name):
+            continue
+        nid = sub.id
+        if nid in info["ambiguous"]:
+            return None
+        if nid in info["mod_aliases"]:
+            if id(sub) not in attr_base_ids:
+                # module object used as a value (passed around / getattr):
+                # per-symbol attribution is impossible
+                return None
+            dotted = info["mod_aliases"][nid]
+            syms = list(chains[id(sub)])
+            while syms and _mod_path(f"{dotted}.{syms[0]}") is not None:
+                dotted = f"{dotted}.{syms[0]}"
+                syms.pop(0)
+            f = _mod_path(dotted)
+            if f is None:
+                continue  # resolved to an external module after all
+            if not syms:
+                return None  # bare module reference through the chain
+            ext.add((f, syms[0]))
+        elif nid in info["defs"]:
+            local.add(nid)
+        elif nid in info["sym_imports"]:
+            mod, orig = info["sym_imports"][nid]
+            f = _mod_path(mod)
+            if f is not None:
+                ext.add((f, orig))
+            # external symbol imports never count toward staleness
+    return local, ext
+
+
+def _entry_frontier(info, start_file: str, query_name: str):
+    """The query's OWN registration expressions in the start module's
+    QUERIES / oracles() / _queries_unordered() / oracle_sql() literals:
+    returns (frontier_items, entry_texts) or None. Only the per-key value
+    expression joins the fingerprint, so adding an unrelated query to the
+    same dict does not stale this one; a mapping function whose body feeds
+    the dict from locals joins wholesale (conservative)."""
+    import ast
+
+    frontier: list[tuple] = []
+    texts: list[str] = []
+    for map_name in ("QUERIES", "oracles", "_queries_unordered", "oracle_sql"):
+        node = info["defs"].get(map_name)
+        if node is None:
+            continue
+        if isinstance(node, ast.Assign):
+            d = node.value
+        elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            rets = [s for s in ast.walk(node) if isinstance(s, ast.Return)]
+            if len(rets) != 1 or rets[0].value is None:
+                return None
+            d = rets[0].value
+            body = [
+                s
+                for s in node.body
+                if not (
+                    isinstance(s, ast.Expr)
+                    and isinstance(s.value, ast.Constant)
+                )
+            ]
+            if len(body) != 1 or not isinstance(body[0], ast.Return):
+                frontier.append((start_file, map_name))
+        else:
+            return None
+        if not isinstance(d, ast.Dict):
+            return None
+        for k, v in zip(d.keys, d.values):
+            if isinstance(k, ast.Constant) and k.value == query_name:
+                texts.append(_seg(info, v))
+                r = _node_refs(info, v)
+                if r is None:
+                    return None
+                local, ext = r
+                frontier += [(start_file, n) for n in local]
+                frontier += list(ext)
+    return frontier, texts
+
+
+def _query_fingerprint(
+    start_file: str, fn_name: str, query_name: str, src_of
+) -> str | None:
+    """Deterministic text fingerprint of EVERYTHING in the repo that can
+    affect one query (round 9 — closure-level staleness): the transitive
+    cross-module closure of its function (module-level defs reached by
+    name, following `from x import y` and `alias.attr` references into
+    other repo modules), its registration/oracle entry expressions, and
+    each reached module's imports + loose statements. ``src_of(path)``
+    supplies the module source per repo-relative path (disk for the
+    working tree, `git show` for the recording commit's version). Returns
+    None whenever attribution is unsound — callers MUST treat None as
+    "cannot prove unchanged"."""
+    import ast
+
+    infos: dict[str, object] = {}
+
+    def info_of(path: str):
+        if path not in infos:
+            s = src_of(path)
+            infos[path] = None if s is None else _parse_module_info(s)
+        return infos[path]
+
+    start = info_of(start_file)
+    if start is None or fn_name not in start["defs"]:
+        return None
+    entry = _entry_frontier(start, start_file, query_name)
+    if entry is None:
+        return None
+    frontier, entry_texts = entry
+    frontier = [(start_file, fn_name)] + frontier
+    pieces = [f"{start_file}<entry>::{t}" for t in entry_texts]
+    seen_syms: set[tuple] = set()
+    seen_mods: set[str] = set()
+    while frontier:
+        mf, sym = frontier.pop()
+        if (mf, sym) in seen_syms:
+            continue
+        seen_syms.add((mf, sym))
+        info = info_of(mf)
+        if info is None:
+            return None
+        if mf not in seen_mods:
+            seen_mods.add(mf)
+            pieces += [f"{mf}<pre>::{p}" for p in info["preamble"]]
+        if sym in info["defs"]:
+            pieces.append(f"{mf}::{sym}::{_sym_seg(info, sym)}")
+            r = _sym_refs(info, sym)
+            if r is None:
+                return None
+            local, ext = r
+            frontier += [(mf, n) for n in local]
+            frontier += list(ext)
+        elif sym in info["sym_imports"]:
+            mod, orig = info["sym_imports"][sym]
+            f = _mod_path(mod)
+            if f is not None:
+                frontier.append((f, orig))
+            # re-export of an external symbol — nothing to track
+        elif sym in info["mod_aliases"]:
+            return None  # expected a symbol, found a module binding
+        else:
+            return None  # unresolvable symbol in a repo module
+    return "\n<<fp>>\n".join(sorted(pieces))
 
 
 def _stale_greens_or_none(
@@ -327,6 +705,7 @@ def _stale_greens_or_none(
 
     try:
         changed_since: dict[str, set[str]] = {}
+        commit_of: dict[str, str] = {}
         for round_file in set(green.values()):
             # the commit that ADDED the round file is the recording commit;
             # anchoring on the newest touch instead would let any later
@@ -338,6 +717,7 @@ def _stale_greens_or_none(
             if not commit:
                 changed_since[round_file] = set()  # untracked -> assume fresh
                 continue
+            commit_of[round_file] = commit
             # diff vs working tree so uncommitted edits also count as stale
             changed = set(
                 _git("diff", "--name-only", commit).splitlines()
@@ -346,13 +726,61 @@ def _stale_greens_or_none(
     except Exception:
         return None
 
+    # closure-level refinement (round 9): file-level hits are attributed
+    # down to the query's transitive symbol closure — a 3000-line module's
+    # unrelated edits must not flood the 50-slot check window with stale
+    # greens. Any doubt (fingerprint None, git show failure, unsound
+    # reference shape) stays stale — correctness beats window hygiene.
+    old_src_cache: dict[tuple[str, str], str | None] = {}
+    new_src_cache: dict[str, str | None] = {}
+
+    def _src_now(path: str) -> str | None:
+        if path not in new_src_cache:
+            try:
+                with open(os.path.join(here, path)) as fh:
+                    new_src_cache[path] = fh.read()
+            except OSError:
+                new_src_cache[path] = None
+        return new_src_cache[path]
+
+    def _src_at(commit: str, path: str) -> str | None:
+        key = (commit, path)
+        if key not in old_src_cache:
+            try:
+                old_src_cache[key] = _git("show", f"{commit}:{path}")
+            except Exception:
+                old_src_cache[key] = None
+        return old_src_cache[key]
+
     stale: set[str] = set()
     for name, round_file in green.items():
         if name not in full:
             continue
         changed = changed_since.get(round_file, set())
-        if changed and (_query_source_files(full[name]) & changed):
-            stale.add(name)
+        hit = _query_source_files(full[name]) & changed
+        if not hit:
+            continue
+        fn = full[name]
+        while hasattr(fn, "__wrapped__"):
+            fn = fn.__wrapped__
+        mod_file = _defining_module_file(fn)
+        commit = commit_of.get(round_file)
+        if mod_file is not None and commit is not None:
+            # compare the query's cross-module closure fingerprint between
+            # the recording commit's sources and the working tree: equal
+            # fingerprints PROVE the edits flagged by the file-level check
+            # cannot have touched this query, so its green stays fresh
+            def _src_old(path, _c=commit, _ch=changed):
+                return _src_at(_c, path) if path in _ch else _src_now(path)
+
+            fp_new = _query_fingerprint(
+                mod_file, fn.__name__, name, _src_now
+            )
+            if fp_new is not None and fp_new == _query_fingerprint(
+                mod_file, fn.__name__, name, _src_old
+            ):
+                continue  # proven unaffected by the flagged edits
+        stale.add(name)
     return stale
 
 

@@ -1,0 +1,206 @@
+"""Closure-level staleness (round 9, VERDICT r8 #3 follow-through): the
+cross-module fingerprint in __spark_entry__ must (a) IGNORE edits that
+provably cannot touch a query — that is the whole point, a 3000-line
+module's unrelated churn must not flood the 50-slot driver window — and
+(b) CHANGE (or refuse with None) for every edit class that could: the
+query's function, a transitively-referenced helper in any repo module,
+import rebinding, loose module-level statements, decorators, the query's
+own registration/oracle entry. Conservative direction is pinned hard:
+every unsound shape must yield None, never a false "fresh"."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+CORPUS = "checkatron_spark/corpus.py"
+
+
+def _disk(path):
+    import os
+
+    here = os.path.dirname(os.path.abspath(entrymod.__file__))
+    try:
+        with open(os.path.join(here, path)) as fh:
+            return fh.read()
+    except OSError:
+        return None
+
+
+def _patched(path_to_patch, transform):
+    def src_of(path):
+        s = _disk(path)
+        if s is not None and path == path_to_patch:
+            return transform(s)
+        return s
+
+    return src_of
+
+
+def _fp(src_of):
+    return entrymod._query_fingerprint(
+        CORPUS, "q_pmi_collocations", "pmi_collocations", src_of
+    )
+
+
+BASE = None
+
+
+def setup_module():
+    global BASE
+    BASE = _fp(_disk)
+    assert BASE is not None
+
+
+def test_unrelated_same_module_edit_keeps_fingerprint():
+    # a brand-new function appended to the 1400-line module
+    fp = _fp(_patched(CORPUS, lambda s: s + "\n\ndef _r9_unrelated():\n    return 1\n"))
+    assert fp == BASE
+    # an edit INSIDE another query's function body
+    assert "def q_chunk_documents" in _disk(CORPUS)
+    fp = _fp(
+        _patched(
+            CORPUS,
+            lambda s: s.replace(
+                "def q_chunk_documents", "def q_chunk_documents_renamed"
+            ),
+        )
+    )
+    # renaming another query's function removes it from defs — the
+    # pmi closure never referenced it, so the fingerprint holds
+    assert fp == BASE
+
+
+def test_own_function_edit_changes_fingerprint():
+    fp = _fp(
+        _patched(
+            CORPUS,
+            lambda s: s.replace(
+                "def pmi_collocations(", "def pmi_collocations(  # edited"
+            ),
+        )
+    )
+    assert fp != BASE
+
+
+def test_oracle_constant_edit_changes_fingerprint():
+    src = _disk(CORPUS)
+    assert "PMI_COLLOCATIONS_SQL" in src
+    fp = _fp(
+        _patched(
+            CORPUS,
+            lambda s: s.replace(
+                "PMI_COLLOCATIONS_SQL = r", "PMI_COLLOCATIONS_SQL = r'-- x' + r",
+            ),
+        )
+    )
+    assert fp != BASE
+
+
+def test_import_and_loose_statement_edits_change_fingerprint():
+    # a NEW import (could rebind a name used anywhere)
+    fp = _fp(
+        _patched(
+            CORPUS,
+            lambda s: s.replace(
+                "from __future__ import annotations",
+                "from __future__ import annotations\nimport os as _r9_os",
+                1,
+            ),
+        )
+    )
+    assert fp != BASE
+    # a loose module-level statement (registration/config side effects)
+    fp = _fp(_patched(CORPUS, lambda s: s + "\nif True:\n    pass\n"))
+    assert fp != BASE
+    # a pure comment appended to a line does NOT flip (comments are not
+    # behavior; AST segments exclude them)
+    fp = _fp(
+        _patched(
+            CORPUS,
+            lambda s: s.replace(
+                "from __future__ import annotations",
+                "from __future__ import annotations  # note",
+                1,
+            ),
+        )
+    )
+    assert fp == BASE
+
+
+def test_cross_module_helper_edit_changes_fingerprint():
+    # pmi_collocations pulls scratch_persist from session.py inside its
+    # body — an edit THERE must flip the fingerprint even though the
+    # defining module is untouched
+    sess = "checkatron_spark/session.py"
+    assert "def scratch_persist" in _disk(sess)
+    fp = _fp(
+        _patched(
+            sess,
+            lambda s: s.replace(
+                "def scratch_persist", "def scratch_persist(  # edited", 1
+            ).replace("def scratch_persist(  # edited(", "def scratch_persist(  # edited\n _bad", 0),
+        )
+    )
+    assert fp != BASE
+
+
+def test_other_querys_oracle_entry_is_ignored():
+    # append a NEW key to the oracles() return dict -> per-entry capture
+    # must keep pmi fresh (count the dict edit only for the new query)
+    src = _disk(CORPUS)
+    anchor = '"pmi_collocations": PMI_COLLOCATIONS_SQL,'
+    assert anchor in src
+    fp = _fp(
+        _patched(
+            CORPUS,
+            lambda s: s.replace(
+                anchor, anchor + ' "r9_new_q": PMI_COLLOCATIONS_SQL,'
+            ),
+        )
+    )
+    assert fp == BASE
+
+
+def test_unsound_shapes_yield_none_not_fresh():
+    # repo star import
+    fp = _fp(
+        _patched(
+            CORPUS,
+            lambda s: s.replace(
+                "from __future__ import annotations",
+                "from __future__ import annotations\n"
+                "from checkatron_spark.sampling import *",
+                1,
+            ),
+        )
+    )
+    assert fp is None
+    # missing function
+    fp = entrymod._query_fingerprint(
+        CORPUS, "no_such_function", "pmi_collocations", _disk
+    )
+    assert fp is None
+    # unreadable module
+    fp = _fp(lambda path: None if path == CORPUS else _disk(path))
+    assert fp is None
+
+
+def test_decorator_text_is_fingerprinted():
+    # neardup_minhash_banded's pandas_udf schema string lives in a
+    # decorator — INSIDE the function here, but module-level decorated
+    # defs exist too; pin via a synthetic check on _sym_seg including
+    # decorators for a real decorated module-level function
+    import ast
+
+    src = "@x\ndef f():\n    return 1\n"
+    info = entrymod._parse_module_info(src)
+    assert info is not None
+    seg = entrymod._sym_seg(info, "f")
+    assert seg.startswith("@x")
+
+
+def test_fingerprint_is_deterministic():
+    assert _fp(_disk) == BASE
+    assert entrymod._query_fingerprint(
+        CORPUS, "q_pmi_collocations", "pmi_collocations", _disk
+    ) == BASE
