@@ -35,7 +35,7 @@ def test_scratch_registry_roundtrip(spark):
 
 
 def test_no_cache_accumulation_across_queries(spark):
-    qs = entrymod.queries()
+    qs = entrymod.full_queries()
     release_scratch()
     baseline = _n_persistent(spark)
     high_water = []

@@ -63,7 +63,7 @@ def test_faithful_mode_costs_more_exchanges(spark):
 
 
 def test_q5_broadcasts_dimensions(spark):
-    df = entrymod.queries()["q5_region_revenue"](spark, SF_DIR)
+    df = entrymod.full_queries()["q5_region_revenue"](spark, SF_DIR)
     plan = _plan(df)
     # supplier, nation, region ride broadcast joins; no cartesian anywhere
     assert plan.count("BroadcastHashJoin") >= 3
@@ -71,7 +71,7 @@ def test_q5_broadcasts_dimensions(spark):
 
 
 def test_q7_broadcasts_both_nation_dims(spark):
-    df = entrymod.queries()["q7_volume_shipping"](spark, SF_DIR)
+    df = entrymod.full_queries()["q7_volume_shipping"](spark, SF_DIR)
     plan = _plan(df)
     # supplier + both nation aliases broadcast; the fact-fact join shuffles
     assert plan.count("BroadcastHashJoin") >= 3
@@ -82,7 +82,7 @@ def test_sampling_is_scan_speed(spark):
     """Deterministic sampling must stay a pushdown-friendly scan+filter —
     zero exchanges, zero joins (it's the operator we rely on being free at
     100 TB)."""
-    df = entrymod.queries()["sample_deterministic"](spark, SF_DIR)
+    df = entrymod.full_queries()["sample_deterministic"](spark, SF_DIR)
     plan = _plan(df)
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
@@ -91,14 +91,14 @@ def test_sampling_is_scan_speed(spark):
 def test_pack_sequences_single_window_shuffle(spark):
     """Sequence packing = exactly one hash-partitioning exchange (the window
     on lang); no joins."""
-    df = entrymod.queries()["pack_sequences_budget"](spark, SF_DIR)
+    df = entrymod.full_queries()["pack_sequences_budget"](spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
 
 
 def test_aggregation_is_partial_final(spark):
-    df = entrymod.queries()["q1_pricing_summary"](spark, SF_DIR)
+    df = entrymod.full_queries()["q1_pricing_summary"](spark, SF_DIR)
     plan = _plan(df)
     # map-side combine: a partial & a final HashAggregate pair
     assert plan.count("HashAggregate") >= 2
@@ -110,7 +110,7 @@ def test_rollup_reuse_single_scan_two_layers(spark):
     aggregation layers (daily partials -> monthly re-aggregate) — the
     materialization-reuse shape; a second scan would mean the coarse layer
     rescanned raw data."""
-    df = entrymod.queries()["rollup_from_partials"](spark, SF_DIR)
+    df = entrymod.full_queries()["rollup_from_partials"](spark, SF_DIR)
     plan = _plan(df)
     assert plan.count("Scan parquet") == 1
     # two shuffled aggregate layers, each with a map-side partial:
@@ -123,7 +123,7 @@ def test_assign_doc_ids_window_is_bucket_partitioned(spark):
     """The global-ordinal query's window must be keyed on the range bucket
     (partition-less would be the single-task funnel); the offset fold must
     stay a codegen map literal — no extra join in the plan."""
-    df = entrymod.queries()["assign_doc_ids"](spark, SF_DIR)
+    df = entrymod.full_queries()["assign_doc_ids"](spark, SF_DIR)
     plan = _plan(df)
     # the Window node's partition spec is the bucket column (the global
     # no-partition-less-window pin walks the tree; this pins WHICH key)
@@ -136,7 +136,7 @@ def test_ann_label_filtered_joins_on_block_equality(spark):
     """Filtered ANN's selling point vs the brute-force probe-all: the
     label constraint compiles to an EQUI join (hash/sort-merge), never a
     nested loop — per-query work is |block|, not |corpus|."""
-    df = entrymod.queries()["ann_label_filtered_topk"](spark, SF_DIR)
+    df = entrymod.full_queries()["ann_label_filtered_topk"](spark, SF_DIR)
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -186,7 +186,7 @@ def test_no_cartesian_in_any_query(spark):
         # an ordered-edge equi-join
         "neardup_triangles",
     }
-    for name, q in entrymod.queries().items():
+    for name, q in entrymod.full_queries().items():
         if name.startswith("stream_"):
             continue  # streaming drains run eagerly; plan asserted elsewhere
         df = q(spark, SF_DIR)
@@ -211,7 +211,7 @@ def test_no_global_window_funnel_in_any_query(spark):
     over a bounded input: a Limit descendant in the plan means a
     distributed TakeOrdered already shrank the data to <=N rows before the
     window runs."""
-    for name, q in entrymod.queries().items():
+    for name, q in entrymod.full_queries().items():
         if name.startswith("stream_"):
             continue  # streaming drains run eagerly; plan asserted elsewhere
         df = q(spark, SF_DIR)
@@ -289,7 +289,7 @@ def test_generated_sql_runs_on_spark_itself(spark):
     try:
         load_table(spark, "orders", SF_DIR).createOrReplaceTempView("orders")
         via_sql = spark.sql(W.diff_orders_oracle_sql())
-        via_df = entrymod.queries()["diff_orders"](spark, SF_DIR)
+        via_df = entrymod.full_queries()["diff_orders"](spark, SF_DIR)
         cols = sorted(via_df.columns)
         assert sorted(via_sql.columns) == cols
         a = {tuple(r[c] for c in cols) for r in via_df.collect()}
@@ -306,7 +306,7 @@ def test_apply_delta_broadcasts_churn(spark):
     the whole base to drop 1% of its keys. Static planning can't see the
     delta's size (it descends from a join), so the pin is on the FINAL
     adaptive plan after execution, not the initial one."""
-    df = entrymod.queries()["apply_delta_roundtrip"](spark, SF_DIR)
+    df = entrymod.full_queries()["apply_delta_roundtrip"](spark, SF_DIR)
     df.collect()  # finalize AQE (count() would plan a separate execution)
     plan = _plan(df)
     assert "isFinalPlan=true" in plan, plan[:500]
@@ -322,7 +322,7 @@ def test_bloom_decontaminate_corpus_side_has_no_join(spark):
     contain ZERO join operators — the membership test rides codegen
     expressions over the exploded grams — and exactly one exchange (the
     per-doc count)."""
-    df = entrymod.queries()["decontaminate_bloom"](spark, SF_DIR)
+    df = entrymod.full_queries()["decontaminate_bloom"](spark, SF_DIR)
     plan = _plan(df)
     for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                "BroadcastNestedLoopJoin", "CartesianProduct"):

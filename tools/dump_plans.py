@@ -80,7 +80,7 @@ HEADLINERS = [
 def main() -> None:
     spark = get_spark("dump-plans", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
+    qs = entrymod.full_queries()
     out = [
         "# PLANS — formatted physical plans for headline queries\n",
         f"Generated by `tools/dump_plans.py` at sf_dir=`{SF_DIR}`. "
