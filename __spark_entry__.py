@@ -431,21 +431,28 @@ def _parse_module_info(src: str):
                         bind(sym_imports, local, (mod, a.name))
 
         defs: dict[str, ast.stmt] = {}
+        extra_defs: dict[str, list] = {}  # re-assigned names keep EVERY node
         preamble: list[str] = []
+
+        def add_def(name: str, node) -> None:
+            if name in defs:
+                extra_defs.setdefault(name, []).append(defs[name])
+            defs[name] = node
+
         for i, node in enumerate(tree.body):
             if isinstance(
                 node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
             ):
-                defs[node.name] = node
+                add_def(node.name, node)
             elif isinstance(node, ast.Assign) and all(
                 isinstance(t, ast.Name) for t in node.targets
             ):
                 for t in node.targets:
-                    defs[t.id] = node
+                    add_def(t.id, node)
             elif isinstance(node, ast.AnnAssign) and isinstance(
                 node.target, ast.Name
             ):
-                defs[node.target.id] = node
+                add_def(node.target.id, node)
             elif (
                 i == 0
                 and isinstance(node, ast.Expr)
@@ -457,9 +464,34 @@ def _parse_module_info(src: str):
                 preamble.append(
                     ast.get_source_segment(src, node) or ast.dump(node)
                 )
+        # mutable module-level literals (caches like _IVF_QUANTIZERS = {})
+        # can be WRITTEN by functions outside a reader's closure — record
+        # every def that references each such name so readers pull their
+        # co-writers in (strings/numbers are immutable: excluded, or every
+        # SQL constant would drag in all its consumers)
+        mutable_users: dict[str, set] = {}
+        mutables = {
+            n
+            for n, d in defs.items()
+            if isinstance(d, (ast.Assign, ast.AnnAssign))
+            and isinstance(
+                getattr(d, "value", None), (ast.Dict, ast.List, ast.Set)
+            )
+        }
+        if mutables:
+            for dname, dnode in defs.items():
+                if not isinstance(
+                    dnode, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+                ):
+                    continue
+                for sub in ast.walk(dnode):
+                    if isinstance(sub, ast.Name) and sub.id in mutables:
+                        mutable_users.setdefault(sub.id, set()).add(dname)
         return {
             "src": src,
             "defs": defs,
+            "extra_defs": extra_defs,
+            "mutable_users": mutable_users,
             "preamble": sorted(preamble),
             "mod_aliases": mod_aliases,
             "sym_imports": sym_imports,
@@ -477,9 +509,25 @@ def _parse_module_info(src: str):
 
 
 def _sym_refs(info, sym):
-    """Memoized :func:`_node_refs` for a module-level symbol."""
+    """Memoized :func:`_node_refs` for a module-level symbol. Mutable
+    module-level literals (dict/list/set caches) additionally pull in
+    every same-module def that references them — a writer outside the
+    reader's call closure still changes what the reader sees."""
     if sym not in info["_refs"]:
-        info["_refs"][sym] = _node_refs(info, info["defs"][sym])
+        merged_local: set = set()
+        merged_ext: set = set()
+        ok = True
+        nodes = info.get("extra_defs", {}).get(sym, []) + [info["defs"][sym]]
+        for node in nodes:
+            r = _node_refs(info, node)
+            if r is None:
+                ok = False
+                break
+            merged_local |= r[0]
+            merged_ext |= r[1]
+        if ok:
+            merged_local |= info.get("mutable_users", {}).get(sym, set())
+        info["_refs"][sym] = (merged_local, merged_ext) if ok else None
     return info["_refs"][sym]
 
 
@@ -504,14 +552,18 @@ def _seg(info, node) -> str:
 
 def _sym_seg(info, sym) -> str:
     """Memoized source segment for a module-level symbol (decorator lines
-    included — they are outside node.lineno but change behavior)."""
+    included — they are outside node.lineno but change behavior; a
+    re-assigned name concatenates EVERY assignment's segment)."""
     if sym not in info["_segs"]:
-        node = info["defs"][sym]
-        deco = "".join(
-            "@" + _seg(info, d) + "\n"
-            for d in getattr(node, "decorator_list", [])
-        )
-        info["_segs"][sym] = deco + _seg(info, node)
+        nodes = info.get("extra_defs", {}).get(sym, []) + [info["defs"][sym]]
+        parts = []
+        for node in nodes:
+            deco = "".join(
+                "@" + _seg(info, d) + "\n"
+                for d in getattr(node, "decorator_list", [])
+            )
+            parts.append(deco + _seg(info, node))
+        info["_segs"][sym] = "\n".join(parts)
     return info["_segs"][sym]
 
 

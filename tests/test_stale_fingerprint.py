@@ -204,3 +204,32 @@ def test_fingerprint_is_deterministic():
     assert entrymod._query_fingerprint(
         CORPUS, "q_pmi_collocations", "pmi_collocations", _disk
     ) == BASE
+
+
+def test_reassigned_module_name_keeps_every_assignment():
+    """`X = 1 ... X = 2` — editing the EARLIER assignment must still flip
+    the fingerprint (only tracking the last segment would lose it)."""
+    src1 = "X = 1\nX = 2\n\ndef f():\n    return X\n"
+    src2 = "X = 7\nX = 2\n\ndef f():\n    return X\n"
+    i1 = entrymod._parse_module_info(src1)
+    i2 = entrymod._parse_module_info(src2)
+    assert entrymod._sym_seg(i1, "X") != entrymod._sym_seg(i2, "X")
+
+
+def test_mutable_global_pulls_in_co_writers():
+    """A dict cache read by f and written by g: editing g must flip f's
+    closure even though f never calls g (shared-mutable-state coupling);
+    a STRING constant must NOT drag its other consumers in."""
+    src = (
+        "CACHE = {}\nSQL = 'select 1'\n\n"
+        "def f():\n    return CACHE.get(1), SQL\n\n"
+        "def g():\n    CACHE[1] = 2\n\n"
+        "def h():\n    return SQL\n"
+    )
+    info = entrymod._parse_module_info(src)
+    local, ext = entrymod._sym_refs(info, "f")
+    assert "CACHE" in local and "SQL" in local
+    cache_local, _ = entrymod._sym_refs(info, "CACHE")
+    assert {"f", "g"} <= cache_local  # co-writers joined
+    sql_local, _ = entrymod._sym_refs(info, "SQL")
+    assert sql_local == set()  # immutable constant: consumers NOT joined
