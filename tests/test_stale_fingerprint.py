@@ -232,4 +232,7 @@ def test_mutable_global_pulls_in_co_writers():
     cache_local, _ = entrymod._sym_refs(info, "CACHE")
     assert {"f", "g"} <= cache_local  # co-writers joined
     sql_local, _ = entrymod._sym_refs(info, "SQL")
-    assert sql_local == set()  # immutable constant: consumers NOT joined
+    # immutable constant: consumers NOT joined (only the harmless
+    # self-reference from the assignment target's own Name node)
+    assert sql_local <= {"SQL"}
+    assert "f" not in sql_local and "h" not in sql_local
