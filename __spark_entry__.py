@@ -387,7 +387,7 @@ def _parse_module_info(src: str):
     def _build():
         try:
             tree = ast.parse(src)
-        except SyntaxError:
+        except (SyntaxError, ValueError):
             return None
         mod_aliases: dict[str, str] = {}  # local name -> dotted repo module
         sym_imports: dict[str, tuple] = {}  # local -> (dotted module, orig)
@@ -435,6 +435,13 @@ def _parse_module_info(src: str):
         preamble: list[str] = []
 
         def add_def(name: str, node) -> None:
+            if name in mod_aliases or name in sym_imports:
+                # a module-level def REBINDS an import — references can
+                # mean either depending on statement order, so the name
+                # is unsound to attribute (review r9 finding #2)
+                ambiguous.add(name)
+                mod_aliases.pop(name, None)
+                sym_imports.pop(name, None)
             if name in defs:
                 extra_defs.setdefault(name, []).append(defs[name])
             defs[name] = node
@@ -492,7 +499,10 @@ def _parse_module_info(src: str):
             "defs": defs,
             "extra_defs": extra_defs,
             "mutable_users": mutable_users,
-            "preamble": sorted(preamble),
+            # DOCUMENT order — loose statements can be order-dependent
+            # (CONF.update chains); sorting made reorders invisible
+            # (review r9 finding #3)
+            "preamble": preamble,
             "mod_aliases": mod_aliases,
             "sym_imports": sym_imports,
             "ambiguous": ambiguous,
@@ -627,14 +637,23 @@ def _node_refs(info, node):
     return local, ext
 
 
-def _entry_frontier(info, start_file: str, query_name: str):
+def _entry_frontier(info, start_file: str, query_name: str, info_of,
+                    _visited: frozenset = frozenset()):
     """The query's OWN registration expressions in the start module's
     QUERIES / oracles() / _queries_unordered() / oracle_sql() literals:
     returns (frontier_items, entry_texts) or None. Only the per-key value
     expression joins the fingerprint, so adding an unrelated query to the
     same dict does not stale this one; a mapping function whose body feeds
-    the dict from locals joins wholesale (conservative)."""
+    the dict from locals joins wholesale (conservative). ``**spread``
+    entries are FOLLOWED when they are a plain ``Alias.QUERIES`` /
+    ``alias.oracles()`` on a repo module (the spread module may register
+    or override the key — review r9 finding #7); any other spread shape
+    returns None."""
     import ast
+
+    if start_file in _visited:
+        return [], []  # spread cycle — already inspected
+    _visited = _visited | {start_file}
 
     frontier: list[tuple] = []
     texts: list[str] = []
@@ -664,7 +683,31 @@ def _entry_frontier(info, start_file: str, query_name: str):
         if not isinstance(d, ast.Dict):
             return None
         for k, v in zip(d.keys, d.values):
-            if isinstance(k, ast.Constant) and k.value == query_name:
+            if k is None:
+                # **spread — resolve Alias.QUERIES / alias.oracles() on a
+                # repo module and inspect THAT module's maps for the key
+                if isinstance(v, ast.Call) and not v.args and not v.keywords:
+                    v = v.func
+                if not (
+                    isinstance(v, ast.Attribute)
+                    and isinstance(v.value, ast.Name)
+                    and v.value.id in info["mod_aliases"]
+                ):
+                    return None  # unresolvable spread shape
+                f2 = _mod_path(info["mod_aliases"][v.value.id])
+                if f2 is None:
+                    return None
+                info2 = info_of(f2)
+                if info2 is None:
+                    return None
+                sub = _entry_frontier(
+                    info2, f2, query_name, info_of, _visited
+                )
+                if sub is None:
+                    return None
+                frontier += sub[0]
+                texts += sub[1]
+            elif isinstance(k, ast.Constant) and k.value == query_name:
                 texts.append(_seg(info, v))
                 r = _node_refs(info, v)
                 if r is None:
@@ -677,7 +720,7 @@ def _entry_frontier(info, start_file: str, query_name: str):
 
 def _query_fingerprint(
     start_file: str, fn_name: str, query_name: str, src_of
-) -> str | None:
+) -> tuple[str, set[str]] | None:
     """Deterministic text fingerprint of EVERYTHING in the repo that can
     affect one query (round 9 — closure-level staleness): the transitive
     cross-module closure of its function (module-level defs reached by
@@ -686,9 +729,11 @@ def _query_fingerprint(
     each reached module's imports + loose statements. ``src_of(path)``
     supplies the module source per repo-relative path (disk for the
     working tree, `git show` for the recording commit's version). Returns
-    None whenever attribution is unsound — callers MUST treat None as
-    "cannot prove unchanged"."""
-    import ast
+    (fingerprint, reached_files) so callers can gate on the TRANSITIVE
+    reach — the one-hop _query_source_files set misses deep dependencies
+    like operators reached through __init__ re-exports (review r9 finding
+    #1) — or None whenever attribution is unsound; callers MUST treat
+    None as "cannot prove unchanged"."""
 
     infos: dict[str, object] = {}
 
@@ -701,7 +746,7 @@ def _query_fingerprint(
     start = info_of(start_file)
     if start is None or fn_name not in start["defs"]:
         return None
-    entry = _entry_frontier(start, start_file, query_name)
+    entry = _entry_frontier(start, start_file, query_name, info_of)
     if entry is None:
         return None
     frontier, entry_texts = entry
@@ -719,7 +764,11 @@ def _query_fingerprint(
             return None
         if mf not in seen_mods:
             seen_mods.add(mf)
-            pieces += [f"{mf}<pre>::{p}" for p in info["preamble"]]
+            # index-prefixed: loose statements are order-dependent
+            pieces += [
+                f"{mf}<pre:{i}>::{p}"
+                for i, p in enumerate(info["preamble"])
+            ]
         if sym in info["defs"]:
             pieces.append(f"{mf}::{sym}::{_sym_seg(info, sym)}")
             r = _sym_refs(info, sym)
@@ -738,7 +787,9 @@ def _query_fingerprint(
             return None  # expected a symbol, found a module binding
         else:
             return None  # unresolvable symbol in a repo module
-    return "\n<<fp>>\n".join(sorted(pieces))
+    # entry-frontier spreads may have consulted modules beyond seen_mods
+    reached = seen_mods | set(infos)
+    return "\n<<fp>>\n".join(sorted(pieces)), reached
 
 
 def _stale_greens_or_none(
@@ -797,7 +848,10 @@ def _stale_greens_or_none(
             try:
                 with open(os.path.join(here, path)) as fh:
                     new_src_cache[path] = fh.read()
-            except OSError:
+            except Exception:
+                # OSError, UnicodeDecodeError, ... — an unreadable module
+                # degrades to "cannot prove" (None), never a crash: this
+                # runs inside queries(), the driver contract entry point
                 new_src_cache[path] = None
         return new_src_cache[path]
 
@@ -815,29 +869,46 @@ def _stale_greens_or_none(
         if name not in full:
             continue
         changed = changed_since.get(round_file, set())
-        hit = _query_source_files(full[name]) & changed
-        if not hit:
-            continue
         fn = full[name]
         while hasattr(fn, "__wrapped__"):
             fn = fn.__wrapped__
-        mod_file = _defining_module_file(fn)
+        files = _query_source_files(full[name])
         commit = commit_of.get(round_file)
-        if mod_file is not None and commit is not None:
-            # compare the query's cross-module closure fingerprint between
-            # the recording commit's sources and the working tree: equal
-            # fingerprints PROVE the edits flagged by the file-level check
-            # cannot have touched this query, so its green stays fresh
+        try:
+            mod_file = _defining_module_file(fn)
+            if mod_file is None or commit is None:
+                # attribution impossible — fall back to the one-hop gate
+                if files & changed:
+                    stale.add(name)
+                continue
+            res_new = _query_fingerprint(
+                mod_file, fn.__name__, name, _src_now
+            )
+            if res_new is None:
+                # unsound shape — one-hop file gate decides (pre-round-9
+                # behavior; no worse than before)
+                if files & changed:
+                    stale.add(name)
+                continue
+            fp_new, reached = res_new
+            # the TRIGGER is the union of the transitive closure reach and
+            # the one-hop import set (review r9 finding #1: the one-hop
+            # set alone misses operators reached through __init__
+            # re-exports, and a pruned query with a missed stale would
+            # never re-enter the driver window)
+            if not ((reached | files) & changed):
+                continue  # nothing this query depends on changed
+
             def _src_old(path, _c=commit, _ch=changed):
                 return _src_at(_c, path) if path in _ch else _src_now(path)
 
-            fp_new = _query_fingerprint(
-                mod_file, fn.__name__, name, _src_now
-            )
-            if fp_new is not None and fp_new == _query_fingerprint(
+            res_old = _query_fingerprint(
                 mod_file, fn.__name__, name, _src_old
-            ):
+            )
+            if res_old is not None and res_old[0] == fp_new:
                 continue  # proven unaffected by the flagged edits
+        except Exception:
+            pass  # any surprise degrades to stale, never a crash
         stale.add(name)
     return stale
 

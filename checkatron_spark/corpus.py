@@ -1281,13 +1281,19 @@ def pmi_collocations(
     from checkatron_spark.session import scratch_persist
 
     # NULL/whitespace-only docs are dropped BEFORE tokenizing (ADVICE r8):
-    # split(trim('')) yields [''] — one phantom empty-string unigram per
-    # empty doc — which inflates n_uni and thus every PMI value. The
-    # oracle applies the identical WHERE, so parity never depended on the
-    # bug; the statistic did.
+    # splitting an empty/whitespace-only string yields phantom ''
+    # unigrams that inflate n_uni and thus every PMI value. The predicate
+    # is "contains a non-whitespace char" (rlike \S) rather than trim():
+    # trim strips only 0x20 spaces, so a tab/newline-only doc would slip
+    # through and inject TWO phantom tokens (review r9). The oracle
+    # applies the identical regex, so parity never depended on the bug;
+    # the statistic did.
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.split(F.trim(t), r"\s+")
-    w = docs.filter(F.trim(t) != "").select(words.alias("_w"))
+    # regex trim, not trim(): leading '\t'/'\n' would survive trim (space-
+    # only semantics in BOTH engines) and split into a phantom '' token
+    stripped = F.regexp_replace(t, r"^\s+|\s+$", "")
+    words = F.split(stripped, r"\s+")
+    w = docs.filter(t.rlike(r"\S")).select(words.alias("_w"))
     uni = scratch_persist(
         w.select(F.explode("_w").alias("tok"))
         .groupBy("tok")
@@ -1337,9 +1343,10 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PMI_COLLOCATIONS_SQL = r"""
 WITH w AS (
-    SELECT string_split_regex(trim(coalesce(text, '')), '\s+') AS w
+    SELECT string_split_regex(
+        regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+') AS w
     FROM documents
-    WHERE trim(coalesce(text, '')) <> ''
+    WHERE regexp_matches(coalesce(text, ''), '\S')
 ),
 uni AS (
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok

@@ -153,8 +153,20 @@ def interval_overlap_join(
                 "duplicates. Rename one side, or pass rsuffix= to "
                 "suffix the right side's clashing columns."
             )
+        taken = set(left.columns) | set(right.columns)
         for c in common:
-            right = right.withColumnRenamed(c, c + rsuffix)
+            renamed = c + rsuffix
+            if renamed in taken:
+                # the rename itself would manufacture a NEW duplicate
+                # (review r9: left {iid, iid_r} + right {iid} with
+                # rsuffix='_r') — refuse up front, same contract
+                raise ValueError(
+                    f"interval_overlap_join: renaming right column {c!r} "
+                    f"with rsuffix {rsuffix!r} collides with existing "
+                    f"column {renamed!r}; pick a different rsuffix."
+                )
+            taken.add(renamed)
+            right = right.withColumnRenamed(c, renamed)
         if r_start in common:
             r_start = r_start + rsuffix
         if r_end in common:

@@ -1880,13 +1880,17 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface pinned row-identical in pytest (tests/test_lsh.py), not a
     declared query.
 
-    Recall at t=0.7 is 1-(1-0.49)^8 = 0.995 per borderline pair with a
-    fixed seed, and candidates are verified with EXACT Jaccard, so the
-    graded pair set is deterministic and equals the exact prefix-filtered
-    Jaccard oracle at the graded scales (verified sf0.01 + sf0.1)."""
+    This query runs a SECOND operating point — 32 hashes / 16 AND-bands
+    of 2 vs q_neardup_minhash_banded's 16/8 — so the two declared queries
+    pin the banded path across signature budgets instead of grading one
+    byte-identical job twice (review r9). Recall at t=0.7 is
+    1-(1-0.49)^16 = 0.99998 per borderline pair with a fixed seed, and
+    candidates are verified with EXACT Jaccard, so the graded pair set is
+    deterministic and equals the exact prefix-filtered Jaccard oracle at
+    the graded scales (verified sf0.01 + sf0.1)."""
     return D.neardup_minhash_banded(
         load_table(spark, "documents", sf_dir), "text", "doc_id",
-        threshold=0.7, num_hashes=16, band_r=2,
+        threshold=0.7, num_hashes=32, band_r=2,
     ).select("id_a", "id_b")
 
 

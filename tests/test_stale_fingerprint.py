@@ -36,10 +36,15 @@ def _patched(path_to_patch, transform):
     return src_of
 
 
-def _fp(src_of):
+def _fp_full(src_of):
     return entrymod._query_fingerprint(
         CORPUS, "q_pmi_collocations", "pmi_collocations", src_of
     )
+
+
+def _fp(src_of):
+    res = _fp_full(src_of)
+    return None if res is None else res[0]
 
 
 BASE = None
@@ -201,9 +206,70 @@ def test_decorator_text_is_fingerprinted():
 
 def test_fingerprint_is_deterministic():
     assert _fp(_disk) == BASE
-    assert entrymod._query_fingerprint(
-        CORPUS, "q_pmi_collocations", "pmi_collocations", _disk
-    ) == BASE
+    assert _fp(_disk) == BASE
+
+
+def test_reach_includes_transitive_modules():
+    """Review r9 finding #1: the fingerprint's reached-file set is the
+    staleness TRIGGER, and it must include modules the one-hop import
+    gate cannot see — e.g. diff_orders reaches operators/diff.py through
+    the package __init__ re-export."""
+    res = entrymod._query_fingerprint(
+        "__spark_entry__.py", "_q_diff_orders", "diff_orders", _disk
+    )
+    assert res is not None
+    _, reached = res
+    assert "checkatron_spark/operators/diff.py" in reached
+    one_hop = entrymod._query_source_files(
+        entrymod._queries_unordered()["diff_orders"]
+    )
+    assert "checkatron_spark/operators/diff.py" not in one_hop  # the gap
+
+
+def test_import_rebind_by_module_def_is_ambiguous():
+    """Review r9 finding #2: a module-level assignment that rebinds an
+    import-alias name makes the name unsound — the fingerprint must be
+    None, never a false fresh."""
+    src = (
+        "import checkatron_spark.corpus as helper\n"
+        "helper = 1\n\n"
+        "def f():\n    return helper\n"
+    )
+    info = entrymod._parse_module_info(src)
+    assert info is not None
+    assert "helper" in info["ambiguous"]
+    assert entrymod._node_refs(info, info["defs"]["f"]) is None
+
+
+def test_preamble_reorder_changes_fingerprint():
+    """Review r9 finding #3: loose module-level statements are
+    order-dependent (CONF.update chains) — swapping them must flip the
+    fingerprint, not vanish in a sorted() normalization."""
+    s1 = "C = {}\n\ndef f():\n    return C\n\nC.update({'a': 1})\nC.update({'a': 2})\n"
+    s2 = "C = {}\n\ndef f():\n    return C\n\nC.update({'a': 2})\nC.update({'a': 1})\n"
+    r1 = entrymod._query_fingerprint("m.py", "f", "none", lambda p: s1)
+    r2 = entrymod._query_fingerprint("m.py", "f", "none", lambda p: s2)
+    assert r1 is not None and r2 is not None
+    assert r1[0] != r2[0]
+
+
+def test_spread_registration_is_followed_or_refused():
+    """Review r9 finding #7: **spread entries in a registration dict are
+    either resolved into the spread module's maps or the fingerprint is
+    None — never silently skipped."""
+    # resolvable spread over a repo module: entry-module queries keep
+    # working (the real _queries_unordered uses **P.QUERIES spreads)
+    res = entrymod._query_fingerprint(
+        "__spark_entry__.py", "_q_keys_union", "keys_union", _disk
+    )
+    assert res is not None
+    # unresolvable spread shape -> None
+    src = (
+        "def q(spark, sf):\n    return None\n\n"
+        "def mystery():\n    return {}\n\n"
+        "QUERIES = {'q': q, **mystery()}\n"
+    )
+    assert entrymod._query_fingerprint("m.py", "q", "q", lambda p: src) is None
 
 
 def test_reassigned_module_name_keeps_every_assignment():

@@ -154,6 +154,8 @@ def main() -> None:
     argv = list(sys.argv[1:])
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            raise SystemExit("--json requires a PATH argument")
         json_path = argv[i + 1]
         del argv[i : i + 2]  # the PATH value must not leak into positionals
     args = [a for a in argv if not a.startswith("--")]
