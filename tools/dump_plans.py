@@ -73,7 +73,7 @@ HEADLINERS = [
     ("sessions_overlap_promos", "interval overlap join (round 8; r9: bins-per-interval cap compiled into the explode): both sides bin-exploded into an equi-join, later-start-bin pair attribution, no nested loop"),
     ("neardup_triangles", "triangle count (round 8): ordered-edge equi-join intersect; scalar 1-row crosses only"),
     ("ann_lsh_topk", "round 9: re-pointed at the IVF exact scale path (8 cells / 3 probed); MLlib BRP-LSH parity is pytest-only"),
-    ("neardup_minhash_lsh", "round 9: re-pointed at the banded-MinHash scale path (16 hashes, 8 AND-bands of 2, exact-Jaccard verify); MLlib MinHashLSH parity is pytest-only"),
+    ("neardup_minhash_lsh", "round 9: re-pointed at the banded-MinHash scale path at a SECOND operating point (32 hashes, 16 AND-bands of 2, exact-Jaccard verify); MLlib MinHashLSH parity is pytest-only"),
 ]
 
 
