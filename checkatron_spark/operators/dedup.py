@@ -48,6 +48,16 @@ __all__ = [
     "reelect_representatives",
     "split_by_cluster",
     "substring_dup_pairs",
+    # review r9: the Bloom decontamination family + staged corpus dedup
+    # were missing from the public surface
+    "decontaminate",
+    "decontaminate_multi",
+    "bloom_mask_words",
+    "bloom_merge_masks",
+    "bloom_hits_expr",
+    "decontaminate_bloom",
+    "fuzzy_pairs_blocked",
+    "dedup_corpus_staged",
 ]
 
 
@@ -1064,8 +1074,6 @@ def dedup_corpus_staged(
     FIRST shrinks the shingle join's input by the duplication factor and
     removes the quadratic clique term entirely — for the price of one
     hash groupBy."""
-    from checkatron_spark.session import scratch_persist
-
     fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     reps = (
         docs.select(F.col(id_col), fp.alias("_fp"))

@@ -29,6 +29,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "ann_bruteforce_topk",
+    "ann_blocked_topk",
     "neardup_embedding_cosine",
     "ann_lsh_topk",
     "ivf_topk",
@@ -54,6 +55,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _safe_div(num: Column, den: Column) -> Column:
+    """ANSI-total division for cosine scoring: zero/NULL denominators give
+    NULL instead of DIVIDE_BY_ZERO. The operators ALSO filter zero-norm
+    rows out, but the expression must be total anyway — Catalyst combines
+    inferred predicates (isnotnull over the projected division) with the
+    norm filter into one conjunction and may evaluate them in either
+    order, so a partial division can throw on a row the filter was about
+    to drop (measured on pyspark 4.1.2; review r9)."""
+    return num / F.when(den > 0.0, den)
+
+
 def ann_bruteforce_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -71,19 +83,25 @@ def ann_bruteforce_topk(
     64-dim folds to one. Deterministic tie-break: score desc, neighbor id
     asc. Returns (query_id, neighbor_id, rank, cosine_sim)."""
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # zero-norm / NULL embeddings have no defined cosine and would throw
+    # DIVIDE_BY_ZERO under Spark 4's default ANSI mode (review r9) — drop
+    # them from both sides, same policy as decontaminate_semantic;
+    # embedding_audit is the tool that LOCATES them
     q = queries.select(
         F.col(id_col).alias("query_id"), dv.alias("_qv"),
         l2_norm(F.col(vec_col)).alias("_qn"),
-    )
+    ).filter(F.col("_qn") > 0.0)
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"), dv.alias("_cv"),
         l2_norm(F.col(vec_col)).alias("_cn"),
-    )
+    ).filter(F.col("_cn") > 0.0)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+            _safe_div(
+                dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -119,24 +137,28 @@ def ann_blocked_topk(
     Deterministic tie-break: score desc, neighbor id asc. Returns
     (query_id, neighbor_id, rank, cosine_sim)."""
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # zero-norm/NULL embeddings dropped (ANSI divide-by-zero; see
+    # ann_bruteforce_topk)
     q = queries.select(
         F.col(block_col),
         F.col(id_col).alias("query_id"),
         dv.alias("_qv"),
         l2_norm(F.col(vec_col)).alias("_qn"),
-    )
+    ).filter(F.col("_qn") > 0.0)
     c = vectors.select(
         F.col(block_col),
         F.col(id_col).alias("neighbor_id"),
         dv.alias("_cv"),
         l2_norm(F.col(vec_col)).alias("_cn"),
-    )
+    ).filter(F.col("_cn") > 0.0)
     scored = (
         c.join(q, block_col)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine_sim",
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+            _safe_div(
+                dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn")
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -169,21 +191,27 @@ def _allpairs_cosine_numpy(
     BLAS orders and break the oracle.) Rounding stays Spark-side (HALF_UP)
     after the kernel."""
     import numpy as np
-    from pyspark.sql.types import (
-        DoubleType, LongType, StructField, StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    n = vectors.count()
+    # zero-norm/NULL embeddings have no defined cosine: drop them up front
+    # (ANSI divide-by-zero discipline, review r9 — the numpy division
+    # would emit nan/inf warnings instead of an error, equally wrong)
+    clean = vectors.filter(
+        F.coalesce(l2_norm(F.col(vec_col)) > 0.0, F.lit(False))
+    )
+    n = clean.count()
     if n > 200_000:
         raise ValueError(
             f"all-pairs cosine collects the candidate matrix to the driver "
             f"({n} vectors is too many); pass block_col= (cluster label / "
             f"LSH bucket) to use the distributed per-block self-join instead"
         )
-    rows = vectors.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+    # ids stay OPAQUE (review r9): the old long-cast crashed string ids
+    # under ANSI; pairing/order only needs python comparability
+    rows = clean.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).collect()
-    ids = np.array([r._id for r in rows], dtype=np.int64)
+    ids = np.array([r._id for r in rows], dtype=object)
     mat = np.array([r._v for r in rows], dtype=np.float64)
     dims = mat.shape[1] if len(rows) else 0
 
@@ -197,11 +225,18 @@ def _allpairs_cosine_numpy(
     sc = vectors.sparkSession.sparkContext
     b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
 
+    id_type = clean.schema[id_col].dataType
     schema = StructType([
-        StructField("id_a", LongType()),
-        StructField("id_b", LongType()),
+        StructField("id_a", id_type),
+        StructField("id_b", id_type),
         StructField("_cos", DoubleType()),
     ])
+    # candidate-matrix TILE bound (review r9): the dense per-batch
+    # intermediate is (arrow_batch x tile) doubles — 10k x 8192 x 8B
+    # = 640 MB per array — instead of (batch x n), which at the 200k row
+    # cap would be 16 GB and OOM the executor the row cap was meant to
+    # protect
+    tile = 8192
 
     def score(batches):
         import pandas as pd
@@ -209,20 +244,32 @@ def _allpairs_cosine_numpy(
         M, I, N = b_mat.value, b_ids.value, b_norms.value
         for pdf in batches:
             A = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
-            a_ids = pdf["_id"].to_numpy(dtype=np.int64)
-            acc = np.zeros((A.shape[0], M.shape[0]))
-            for k in range(dims):
-                acc = acc + A[:, k][:, None] * M[None, :, k]
+            a_ids = pdf["_id"].to_numpy()
             a_norms = seq_norm(A)
-            cos = acc / (a_norms[:, None] * N[None, :])
-            keep = (a_ids[:, None] < I[None, :]) & (cos >= threshold)
-            ai, bj = np.nonzero(keep)
+            out_a, out_b, out_c = [], [], []
+            for lo in range(0, M.shape[0], tile):
+                Mt = M[lo : lo + tile]
+                acc = np.zeros((A.shape[0], Mt.shape[0]))
+                for k in range(dims):
+                    acc = acc + A[:, k][:, None] * Mt[None, :, k]
+                cos = acc / (a_norms[:, None] * N[None, lo : lo + tile])
+                keep = (a_ids[:, None] < I[None, lo : lo + tile]) & (
+                    cos >= threshold
+                )
+                ai, bj = np.nonzero(keep)
+                out_a.append(a_ids[ai])
+                out_b.append(I[lo : lo + tile][bj])
+                out_c.append(cos[ai, bj])
             yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": I[bj], "_cos": cos[ai, bj]}
+                {
+                    "id_a": np.concatenate(out_a) if out_a else [],
+                    "id_b": np.concatenate(out_b) if out_b else [],
+                    "_cos": np.concatenate(out_c) if out_c else [],
+                }
             )
 
-    pairs = vectors.select(
-        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+    pairs = clean.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).mapInPandas(score, schema=schema)
     return pairs.select(
         "id_a", "id_b", F.round("_cos", 6).alias("cosine_sim")
@@ -259,7 +306,9 @@ def neardup_embedding_cosine(
         l2_norm(F.col(vec_col)).alias("_norm"),
         F.col(block_col).alias("_blk"),
     ]
-    v = vectors.select(*cols)
+    # zero-norm/NULL embeddings dropped (ANSI divide-by-zero; see
+    # ann_bruteforce_topk)
+    v = vectors.select(*cols).filter(F.col("_norm") > 0.0)
     left = v.select(*[F.col(c).alias(c + "a") for c in v.columns])
     right = v.select(*[F.col(c).alias(c + "b") for c in v.columns])
     joined = left.join(right, F.col("_blka") == F.col("_blkb"))
@@ -267,7 +316,10 @@ def neardup_embedding_cosine(
         joined.filter(F.col("_ida") < F.col("_idb"))
         .withColumn(
             "cosine_sim",
-            dot(F.col("_va"), F.col("_vb")) / (F.col("_norma") * F.col("_normb")),
+            _safe_div(
+                dot(F.col("_va"), F.col("_vb")),
+                F.col("_norma") * F.col("_normb"),
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select(
@@ -281,13 +333,18 @@ def neardup_embedding_cosine(
 def _ivf_feats(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
+    # norm precomputed ONCE per vector (review r9: the per-pair cosine()
+    # re-ran both norm folds for every candidate — 3x the needed work on
+    # the hot scoring path); zero-norm/NULL embeddings dropped (ANSI
+    # divide-by-zero; see ann_bruteforce_topk)
     return vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
         array_to_vector(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("features"),
-    )
+    ).filter(F.col("_cn") > 0.0)
 
 
 def fit_ivf_quantizer(
@@ -383,27 +440,36 @@ def ivf_topk(
         )
         model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(fit_set)
     assigned = model.transform(feats).select(
-        "neighbor_id", "_cv", F.col("prediction").alias("_cell")
+        "neighbor_id", "_cv", "_cn", F.col("prediction").alias("_cell")
     )
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         ["_cell", "_centroid"],
-    )
+    ).withColumn("_ctn", l2_norm(F.col("_centroid")))
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    # query x centroid: tiny (|Q| * n_cells), centroid side broadcast
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
+    ).filter(F.col("_qn") > 0.0)
+    # query x centroid: tiny (|Q| * n_cells), centroid side broadcast;
+    # norms reused from the precomputed columns (one fold per pair)
     qc = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn("_qc_cos", cosine(F.col("_qv"), F.col("_centroid")))
-        .select("query_id", "_qv", "_cell", "_qc_cos")
+        .withColumn(
+            "_qc_cos",
+            _safe_div(
+                dot(F.col("_qv"), F.col("_centroid")),
+                F.col("_qn") * F.col("_ctn"),
+            ),
+        )
+        .select("query_id", "_qv", "_qn", "_cell", "_qc_cos")
     )
     wc = Window.partitionBy("query_id").orderBy(
         F.col("_qc_cos").desc(), F.col("_cell").asc()
     )
     ranked_cells = qc.withColumn("_crank", F.row_number().over(wc))
     probed = ranked_cells.filter(F.col("_crank") <= n_probe).select(
-        "query_id", "_qv", "_cell"
+        "query_id", "_qv", "_qn", "_cell"
     )
 
     def _score(cells: DataFrame) -> DataFrame:
@@ -413,7 +479,10 @@ def ivf_topk(
             .select(
                 "query_id",
                 "neighbor_id",
-                cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+                _safe_div(
+                    dot(F.col("_qv"), F.col("_cv")),
+                    F.col("_qn") * F.col("_cn"),
+                ).alias("cosine_sim"),
             )
         )
 
@@ -444,9 +513,14 @@ def ivf_topk(
             assigned.join(F.broadcast(centroids), "_cell")
             .select(
                 "_cell",
-                F.acos(clamp(cosine(F.col("_cv"), F.col("_centroid")))).alias(
-                    "_ang"
-                ),
+                F.acos(
+                    clamp(
+                        _safe_div(
+                            dot(F.col("_cv"), F.col("_centroid")),
+                            F.col("_cn") * F.col("_ctn"),
+                        )
+                    )
+                ).alias("_ang"),
             )
             .groupBy("_cell")
             .agg((F.max("_ang") + F.lit(_EPS)).alias("_radius"))
@@ -481,8 +555,14 @@ def ivf_topk(
             ranked_cells.filter(F.col("_crank") > n_probe)
             .join(F.broadcast(radius), "_cell")
             .join(F.broadcast(kth), "query_id", "left")
-            .filter(bound >= F.coalesce(F.col("_sk"), F.lit(-1.0)) - F.lit(_EPS))
-            .select("query_id", "_qv", "_cell")
+            .filter(
+                F.coalesce(
+                    bound
+                    >= F.coalesce(F.col("_sk"), F.lit(-1.0)) - F.lit(_EPS),
+                    F.lit(True),  # NULL bound (zero centroid) -> probe
+                )
+            )
+            .select("query_id", "_qv", "_qn", "_cell")
         )
         scored = scored.unionByName(_score(extra))
 
@@ -515,14 +595,48 @@ def ann_lsh_topk(
     from pyspark.ml.functions import array_to_vector
 
     def normed(df, out_id):
-        norm = l2_norm(F.col(vec_col))
-        return df.select(
-            F.col(id_col).alias(out_id),
-            array_to_vector(
-                F.transform(
-                    F.col(vec_col), lambda x: x.cast("double") / norm
-                )
-            ).alias("_nv"),
+        # the norm is HOISTED into a column first: HOF lambdas are
+        # interpreted with no CSE, so an inline l2_norm would re-run the
+        # O(d) fold once per ELEMENT — O(d^2) per row (review r9); zero-
+        # norm/NULL embeddings dropped (ANSI divide-by-zero). The final
+        # localCheckpoint is a deliberate OPTIMIZER BARRIER: MLlib's hash
+        # UDF predicates get pushed below the filter and combined with it,
+        # and conjunct order is not guaranteed — a degenerate row then
+        # reaches the UDF (dim-0 vector) before the filter drops it. The
+        # lineage cut keeps every predicate above the cleaned relation.
+        # Cost is one materialization of the cleaned vectors — acceptable
+        # for this MLlib API-parity surface (the declared scale paths are
+        # IVF / banded MinHash).
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.col(vec_col).alias("_raw"),
+                l2_norm(F.col(vec_col)).alias("_n"),
+            )
+            .filter(F.col("_n") > 0.0)
+            .select(
+                out_id,
+                array_to_vector(
+                    F.transform(
+                        # degenerate rows are filtered out above, but the
+                        # optimizer may evaluate this projection alongside
+                        # reordered predicates, so it must be TOTAL: a
+                        # NULL array NPEs array_to_vector (coalesce to
+                        # empty) and a NULL/zero divisor would either
+                        # throw under ANSI or emit a NULL element the
+                        # vector type refuses (neutral 1.0)
+                        F.coalesce(
+                            F.col("_raw"),
+                            F.array().cast("array<double>"),
+                        ),
+                        lambda x: x.cast("double")
+                        / F.when(F.col("_n") > 0.0, F.col("_n")).otherwise(
+                            F.lit(1.0)
+                        ),
+                    )
+                ).alias("_nv"),
+            )
+            .localCheckpoint(eager=False)
         )
 
     vecs = normed(vectors, "neighbor_id")

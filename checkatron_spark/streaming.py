@@ -152,7 +152,13 @@ def _sessionize_fn(
     )
     chunks = [pdf["ts"] for pdf in pdfs]
     if chunks:
-        ts = pd.concat(chunks).sort_values()
+        # NULL timestamps would become NaT -> -2^63 in the int64 cast and
+        # poison last_ts for every later event (review r9) — drop them;
+        # cross-BATCH ordering is the feed's contract (within a batch we
+        # sort; an out-of-order batch boundary can merge two sessions,
+        # the standard limitation of gap sessionization over an unordered
+        # feed — use the batch sessionizer for retrospective corrections)
+        ts = pd.concat(chunks).dropna().sort_values()
         # unit-safe conversion: datetime64[any] -> ns int -> micros
         micros = (ts.astype("datetime64[ns]").astype("int64") // 1000).to_numpy()
         for t in micros:
@@ -218,10 +224,17 @@ def drain_to_batch(
     try:
         q = writer.start()
         try:
-            q.awaitTermination(timeout_s)
+            done = q.awaitTermination(timeout_s)
         finally:
             if q.isActive:
                 q.stop()
+        if not done:
+            # a timed-out drain has folded only SOME batches — returning
+            # the memory table would hand back a silently truncated result
+            # that grades as an operator bug downstream (review r9)
+            raise TimeoutError(
+                f"drain_to_batch: stream did not finish within {timeout_s}s"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -560,10 +573,18 @@ def apply_delta_stream(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        done = q.awaitTermination(timeout_s)
     finally:
         if q.isActive:
             q.stop()
+    if not done:
+        # the on-disk store is still consistent (manifest-committed) and a
+        # re-run on the same state_dir resumes — but the SNAPSHOT promised
+        # by this call would be partial, so fail loudly (review r9)
+        raise TimeoutError(
+            f"apply_delta_stream: stream did not finish within {timeout_s}s;"
+            " re-run with the same state_dir to resume"
+        )
     _compact()  # fold any remaining log before handing the snapshot out
     if not manifest:
         return spark.createDataFrame([], seeded.schema)
@@ -594,21 +615,58 @@ def maintain_view_stream(
     is ∝ |groups|, not ∝ the base table — tiny at any SF, no pruning
     needed. Runs to completion (AvailableNow) and returns the final
     view."""
+    import json
+    import os
+
     from checkatron_spark.operators.ivm import maintain_sum_view
 
     spark = delta_stream.sparkSession
-    current = {"ver": 0}
-    initial_view.write.mode("overwrite").parquet(f"{state_dir}/v0")
+    marker_path = os.path.join(state_dir, "view_version.json")
+
+    def _save_marker() -> None:
+        # atomic (tmp + os.replace), same commit discipline as the LSM
+        # store's manifest
+        tmp = marker_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(current, fh)
+        os.replace(tmp, marker_path)
+
+    if os.path.exists(marker_path):
+        # KILL/RESTART RECOVERY (review r9): the old code reset the view
+        # to initial_view on every call while the checkpoint SKIPPED the
+        # already-committed batches — their adjustments were silently
+        # lost. The marker records which v{0,1} slot is live and the last
+        # FOLDED epoch; an uncommitted batch replays (epoch > last_epoch)
+        # and re-folds from the committed slot, a redelivered committed
+        # epoch is skipped (additive folds are NOT idempotent). A wiped
+        # checkpoint with surviving state is out of contract here — use a
+        # fresh state_dir (apply_delta_stream's upsert store absorbs that
+        # case; an additive fold store cannot).
+        try:
+            os.remove(marker_path + ".tmp")
+        except FileNotFoundError:
+            pass
+        with open(marker_path) as fh:
+            current = json.load(fh)
+    else:
+        os.makedirs(state_dir, exist_ok=True)
+        current = {"ver": 0, "last_epoch": -1}
+        initial_view.write.mode("overwrite").parquet(f"{state_dir}/v0")
+        _save_marker()
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if epoch_id <= current["last_epoch"]:
+            return  # replay of an already-folded batch
         cur = spark.read.parquet(f"{state_dir}/v{current['ver']}")
         nxt = maintain_sum_view(
             cur, batch_df, group_keys, sum_cols, count_col=count_col
         )
         nxt.write.mode("overwrite").parquet(f"{state_dir}/v{1 - current['ver']}")
         current["ver"] = 1 - current["ver"]
+        current["last_epoch"] = epoch_id
+        _save_marker()
 
     q = (
         delta_stream.writeStream.foreachBatch(_fold)
@@ -617,10 +675,15 @@ def maintain_view_stream(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        done = q.awaitTermination(timeout_s)
     finally:
         if q.isActive:
             q.stop()
+    if not done:
+        raise TimeoutError(
+            f"maintain_view_stream: stream did not finish within "
+            f"{timeout_s}s; re-run with the same state_dir to resume"
+        )
     return spark.read.parquet(f"{state_dir}/v{current['ver']}")
 
 

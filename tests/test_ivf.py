@@ -56,3 +56,91 @@ def test_ivf_exact_equals_bruteforce(spark):
     a = {tuple(r) for r in exact.collect()}
     b = {tuple(r) for r in ivf.collect()}
     assert a == b
+
+
+def test_zero_norm_and_null_embeddings_do_not_crash_ann(spark):
+    """Review r9: Spark 4 defaults to ANSI mode, where one all-zeros (or
+    NULL) embedding made every cosine operator throw DIVIDE_BY_ZERO.
+    Degenerate vectors have no defined cosine — every ANN surface must
+    DROP them (embedding_audit is the tool that locates them) and still
+    return exact results for the healthy rows."""
+    from pyspark.sql import functions as F
+
+    from checkatron_spark.operators.similarity import (
+        ann_blocked_topk,
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+        ivf_topk,
+        neardup_embedding_cosine,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.9, 0.1], "a"),
+        (3, [0.0, 1.0], "a"),
+        (4, [0.0, 0.0], "a"),   # zero norm
+        (5, None, "a"),          # NULL embedding
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    )
+    queries = emb.filter(F.col("vec_id").isin(1, 4, 5))
+
+    bf = ann_bruteforce_topk(emb, queries, k=2).collect()
+    assert {r.query_id for r in bf} == {1}  # degenerate queries dropped
+    assert all(r.neighbor_id in (2, 3) for r in bf)
+
+    bl = ann_blocked_topk(emb, queries, block_col="label", k=2).collect()
+    assert {r.query_id for r in bl} == {1}
+
+    iv = ivf_topk(emb, queries, k=2, n_cells=2, n_probe=2, exact=True)
+    assert {r.query_id for r in iv.collect()} == {1}
+
+    ls = ann_lsh_topk(emb, queries, k=2, num_tables=4, bucket_length=1.0)
+    assert {r.query_id for r in ls.collect()} == {1}
+
+    nd = neardup_embedding_cosine(emb, threshold=0.5).collect()
+    assert all({r.id_a, r.id_b} <= {1, 2, 3} for r in nd)
+    nd_blk = neardup_embedding_cosine(
+        emb, threshold=0.5, block_col="label"
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in nd_blk) == sorted(
+        (r.id_a, r.id_b) for r in nd
+    )
+
+
+def test_allpairs_cosine_keeps_string_ids(spark):
+    """Review r9: the numpy all-pairs kernel force-cast ids to long,
+    crashing string ids under ANSI — ids must stay opaque."""
+    from checkatron_spark.operators.similarity import neardup_embedding_cosine
+
+    emb = spark.createDataFrame(
+        [("doc-1", [1.0, 0.0]), ("doc-2", [0.99, 0.01]), ("doc-3", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = neardup_embedding_cosine(emb, threshold=0.9).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [("doc-1", "doc-2")]
+
+
+def test_ivf_exact_still_matches_bruteforce_after_norm_precompute(spark):
+    """The norm-precompute rework must keep exact mode bit-identical to
+    brute force (same sequential-fold arithmetic, reassociated only at
+    the pair level: dot/(qn*cn) in both)."""
+    from pyspark.sql import functions as F
+
+    from checkatron_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ivf_topk,
+    )
+    from checkatron_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    brute = {tuple(r) for r in ann_bruteforce_topk(emb, queries, k=3).collect()}
+    ivf = {
+        tuple(r)
+        for r in ivf_topk(
+            emb, queries, k=3, n_cells=8, n_probe=2, exact=True
+        ).collect()
+    }
+    assert ivf == brute and len(brute) > 0

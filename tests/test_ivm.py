@@ -386,3 +386,70 @@ def test_join_view_rejects_partial_delta(spark):
         maintain_join_view(
             join_view(f, d, "dk"), partial, full_d, f, d, ["fid"], "dk"
         )
+
+
+def test_streaming_view_restart_resumes_committed_folds(spark, tmp_path):
+    """Review r9: maintain_view_stream used to RESET the view to
+    initial_view on every call while the checkpoint skipped already-
+    committed batches — a restart silently lost their adjustments. The
+    marker-file recovery must make kill-and-resume equal the single-run
+    view, and a replayed already-folded epoch must be skipped (additive
+    folds are not idempotent)."""
+    import pyspark.sql.functions as F
+
+    from checkatron_spark.operators.ivm import sum_view
+    from checkatron_spark.streaming import maintain_view_stream
+
+    base = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i * 10) for i in range(30)],
+        "k bigint, grp string, v bigint",
+    )
+    # before-image changefeed rows (maintain_sum_view contract: after
+    # image in (grp, v), before image in (_b_grp, _b_v))
+    phase1 = [("U", 1, "g1", 999, "g1", 10), ("I", 100, "g1", 5, None, None)]
+    phase2 = [("D", 2, None, None, "g2", 20), ("U", 4, "g1", 77, "g1", 40)]
+    schema = ("_op string, k bigint, grp string, v bigint, "
+              "_b_grp string, _b_v bigint")
+    feed = str(tmp_path / "feed")
+    for row in phase1:
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    def _sdf():
+        return (
+            spark.readStream.schema(
+                spark.read.parquet(feed).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    state = str(tmp_path / "state")
+    init = sum_view(base, ["grp"], ["v"])
+    v1 = maintain_view_stream(
+        _sdf(), init, ["grp"], ["v"], state_dir=state
+    )
+    v1.collect()  # drain run 1 ("dies" after committing phase1)
+
+    for row in phase2:
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    # run 2: same state_dir -> recover the live slot + last epoch, fold
+    # ONLY phase2; the result must equal the recompute over the final
+    # table state
+    v2 = maintain_view_stream(
+        _sdf(), init, ["grp"], ["v"], state_dir=state
+    )
+    after = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i * 10) for i in range(30)
+         if i not in (1, 2, 4)]
+        + [(1, "g1", 999), (100, "g1", 5), (4, "g1", 77)],
+        "k bigint, grp string, v bigint",
+    )
+    exp = sum_view(after, ["grp"], ["v"])
+    assert sorted(map(tuple, v2.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
