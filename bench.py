@@ -180,11 +180,11 @@ def main() -> None:
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
     # round 9 (VERDICT r8 #5): wide-diff stress at warehouse-DESCRIBE width.
-    # Recorded as its OWN metric, not summed into the headline total — the
-    # cost is ~46 s of driver-side planning (SCALE.md "Core diff"), a
-    # constant that would swamp round-over-round query deltas. One run
-    # (planning-dominated, low variance), synthetic frames (no sf tables
-    # have 1200 columns).
+    # Recorded as its OWN metric, not summed into the headline total —
+    # synthetic frames (no sf tables have 1200 columns), and the cost is
+    # driver-side plan construction, not query work. Round 10 cut it from
+    # ~46 s to a few seconds by rendering the diff projections as
+    # selectExpr SQL strings (SCALE.md "Core diff").
     from pyspark.sql import functions as F  # noqa: N812
 
     from checkatron_spark import diff as _diff

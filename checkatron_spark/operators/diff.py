@@ -41,14 +41,19 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, MapType
+from pyspark.sql.types import MapType
 
 __all__ = ["DiffSpec", "diff", "diff_from_spec"]
 
 _B = "b_"  # prefix for before-side columns inside the joined frame
 _A = "a_"  # prefix for after-side columns
+
+
+def _q(name: str) -> str:
+    """Backtick-quote an identifier for Spark SQL (`` escapes a backtick)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _norm(name: str, column_case: str) -> str:
@@ -81,61 +86,75 @@ def _prepare_side(
     """Filter then project one side to prefixed columns, injecting typed NULLs
     for columns the side lacks (schema drift, full_compare.sql.j2:44-45,51-52).
     ``extras`` are passthrough columns (the null-safe bucket-key columns)
-    carried for the join but never compared."""
+    carried for the join but never compared.
+
+    The projection is rendered as SQL strings and applied with ONE
+    ``selectExpr`` call: building 1000+ Column objects costs ~10 py4j round
+    trips each, which was the dominant term of the measured wide-table
+    planning cliff (SCALE.md "Core diff" — ~45 s of pure driver-side Python
+    at 1200 columns, vs 0.1 s of actual Catalyst analysis)."""
     if where:
         df = df.filter(F.expr(where))
     rename = {_norm(c, column_case): c for c in df.columns}
-    proj: list[Column] = []
+    proj: list[str] = []
     for c in all_cols:
         if c in own_cols:
-            proj.append(F.col(f"`{rename[c]}`").alias(prefix + c))
+            proj.append(f"{_q(rename[c])} AS {_q(prefix + c)}")
         else:
-            proj.append(F.lit(None).cast(other_types[c]).alias(prefix + c))
+            proj.append(
+                f"CAST(NULL AS {other_types[c].simpleString()})"
+                f" AS {_q(prefix + c)}"
+            )
     for e in extras:
-        proj.append(F.col(f"`{rename[e]}`").alias(prefix + e))
+        proj.append(f"{_q(rename[e])} AS {_q(prefix + e)}")
     # presence marker: lets presence_fix mode distinguish "row absent" from
     # "first key legitimately NULL" (reference quirk, SURVEY.md section 2.3)
-    proj.append(F.lit(True).alias(prefix + "__present__"))
-    return df.select(*proj)
+    proj.append(f"TRUE AS {_q(prefix + '__present__')}")
+    return df.selectExpr(*proj)
 
 
-def _status_col(b: Column, a: Column, equal: Column | None = None) -> Column:
-    """5-branch per-column status CASE (full_compare.sql.j2:77-85).
-    ``equal`` overrides the match predicate (tolerance modes); default is
-    the reference's plain ``=``."""
+def _status_col(b: str, a: str, alias: str, equal: str | None = None) -> str:
+    """5-branch per-column status CASE (full_compare.sql.j2:77-85) as a SQL
+    string over the (already-quoted) joined-frame column names. ``equal``
+    overrides the match predicate (tolerance modes); default is the
+    reference's plain ``=``."""
+    eq = equal if equal is not None else f"{b} = {a}"
     return (
-        F.when(b.isNull() & a.isNull(), F.lit(0))
-        .when(b.isNull() & a.isNotNull(), F.lit(2))
-        .when(b.isNotNull() & a.isNull(), F.lit(3))
-        .when(equal if equal is not None else (b == a), F.lit(0))
-        .otherwise(F.lit(1))
-        .cast(IntegerType())
+        f"CAST(CASE WHEN {b} IS NULL AND {a} IS NULL THEN 0"
+        f" WHEN {b} IS NULL AND {a} IS NOT NULL THEN 2"
+        f" WHEN {b} IS NOT NULL AND {a} IS NULL THEN 3"
+        f" WHEN {eq} THEN 0 ELSE 1 END AS INT) AS {_q(alias)}"
     )
 
 
 def _equal_pred(
-    b: Column, a: Column, col: str,
+    b: str, a: str, col: str,
     tolerances: dict[str, float] | None, ts_trunc: str | None,
     b_type, a_type,
-) -> Column | None:
+) -> str | None:
     """Optional type-aware match predicate (flag-gated; reference semantics
-    are plain ``=`` and stay the default). ``tolerances[col]`` compares
-    numerics with |b-a| <= tol; ``ts_trunc`` compares timestamps truncated
-    to that unit ('second', 'minute', ...)."""
+    are plain ``=`` and stay the default), rendered as SQL over the quoted
+    joined-frame names. ``tolerances[col]`` compares numerics with
+    |b-a| <= tol; ``ts_trunc`` compares timestamps truncated to that unit
+    ('second', 'minute', ...)."""
     if tolerances and col in tolerances:
-        return F.abs(b.cast("double") - a.cast("double")) <= F.lit(
-            float(tolerances[col])
+        tol = float(tolerances[col])
+        return (
+            f"abs(CAST({b} AS DOUBLE) - CAST({a} AS DOUBLE))"
+            f" <= CAST({tol!r} AS DOUBLE)"
         )
     if ts_trunc and any(
         t.simpleString().startswith("timestamp")  # timestamp AND timestamp_ntz
         for t in (b_type, a_type)
     ):
-        return F.date_trunc(ts_trunc, b) == F.date_trunc(ts_trunc, a)
+        if not ts_trunc.isalpha():
+            raise ValueError(f"invalid ts_trunc unit: {ts_trunc!r}")
+        return f"date_trunc('{ts_trunc}', {b}) = date_trunc('{ts_trunc}', {a})"
     if isinstance(b_type, MapType) or isinstance(a_type, MapType):
         # whole-value equality for multimodal/nested columns: arrays and
         # structs compare natively, but Spark forbids `=` on maps —
         # canonicalize to key-sorted entry arrays first
-        return F.array_sort(F.map_entries(b)) == F.array_sort(F.map_entries(a))
+        return f"array_sort(map_entries({b})) = array_sort(map_entries({a}))"
     return None
 
 
@@ -246,39 +265,40 @@ def diff(
         joined = b.join(a, cond, "full_outer")
 
     if presence_fix:
-        missing_before = F.col(_B + "__present__").isNull()
-        missing_after = F.col(_A + "__present__").isNull()
+        missing_before = f"{_q(_B + '__present__')} IS NULL"
+        missing_after = f"{_q(_A + '__present__')} IS NULL"
     else:
         # reference semantics: first-key NULL-ness (full_compare.sql.j2:69-70)
-        missing_before = F.col(_B + keys[0]).isNull()
-        missing_after = F.col(_A + keys[0]).isNull()
+        missing_before = f"{_q(_B + keys[0])} IS NULL"
+        missing_after = f"{_q(_A + keys[0])} IS NULL"
 
     row_status = (
-        F.when(missing_before, F.lit(4))
-        .when(missing_after, F.lit(5))
-        .otherwise(F.lit(None))
-        .cast(IntegerType())
-        .alias("_row_status")
+        f"CAST(CASE WHEN {missing_before} THEN 4"
+        f" WHEN {missing_after} THEN 5"
+        f" ELSE NULL END AS INT) AS {_q('_row_status')}"
     )
     # K_<key> passthrough: the all_keys CTE's key value (full_compare.sql.j2:73-75).
     # coalesce(b,a) reproduces it exactly: NULL only when the key matched as
     # NULL<=>NULL (or is absent on the present side), which is what the
     # key-union produces.
-    key_cols = [F.coalesce(F.col(_B + k), F.col(_A + k)).alias(f"K_{k}") for k in keys]
+    key_cols = [
+        f"coalesce({_q(_B + k)}, {_q(_A + k)}) AS {_q('K_' + k)}" for k in keys
+    ]
     if tolerances:
         tolerances = {_norm(c, column_case): v for c, v in tolerances.items()}
     status_cols = [
         _status_col(
-            F.col(_B + c),
-            F.col(_A + c),
+            _q(_B + c),
+            _q(_A + c),
+            c,
             _equal_pred(
-                F.col(_B + c), F.col(_A + c), c, tolerances, ts_trunc,
+                _q(_B + c), _q(_A + c), c, tolerances, ts_trunc,
                 b_types.get(c, a_types.get(c)), a_types.get(c, b_types.get(c)),
             ),
-        ).alias(c)
+        )
         for c in all_cols
     ]
-    return joined.select(row_status, *key_cols, *status_cols)
+    return joined.selectExpr(row_status, *key_cols, *status_cols)
 
 
 def _join_faithful(b: DataFrame, a: DataFrame, keys: list[str]) -> DataFrame:

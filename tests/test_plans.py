@@ -369,10 +369,12 @@ def test_wide_table_diff_1200_cols_codegen_fallback(spark):
     comparison columns the per-column CASE projection exceeds every
     codegen budget (spark.sql.codegen.maxFields default 100; 64KB JVM
     method limit) — Spark must FALL BACK to interpreted projection, not
-    fail, and the result must stay exact. Measured (SCALE.md "Core
-    diff"): planning time scales ~linearly (12s/23s/46s at 300/600/1200
-    cols on this container); execution stays sub-second at fixture rows —
-    the cliff is driver-side analysis, not the executors."""
+    fail, and the result must stay exact. Round 9 measured a 12s/23s/46s
+    driver-side cliff at 300/600/1200 cols; round 10 traced ~45s of it to
+    py4j Column construction and rewrote the diff projections as
+    selectExpr SQL strings (SCALE.md "Core diff") — the same 1200-col
+    plan now builds in ~1-2s warm (~5s cold), execution sub-second at
+    fixture rows."""
     n_cols = 1200
     base = spark.range(40).select(
         F.col("id").alias("k"),
