@@ -139,13 +139,11 @@ PROBE_DOCS = [
 # regression: the reason documents the growth LAW (e.g. output-bound), and
 # removing the cause retires the entry.
 ALLOW: dict[str, str] = {
-    # zero-join Bloom-mask scan: cost is (rows x mask-probe), and the mask
-    # itself is rebuilt from the 10x-bigger benchmark fixture, so growth is
-    # ~(data x mask-build) — sub-linear PER UNIT DATA, super-linear only
-    # against the naive max(copies, rratio) bound (r8: 7.3x at 10x, r9 est
-    # similar); the scan shape is pinned in test_plans.py (no join at all)
-    "decontaminate_bloom": "mask rebuild + scan both grow with fixture; "
-    "cost per scanned row is flat (SCALE.md 'Dedup / similarity')",
+    # (empty since round 10 — decontaminate_bloom was retired once the
+    # per-(benchmark, params) mask memo landed: the probe's min-of-2 pays
+    # the mask build on run 1 only, so the measured row is scan-growth and
+    # sits inside the mechanical bound on its own, r9: t_ratio 8.39 vs
+    # bound 12.55)
 }
 
 
