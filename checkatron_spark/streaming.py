@@ -648,6 +648,18 @@ def maintain_view_stream(
             pass
         with open(marker_path) as fh:
             current = json.load(fh)
+    elif os.path.exists(os.path.join(state_dir, "_checkpoint")):
+        # ADVICE r9 (medium): a surviving checkpoint WITHOUT the marker
+        # means this state_dir predates the marker protocol (or the
+        # marker was lost) — re-initializing to v0 here would silently
+        # drop every adjustment the checkpoint will skip, the exact bug
+        # the marker fixed, so refuse instead of guessing
+        raise RuntimeError(
+            f"maintain_view_stream: {state_dir} has a streaming checkpoint"
+            " but no view_version.json marker (legacy or partially-wiped"
+            " state). Its committed adjustments cannot be recovered —"
+            " use a fresh state_dir"
+        )
     else:
         os.makedirs(state_dir, exist_ok=True)
         current = {"ver": 0, "last_epoch": -1}

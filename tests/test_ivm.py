@@ -453,3 +453,126 @@ def test_streaming_view_restart_resumes_committed_folds(spark, tmp_path):
     assert sorted(map(tuple, v2.collect())) == sorted(
         map(tuple, exp.collect())
     )
+
+
+def _view_feed_scaffold(spark, tmp_path, rows):
+    """Shared scaffolding for the view-stream crash-window negatives:
+    a parquet changefeed (one file per row -> one epoch per row under
+    maxFilesPerTrigger=1), the initial summed view, and a stream factory."""
+    from checkatron_spark.operators.ivm import sum_view
+
+    base = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i * 10) for i in range(30)],
+        "k bigint, grp string, v bigint",
+    )
+    schema = ("_op string, k bigint, grp string, v bigint, "
+              "_b_grp string, _b_v bigint")
+    feed = str(tmp_path / "feed")
+
+    def _append(batch):
+        for row in batch:
+            spark.createDataFrame([row], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(feed)
+
+    _append(rows)
+
+    def _sdf():
+        return (
+            spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    return base, sum_view(base, ["grp"], ["v"]), feed, _append, _sdf
+
+
+def test_view_stream_legacy_checkpoint_without_marker_refuses(
+    spark, tmp_path
+):
+    """ADVICE r9 (medium): a state_dir with a surviving _checkpoint but NO
+    view_version.json marker (pre-marker-protocol layout, or a partial
+    wipe) must FAIL FAST — re-initializing to v0 while the checkpoint
+    skips committed batches silently loses their adjustments, the exact
+    bug the marker protocol fixed."""
+    import os
+
+    import pytest
+
+    from checkatron_spark.streaming import maintain_view_stream
+
+    _, init, _, _, _sdf = _view_feed_scaffold(
+        spark, tmp_path, [("U", 1, "g1", 999, "g1", 10)]
+    )
+    state = str(tmp_path / "state")
+    maintain_view_stream(_sdf(), init, ["grp"], ["v"], state_dir=state)
+    os.remove(os.path.join(state, "view_version.json"))  # the partial wipe
+    with pytest.raises(RuntimeError, match="fresh state_dir"):
+        maintain_view_stream(_sdf(), init, ["grp"], ["v"], state_dir=state)
+    # refusal must not have "repaired" anything: the marker stays absent
+    assert not os.path.exists(os.path.join(state, "view_version.json"))
+
+
+def test_view_stream_ignores_torn_marker_tmp(spark, tmp_path):
+    """Crash window (VERDICT r9 #8, mirroring the LSM trio): the process
+    died inside _save_marker — view_version.json.tmp is half-written while
+    the committed marker survives (os.replace is atomic). Recovery must
+    read the committed marker, ignore + remove the torn tmp, and the
+    resumed view must equal the recompute over the final table state."""
+    import os
+
+    from checkatron_spark.operators.ivm import sum_view
+    from checkatron_spark.streaming import maintain_view_stream
+
+    phase1 = [("U", 1, "g1", 999, "g1", 10), ("I", 100, "g1", 5, None, None)]
+    phase2 = [("D", 2, None, None, "g2", 20), ("U", 4, "g1", 77, "g1", 40)]
+    base, init, _, _append, _sdf = _view_feed_scaffold(
+        spark, tmp_path, phase1
+    )
+    state = str(tmp_path / "state")
+    maintain_view_stream(_sdf(), init, ["grp"], ["v"], state_dir=state)
+    tmp = os.path.join(state, "view_version.json.tmp")
+    with open(tmp, "w") as fh:
+        fh.write('{"ver": 1, "last_ep')  # truncated mid-JSON
+    _append(phase2)
+    v = maintain_view_stream(_sdf(), init, ["grp"], ["v"], state_dir=state)
+    after = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i * 10) for i in range(30)
+         if i not in (1, 2, 4)]
+        + [(1, "g1", 999), (100, "g1", 5), (4, "g1", 77)],
+        "k bigint, grp string, v bigint",
+    )
+    exp = sum_view(after, ["grp"], ["v"])
+    assert sorted(map(tuple, v.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+    assert not os.path.exists(tmp)  # torn artifact cleaned, not read
+
+
+def test_view_stream_replayed_committed_epoch_is_skipped(spark, tmp_path):
+    """Crash window (VERDICT r9 #8): the process died BETWEEN the fold
+    commit (marker saved) and the checkpoint commit — on restart the
+    checkpoint redelivers that epoch under the SAME epoch id. Additive
+    folds are not idempotent, so the fold must be SKIPPED (epoch_id <=
+    last_epoch), leaving the view equal to the single-run result."""
+    import os
+
+    from checkatron_spark.streaming import maintain_view_stream
+
+    phase1 = [("U", 1, "g1", 999, "g1", 10), ("I", 100, "g1", 5, None, None)]
+    _, init, _, _, _sdf = _view_feed_scaffold(spark, tmp_path, phase1)
+    state = str(tmp_path / "state")
+    v1 = maintain_view_stream(_sdf(), init, ["grp"], ["v"], state_dir=state)
+    want = sorted(map(tuple, v1.collect()))
+    # fabricate the crash window: the last epoch's checkpoint commit is
+    # lost while the marker (fold already committed) survives
+    commits = sorted(
+        os.listdir(os.path.join(state, "_checkpoint", "commits"))
+    )
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(state, "_checkpoint", "commits", last))
+    crc = os.path.join(state, "_checkpoint", "commits", f".{last}.crc")
+    if os.path.exists(crc):  # local-fs checksum sidecar must go with it
+        os.remove(crc)
+    v2 = maintain_view_stream(_sdf(), init, ["grp"], ["v"], state_dir=state)
+    assert sorted(map(tuple, v2.collect())) == want

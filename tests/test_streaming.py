@@ -350,3 +350,111 @@ def test_stream_ivm_join_matches_batch_recompute(spark):
     kept_orderkeys = {r[0] for r in got}
     assert not (set(hole_orders) & kept_orderkeys)
     assert len(got) < f_a.count()
+
+
+def test_drain_to_batch_timeout_raises_and_restores_conf(spark):
+    """VERDICT r9 #4: round 9 made every drain raise TimeoutError instead
+    of returning a silently truncated result — this exercises the raise
+    (an impossible 1 ms budget), pinning the guard against regressing to
+    silent truncation, and checks the shuffle-partitions pin is restored
+    on the error path."""
+    import pytest
+
+    sdf = ST.read_events_stream(spark, SF_DIR)
+    agg = sdf.groupBy("event_type").count()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(TimeoutError, match="did not finish"):
+        ST.drain_to_batch(agg, timeout_s=0.001)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_apply_delta_stream_timeout_raises_then_resumes(spark, tmp_path):
+    """VERDICT r9 #4: a timed-out LSM drain must raise (never hand back a
+    partial snapshot), and — per the error message's contract — a re-run
+    on the same state_dir must resume to the exact single-run result, so
+    the timeout path leaves no corrupt state behind."""
+    import pytest
+
+    from checkatron_spark.operators.patch import apply_delta
+
+    base = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    rows = [("U", 4, 44), ("D", 9, None), ("I", 901, 5)]
+    schema = "_op string, k bigint, v bigint"
+    feed = str(tmp_path / "feed")
+    for row in rows:
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    def _sdf():
+        return (
+            spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    state = str(tmp_path / "state")
+    with pytest.raises(TimeoutError, match="re-run with the same state_dir"):
+        ST.apply_delta_stream(
+            _sdf(), base, ["k"], ["v"], state_dir=state, n_buckets=8,
+            timeout_s=0.001,
+        )
+    snap = ST.apply_delta_stream(
+        _sdf(), base, ["k"], ["v"], state_dir=state, n_buckets=8
+    )
+    want = apply_delta(
+        base, spark.createDataFrame(rows, schema), ["k"], ["v"]
+    )
+    assert sorted(map(tuple, snap.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_maintain_view_stream_timeout_raises_then_resumes(spark, tmp_path):
+    """VERDICT r9 #4: same contract for the additive view store — raise on
+    timeout, resume-to-exact on re-run (the marker protocol keeps folds
+    and checkpoint commits consistent through the interruption)."""
+    import pytest
+
+    from checkatron_spark.operators.ivm import sum_view
+
+    base = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i * 10) for i in range(30)],
+        "k bigint, grp string, v bigint",
+    )
+    rows = [("U", 1, "g1", 999, "g1", 10), ("I", 100, "g1", 5, None, None)]
+    schema = ("_op string, k bigint, grp string, v bigint, "
+              "_b_grp string, _b_v bigint")
+    feed = str(tmp_path / "feed")
+    for row in rows:
+        spark.createDataFrame([row], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    def _sdf():
+        return (
+            spark.readStream.schema(spark.read.parquet(feed).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    state = str(tmp_path / "state")
+    init = sum_view(base, ["grp"], ["v"])
+    with pytest.raises(TimeoutError, match="re-run with the same state_dir"):
+        ST.maintain_view_stream(
+            _sdf(), init, ["grp"], ["v"], state_dir=state, timeout_s=0.001
+        )
+    got = ST.maintain_view_stream(
+        _sdf(), init, ["grp"], ["v"], state_dir=state
+    )
+    after = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), i * 10) for i in range(30) if i != 1]
+        + [(1, "g1", 999), (100, "g1", 5)],
+        "k bigint, grp string, v bigint",
+    )
+    exp = sum_view(after, ["grp"], ["v"])
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
