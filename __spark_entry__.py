@@ -813,6 +813,20 @@ def _stale_greens_or_none(
         ).stdout
 
     try:
+        # ADVICE r9: `git diff --name-only <commit>` omits UNTRACKED files,
+        # so a query whose behavior depends on a brand-new uncommitted
+        # module would pass the (reached|files) & changed gate untouched
+        # and stay pruned on a stale green. Untracked repo files are
+        # changed-since-every-commit by definition; _src_at() fails on
+        # them (git show has nothing), which degrades the fingerprint
+        # proof to "stale" — the conservative direction.
+        untracked = {
+            c.strip()
+            for c in _git(
+                "ls-files", "--others", "--exclude-standard"
+            ).splitlines()
+            if c.strip()
+        }
         changed_since: dict[str, set[str]] = {}
         commit_of: dict[str, str] = {}
         for round_file in set(green.values()):
@@ -824,14 +838,17 @@ def _stale_greens_or_none(
                 "--", round_file,
             ).strip()
             if not commit:
-                changed_since[round_file] = set()  # untracked -> assume fresh
+                # round file itself untracked -> assume fresh
+                changed_since[round_file] = set(untracked)
                 continue
             commit_of[round_file] = commit
             # diff vs working tree so uncommitted edits also count as stale
             changed = set(
                 _git("diff", "--name-only", commit).splitlines()
             )
-            changed_since[round_file] = {c.strip() for c in changed if c.strip()}
+            changed_since[round_file] = {
+                c.strip() for c in changed if c.strip()
+            } | untracked
     except Exception:
         return None
 

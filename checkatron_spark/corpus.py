@@ -1290,10 +1290,15 @@ def pmi_collocations(
     # the statistic did.
     t = F.coalesce(F.col(text_col), F.lit(""))
     # regex trim, not trim(): leading '\t'/'\n' would survive trim (space-
-    # only semantics in BOTH engines) and split into a phantom '' token
-    stripped = F.regexp_replace(t, r"^\s+|\s+$", "")
-    words = F.split(stripped, r"\s+")
-    w = docs.filter(t.rlike(r"\S")).select(words.alias("_w"))
+    # only semantics in BOTH engines) and split into a phantom '' token.
+    # EXPLICIT whitespace class, not \s (ADVICE r9): Java's \s includes
+    # \x0B (vertical tab), RE2's does not — a \x0B-padded doc would
+    # tokenize differently across engines. [ \t\n\r\f] means the same
+    # thing in both; PMI_COLLOCATIONS_SQL uses the identical class.
+    ws = "[ \\t\\n\\r\\f]"
+    stripped = F.regexp_replace(t, f"^{ws}+|{ws}+$", "")
+    words = F.split(stripped, f"{ws}+")
+    w = docs.filter(t.rlike("[^ \\t\\n\\r\\f]")).select(words.alias("_w"))
     uni = scratch_persist(
         w.select(F.explode("_w").alias("tok"))
         .groupBy("tok")
@@ -1344,9 +1349,11 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 PMI_COLLOCATIONS_SQL = r"""
 WITH w AS (
     SELECT string_split_regex(
-        regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+') AS w
+        regexp_replace(coalesce(text, ''),
+                       '^[ \t\n\r\f]+|[ \t\n\r\f]+$', '', 'g'),
+        '[ \t\n\r\f]+') AS w
     FROM documents
-    WHERE regexp_matches(coalesce(text, ''), '\S')
+    WHERE regexp_matches(coalesce(text, ''), '[^ \t\n\r\f]')
 ),
 uni AS (
     SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok

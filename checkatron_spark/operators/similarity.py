@@ -206,12 +206,23 @@ def _allpairs_cosine_numpy(
             f"({n} vectors is too many); pass block_col= (cluster label / "
             f"LSH bucket) to use the distributed per-block self-join instead"
         )
-    # ids stay OPAQUE (review r9): the old long-cast crashed string ids
-    # under ANSI; pairing/order only needs python comparability
+    # ids stay OPAQUE for non-integral types (review r9: the old long-cast
+    # crashed string ids under ANSI), but integral ids keep their numpy
+    # dtype (ADVICE r9): dtype=object would degrade the per-tile
+    # a_ids < I mask to elementwise PYTHON comparisons — ~10k x 8192 per
+    # tile per batch at the row cap — instead of one vectorized int64 op
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = clean.schema[id_col].dataType
+    integral = isinstance(
+        id_type, (ByteType, ShortType, IntegerType, LongType)
+    )
     rows = clean.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).collect()
-    ids = np.array([r._id for r in rows], dtype=object)
+    ids = np.array(
+        [r._id for r in rows], dtype=np.int64 if integral else object
+    )
     mat = np.array([r._v for r in rows], dtype=np.float64)
     dims = mat.shape[1] if len(rows) else 0
 
@@ -225,7 +236,6 @@ def _allpairs_cosine_numpy(
     sc = vectors.sparkSession.sparkContext
     b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
 
-    id_type = clean.schema[id_col].dataType
     schema = StructType([
         StructField("id_a", id_type),
         StructField("id_b", id_type),
@@ -245,6 +255,8 @@ def _allpairs_cosine_numpy(
         for pdf in batches:
             A = np.array([list(v) for v in pdf["_v"]], dtype=np.float64)
             a_ids = pdf["_id"].to_numpy()
+            if integral:  # match the broadcast side's vectorizable dtype
+                a_ids = a_ids.astype(np.int64, copy=False)
             a_norms = seq_norm(A)
             out_a, out_b, out_c = [], [], []
             for lo in range(0, M.shape[0], tile):

@@ -1976,10 +1976,22 @@ def _cos_sql(a: str, b: str) -> str:
     return f"{dot} / ({na} * {nb})"
 
 
+# ADVICE r9: the Spark cosine operators DROP zero-norm/NULL embeddings
+# (cosine undefined; similarity.py filters l2_norm > 0). The oracle CTEs
+# must encode the same contract so a future degenerate fixture row
+# diverges on NEITHER engine instead of breaking the bit-exact sweep
+# confusingly (DuckDB would otherwise emit the row with NULL/inf cosine).
+_EMB_OK = (
+    "embedding IS NOT NULL AND sqrt(list_sum(list_transform("
+    "embedding, v -> v::DOUBLE * v::DOUBLE))) > 0"
+)
+
+
 ANN_BRUTEFORCE_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-           WHERE vec_id % 50 = 0),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+           WHERE vec_id % 50 = 0 AND {_EMB_OK}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+      WHERE {_EMB_OK}),
 scored AS (
     SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
     FROM q JOIN c ON query_id <> neighbor_id
@@ -1997,8 +2009,9 @@ FROM ranked WHERE rank <= 3
 
 ANN_LABEL_FILTERED_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, label, embedding AS qv FROM embeddings
-           WHERE vec_id % 50 = 0),
-c AS (SELECT vec_id AS neighbor_id, label, embedding AS cv FROM embeddings),
+           WHERE vec_id % 50 = 0 AND {_EMB_OK}),
+c AS (SELECT vec_id AS neighbor_id, label, embedding AS cv FROM embeddings
+      WHERE {_EMB_OK}),
 scored AS (
     SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
     FROM q JOIN c ON q.label = c.label AND query_id <> neighbor_id
@@ -2211,7 +2224,8 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAMINATE_SEMANTIC_SQL = f"""
 WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id % 20 = 0),
-c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id % 20 <> 0),
+c AS (SELECT vec_id, embedding AS cv FROM embeddings
+      WHERE vec_id % 20 <> 0 AND {_EMB_OK}),
 s AS (SELECT vec_id, {_cos_sql('cv', 'bv')} AS sim FROM c, b)
 SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
        round(MAX(sim), 6) AS max_bench_sim
@@ -2233,7 +2247,7 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEARDUP_EMBEDDING_SQL = f"""
-WITH v AS (SELECT vec_id, embedding, label FROM embeddings)
+WITH v AS (SELECT vec_id, embedding, label FROM embeddings WHERE {_EMB_OK})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine_sim
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -301,3 +301,39 @@ def test_pmi_collocations_min_count_floor_and_degenerate_docs(spark):
     rows = pmi_collocations(docs, min_count=2).collect()
     assert [r.bigram for r in rows] == ["a b"]
     assert rows[0].n_pair == 2
+
+
+def test_pmi_vertical_tab_parity_spark_vs_oracle(spark, duck, tmp_path):
+    """ADVICE r9: Java's \\s includes \\x0B (vertical tab), RE2's does not
+    — under the old \\s-based tokenization a \\x0B-padded doc tokenized
+    differently across engines (Spark stripped it as whitespace, DuckDB
+    kept it inside tokens). Both now use the explicit [ \\t\\n\\r\\f]
+    class, so the PMI tables must be row-identical on a fixture that
+    actually contains vertical tabs."""
+    import pandas as pd
+
+    from checkatron_spark.corpus import PMI_COLLOCATIONS_SQL, q_pmi_collocations
+
+    rows = [(i, "alpha beta") for i in range(1, 7)] + [
+        (7, "\x0b"),                     # VT-only doc: one token, both engines
+        (8, "\x0balpha beta\x0b"),        # VT glued to tokens, not stripped
+        (9, "alpha\x0bbeta alpha\x0bbeta alpha\x0bbeta alpha\x0bbeta "
+            "alpha\x0bbeta alpha\x0bbeta"),  # VT inside a frequent token
+        (10, None),
+        (11, "\t\n  "),                   # true-whitespace doc: dropped
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    df = q_pmi_collocations(spark, str(tmp_path))
+    got = sorted(tuple(r) for r in df.collect())
+    res = duck.sql(PMI_COLLOCATIONS_SQL)
+    idx = [res.columns.index(c) for c in df.columns]
+    want = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
+    assert got == want
+    # the VT-joined bigram survives the min_count floor on both engines
+    assert any("\x0b" in r[0] for r in got)

@@ -568,6 +568,54 @@ def test_null_text_parity_pii_and_neardup_incremental(spark, duck, tmp_path):
     assert (2, 1, 1.0) in got2 and (19, 3, 1.0) in got2
 
 
+def test_degenerate_embedding_parity_spark_vs_oracle(spark, duck, tmp_path):
+    """ADVICE r9: the Spark cosine operators drop zero-norm/NULL
+    embeddings; the oracle CTEs must encode the SAME contract. On a
+    fixture that actually contains a NULL embedding, a zero vector, and a
+    zero-vector QUERY, both engines must agree row-for-row (pre-fix,
+    DuckDB emitted the degenerate rows with NULL/inf cosine while Spark
+    omitted them)."""
+    import pandas as pd
+
+    from checkatron_spark.pipelines import (
+        ANN_BRUTEFORCE_SQL,
+        NEARDUP_EMBEDDING_SQL,
+        q_ann_bruteforce,
+        q_neardup_embedding,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 1),          # query (vec_id % 50 == 0)
+        (1, [0.9, 0.1, 0.0, 0.0], 1),
+        (2, [0.0, 0.0, 0.0, 0.0], 1),          # zero vector -> dropped
+        (3, None, 1),                           # NULL embedding -> dropped
+        (4, [0.0, 1.0, 0.0, 0.0], 1),
+        (5, [0.5, 0.5, 0.0, 0.0], 2),
+        (50, [0.0, 0.0, 0.0, 0.0], 2),          # degenerate QUERY -> dropped
+    ]
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW embeddings AS SELECT vec_id, embedding::FLOAT[] AS "
+        "embedding, label FROM "
+        f"read_parquet('{tmp_path / 'embeddings.parquet'}')"
+    )
+    for qfn, sql in (
+        (q_ann_bruteforce, ANN_BRUTEFORCE_SQL),
+        (q_neardup_embedding, NEARDUP_EMBEDDING_SQL),
+    ):
+        df = qfn(spark, str(tmp_path))
+        got = sorted(tuple(r) for r in df.collect())
+        res = duck.sql(sql)
+        idx = [res.columns.index(c) for c in df.columns]
+        want = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
+        assert got == want, (qfn.__name__, got, want)
+        ids = {r[0] for r in got} | {r[1] for r in got}
+        assert not ids & {2, 3, 50}, (qfn.__name__, ids)
+    assert len(got) >= 1  # the parity check wasn't vacuous
+
+
 def test_decontaminate_semantic_zero_norm_benchmark_raises(spark):
     """ADVICE r5: a zero-norm eval embedding would silently disable its own
     decontamination (cosine NULL -> never flagged). The operator must fail

@@ -146,6 +146,43 @@ def test_stale_green_detection(monkeypatch):
     assert len(entrymod.queries()) == len(full)
 
 
+def test_untracked_module_flips_staleness(monkeypatch):
+    """ADVICE r9: `git diff --name-only <commit>` omits untracked files, so
+    a query depending on a brand-new uncommitted module used to keep its
+    stale green until the file was committed. Simulated git: nothing
+    tracked changed, but a module in diff_orders' closure is reported
+    untracked — the query must go stale (git show has no old source, so
+    the fingerprint proof degrades to stale, the conservative direction)."""
+    import subprocess
+
+    real_run = subprocess.run
+
+    def fake_run(cmd, **kw):
+        if cmd[:1] == ["git"]:
+            if "ls-files" in cmd:
+                out = "checkatron_spark/workloads.py\n"
+            elif "log" in cmd:
+                out = "f" * 40 + "\n"
+            elif "diff" in cmd:
+                out = ""
+            elif "show" in cmd:
+                raise subprocess.CalledProcessError(128, cmd)
+            else:
+                return real_run(cmd, **kw)
+
+            class R:
+                stdout = out
+
+            return R()
+        return real_run(cmd, **kw)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    full = entrymod._queries_unordered()
+    green = {"diff_orders": "CORRECTNESS_r09.json"}
+    stale = entrymod._stale_greens_or_none(full, green)
+    assert stale is not None and "diff_orders" in stale
+
+
 def test_every_query_has_an_oracle():
     # the driver records a weaker rows-only check for oracle-less queries;
     # this repo's bar is 100% oracle coverage — a new query without a
