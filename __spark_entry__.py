@@ -966,27 +966,56 @@ def full_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _round_no(fname: str) -> int:
+    import re
+
+    m = re.search(r"CORRECTNESS_r(\d+)", fname)
+    return int(m.group(1)) if m else -1
+
+
+# Forced rotation quota (round 10, VERDICT r9 #3): the K oldest-driver-green
+# fresh queries are promoted into the driver window each round REGARDLESS of
+# staleness, and are exempt from pruning. 75+ queries rely on the
+# fingerprint closure to re-enter the window; a closure blind spot would
+# otherwise keep a changed query driver-unverified indefinitely — the sf0.1
+# sweep covers it locally, but the DRIVER oracle is the hard signal. With
+# K=10 and ~75 ever-green pruned queries, every declared query gets a
+# driver grade at least every ceil(75/10)+1 = 9 rounds (pinned by the
+# rotation-simulation test in tests/test_entry_contract.py).
+_ROTATE_K = 10
+
+
+def _rotation_picks(
+    full: dict[str, Callable], green: dict[str, str], stale: set[str]
+) -> list[str]:
+    """The K oldest-green fresh queries, round-robin by green age: as each
+    pick re-grades, its green round advances and the next-oldest rotate in
+    on the following round. Deterministic (age, then name)."""
+    fresh = [
+        n for n in green
+        if n in full and n not in stale and n not in set(_CHECK_FIRST)
+    ]
+    fresh.sort(key=lambda n: (_round_no(green[n]), n))
+    return fresh[:_ROTATE_K]
+
+
 def _prunable(
     full: dict[str, Callable],
     green: dict[str, str],
     stale: set[str] | None,
+    keep: set[str] = frozenset(),
 ) -> list[str]:
     """Names eligible for pruning, oldest green first (deterministic):
     fresh-green (not stale), latest green recorded >= 2 rounds before the
-    newest round file on disk, and not manually fronted. Returns [] when
-    staleness is unknowable (git failure) — pruning without staleness
-    information could hide a changed query from the driver."""
-    import re
-
+    newest round file on disk, not manually fronted, and not in ``keep``
+    (the forced-rotation picks). Returns [] when staleness is unknowable
+    (git failure) — pruning without staleness information could hide a
+    changed query from the driver."""
     if stale is None or not green:
         return []
 
-    def _round_no(fname: str) -> int:
-        m = re.search(r"CORRECTNESS_r(\d+)", fname)
-        return int(m.group(1)) if m else -1
-
     latest = max(_round_no(f) for f in green.values())
-    keep_front = set(_CHECK_FIRST)
+    keep_front = set(_CHECK_FIRST) | set(keep)
     eligible = [
         n
         for n in green
@@ -1010,6 +1039,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stale_opt = _stale_greens_or_none(full, green)
     stale = stale_opt or set()
     last = set(_CHECK_LAST)
+    # forced rotation (VERDICT r9 #3): the K oldest-green fresh queries
+    # re-enter the window right after the stale re-grades, regardless of
+    # staleness — no query's driver verification may depend SOLELY on the
+    # fingerprint closure flagging it
+    rotate = _rotation_picks(full, green, stale)
+    rot = set(rotate)
+    # the remaining fresh greens also order oldest-green-first, so when
+    # window slots remain after the rotation quota they extend the same
+    # round-robin instead of re-grading an arbitrary declaration prefix
+    fresh_rest = sorted(
+        (n for n in rest if n in green and n not in stale and n not in rot),
+        key=lambda n: (_round_no(green[n]), n),
+    )
     ordered_names = (
         front
         # never green -> into the window, oldest-declared before this
@@ -1017,13 +1059,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         + [n for n in rest if n not in green and n not in last]
         + [n for n in rest if n not in green and n in last]
         + [n for n in rest if n in stale]  # changed since green -> re-grade
-        + [n for n in rest if n in green and n not in stale]  # proven
+        + [n for n in rotate if n in rest]  # forced rotation quota
+        + fresh_rest  # proven, oldest green first
     )
     # prune ever-green unchanged queries (oldest green first) down to the
     # driver-facing cap; the sf0.1 sweep still grades the full contract
     overflow = len(ordered_names) - _DRIVER_DICT_CAP
     if overflow > 0:
-        drop = set(_prunable(full, green, stale_opt)[:overflow])
+        drop = set(_prunable(full, green, stale_opt, keep=rot)[:overflow])
         ordered_names = [n for n in ordered_names if n not in drop]
     return {n: _with_scratch_release(full[n]) for n in ordered_names}
 

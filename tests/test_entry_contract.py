@@ -183,6 +183,73 @@ def test_untracked_module_flips_staleness(monkeypatch):
     assert stale is not None and "diff_orders" in stale
 
 
+def test_forced_rotation_of_evergreen_queries():
+    """VERDICT r9 #3: no query's driver verification may depend SOLELY on
+    the fingerprint closure — the K oldest-driver-green queries must
+    re-enter the 50-slot driver window every round regardless of
+    staleness, and must never be pruned."""
+    full = entrymod._queries_unordered()
+    green = entrymod._greens_on_disk()
+    stale = entrymod._stale_greens(full, green)
+    rotate = entrymod._rotation_picks(full, green, stale)
+    if not green:
+        assert rotate == []
+        return
+    assert len(rotate) == min(
+        entrymod._ROTATE_K,
+        len([n for n in green if n in full and n not in stale
+             and n not in set(entrymod._CHECK_FIRST)]),
+    )
+    # the picks are exactly the oldest greens (age, then name)
+    ages = [entrymod._round_no(green[n]) for n in rotate]
+    others = [
+        entrymod._round_no(green[n]) for n in green
+        if n in full and n not in stale
+        and n not in set(entrymod._CHECK_FIRST) and n not in set(rotate)
+    ]
+    assert not others or max(ages) <= min(others)
+    # they sit inside the driver's 50-slot window DIRECTLY AFTER the
+    # higher-priority segments (fronted / never-checked / stale re-grades
+    # rightfully outrank rotation); however many of the 50 slots remain
+    # after those segments must go to the rotation picks, in order
+    names = list(entrymod.queries().keys())
+    window = names[:50]
+    ahead = [
+        n for n in names
+        if n in set(entrymod._CHECK_FIRST) or n not in green or n in stale
+    ]
+    slots_left = max(0, 50 - len(ahead))
+    expect_in = rotate[: min(slots_left, len(rotate))]
+    missing = [n for n in expect_in if n not in window]
+    assert not missing, f"rotation picks crowded out of open slots: {missing}"
+    # and pruning must never drop them
+    prunable = entrymod._prunable(full, green, stale, keep=set(rotate))
+    assert not set(rotate) & set(prunable)
+
+
+def test_rotation_simulation_bounds_grade_age():
+    """Simulate the round-robin: N ever-green queries, K rotated per round
+    — every query must receive a driver grade at least every
+    ceil(N/K) + 1 rounds (the verdict's bound), indefinitely."""
+    import math
+
+    K = entrymod._ROTATE_K
+    N = 80
+    full = {f"q{i:03d}": None for i in range(N)}
+    green = {f"q{i:03d}": "CORRECTNESS_r01.json" for i in range(N)}
+    bound = math.ceil(N / K) + 1
+    last_graded = {n: 1 for n in full}
+    for rnd in range(2, 40):
+        picks = entrymod._rotation_picks(full, green, stale=set())
+        assert len(picks) == K
+        for n in picks:
+            green[n] = f"CORRECTNESS_r{rnd:02d}.json"
+            last_graded[n] = rnd
+        worst = max(rnd - r for r in last_graded.values())
+        if rnd > bound:
+            assert worst <= bound, (rnd, worst, bound)
+
+
 def test_every_query_has_an_oracle():
     # the driver records a weaker rows-only check for oracle-less queries;
     # this repo's bar is 100% oracle coverage — a new query without a
