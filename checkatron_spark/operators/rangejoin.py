@@ -75,6 +75,33 @@ def _guarded_bins(
     )
 
 
+def _auto_bin_seconds(parts: list[tuple[DataFrame, str, str]]) -> int:
+    """Derive the bin width from the data (VERDICT r9 #5): the MEDIAN
+    interval length across the given (df, start, end) sides, in one cheap
+    aggregate job (approx-percentile over the length column; the width is
+    a performance knob, never a correctness input — results are exact at
+    any width, so approx is fine). Median-length bins mean a typical
+    interval explodes to ~2 copies while same-bin packing stays near the
+    overlap density. NULL-endpoint and negative-length rows are excluded
+    (they produce no bins anyway); an interval table with no measurable
+    rows falls back to the 3600 s default."""
+    lens = None
+    for df, s, e in parts:
+        col = (
+            F.unix_timestamp(F.col(e)) - F.unix_timestamp(F.col(s))
+        ).cast("double")
+        part = df.select(col.alias("_len")).filter(
+            F.col("_len").isNotNull() & (F.col("_len") >= 0)
+        )
+        lens = part if lens is None else lens.unionByName(part)
+    med = lens.agg(F.percentile_approx("_len", 0.5).alias("_m")).collect()[
+        0
+    ]["_m"]
+    if med is None or med <= 0:
+        return 3600
+    return max(1, int(med))
+
+
 def range_join_binned(
     points: DataFrame,
     intervals: DataFrame,
@@ -82,7 +109,7 @@ def range_join_binned(
     point_ts: str,
     start_ts: str,
     end_ts: str,
-    bin_seconds: int = 3600,
+    bin_seconds: int | None = 3600,
     max_bins_per_interval: int = 1024,
 ) -> DataFrame:
     """Inner range join: every (point, interval) pair with
@@ -90,7 +117,11 @@ def range_join_binned(
     columns. Declarative all the way — the bin explode is a ``sequence``
     + ``explode``, the join an equi-join, the residual a plain filter.
     An interval covering more than ``max_bins_per_interval`` bins raises
-    instead of silently exploding (see module docstring)."""
+    instead of silently exploding (see module docstring).
+    ``bin_seconds=None`` derives the width from the median interval
+    length in one extra aggregate job (:func:`_auto_bin_seconds`)."""
+    if bin_seconds is None:
+        bin_seconds = _auto_bin_seconds([(intervals, start_ts, end_ts)])
     p = points.withColumn(
         "_bin", F.floor(F.unix_timestamp(F.col(point_ts)) / bin_seconds)
     )
@@ -119,7 +150,7 @@ def interval_overlap_join(
     l_end: str,
     r_start: str,
     r_end: str,
-    bin_seconds: int = 3600,
+    bin_seconds: int | None = 3600,
     max_bins_per_interval: int = 1024,
     rsuffix: str | None = None,
 ) -> DataFrame:
@@ -136,7 +167,10 @@ def interval_overlap_join(
     intervals whenever they overlap, so that bin is covered by both
     explode ranges; every other shared bin is filtered). Degenerate
     [t, t] intervals behave as points. Cost scales with overlap density;
-    set ``bin_seconds`` near the median interval length.
+    set ``bin_seconds`` near the median interval length — or pass
+    ``bin_seconds=None`` and the operator derives exactly that (the
+    median length across BOTH sides, one extra aggregate job,
+    :func:`_auto_bin_seconds`).
 
     The output carries ALL columns from both sides, so the inputs must
     not share a column name (ADVICE r8: a shared id column would come
@@ -171,6 +205,10 @@ def interval_overlap_join(
             r_start = r_start + rsuffix
         if r_end in common:
             r_end = r_end + rsuffix
+    if bin_seconds is None:
+        bin_seconds = _auto_bin_seconds(
+            [(left, l_start, l_end), (right, r_start, r_end)]
+        )
     w = float(bin_seconds)
 
     def bins(df: DataFrame, s: str, e: str) -> DataFrame:

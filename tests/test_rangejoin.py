@@ -284,3 +284,89 @@ def test_rsuffix_renames_clashing_bound_columns(spark):
     )
     assert sorted(out.columns) == ["e", "e_r", "iid", "iid_r", "s", "s_r"]
     assert [(r.iid, r.iid_r) for r in out.collect()] == [(1, 10)]
+
+
+def test_auto_bin_seconds_derives_median_and_matches_fixed(spark):
+    """VERDICT r9 #5: bin_seconds=None derives the width from the MEDIAN
+    interval length in one aggregate — on a mixed short/long interval set
+    the derived width must sit at the median (not the mean, which the
+    long tail would drag up), and both operators must return the same
+    exact rows as an explicitly-tuned run (width is a performance knob,
+    never a correctness input)."""
+    from checkatron_spark.operators.rangejoin import (
+        _auto_bin_seconds,
+        interval_overlap_join,
+        range_join_binned,
+    )
+
+    # 9 x 10-minute intervals + 2 x 12-hour outliers: median 600 s,
+    # mean ~7.6 ks — the auto width must pick the median
+    ivs = [
+        (j, T0 + timedelta(minutes=30 * j),
+         T0 + timedelta(minutes=30 * j + 10))
+        for j in range(9)
+    ] + [
+        (90, T0, T0 + timedelta(hours=12)),
+        (91, T0 + timedelta(hours=1), T0 + timedelta(hours=13)),
+    ]
+    intervals = spark.createDataFrame(ivs, ["iid", "w_start", "w_end"])
+    w = _auto_bin_seconds([(intervals, "w_start", "w_end")])
+    assert w == 600, w
+
+    points = spark.createDataFrame(
+        [(i, T0 + timedelta(minutes=3 * i)) for i in range(300)],
+        ["pid", "ts"],
+    )
+    fixed = range_join_binned(
+        points, intervals, point_ts="ts", start_ts="w_start",
+        end_ts="w_end", bin_seconds=600,
+    )
+    auto = range_join_binned(
+        points, intervals, point_ts="ts", start_ts="w_start",
+        end_ts="w_end", bin_seconds=None,
+    )
+    key = lambda r: (r["pid"], r["iid"])  # noqa: E731
+    assert sorted(map(key, auto.collect())) == sorted(
+        map(key, fixed.collect())
+    )
+
+    right = spark.createDataFrame(
+        [(j, T0 + timedelta(minutes=25 * j),
+          T0 + timedelta(minutes=25 * j + 40)) for j in range(12)],
+        ["rid", "r_s", "r_e"],
+    )
+    ofixed = interval_overlap_join(
+        intervals, right, l_start="w_start", l_end="w_end",
+        r_start="r_s", r_end="r_e", bin_seconds=900,
+    )
+    oauto = interval_overlap_join(
+        intervals, right, l_start="w_start", l_end="w_end",
+        r_start="r_s", r_end="r_e", bin_seconds=None,
+    )
+    okey = lambda r: (r["iid"], r["rid"])  # noqa: E731
+    assert sorted(map(okey, oauto.collect())) == sorted(
+        map(okey, ofixed.collect())
+    )
+
+
+def test_auto_bin_seconds_degenerate_inputs_fall_back(spark):
+    """No measurable intervals (all NULL endpoints / negative lengths /
+    empty) must fall back to the 3600 s default, not crash or derive 0."""
+    from pyspark.sql.types import (
+        LongType, StructField, StructType, TimestampType,
+    )
+
+    from checkatron_spark.operators.rangejoin import _auto_bin_seconds
+
+    schema = StructType([
+        StructField("iid", LongType()),
+        StructField("s", TimestampType()),
+        StructField("e", TimestampType()),
+    ])
+    empty = spark.createDataFrame([], schema)
+    assert _auto_bin_seconds([(empty, "s", "e")]) == 3600
+    nulls = spark.createDataFrame([(1, None, None), (2, T0, None)], schema)
+    assert _auto_bin_seconds([(nulls, "s", "e")]) == 3600
+    # all-degenerate [t, t] intervals: median 0 -> fall back, never bin 0
+    points_like = spark.createDataFrame([(1, T0, T0)], schema)
+    assert _auto_bin_seconds([(points_like, "s", "e")]) == 3600
