@@ -308,6 +308,50 @@ def test_greens_on_disk_numeric_round_sort(monkeypatch, tmp_path):
     assert entrymod._greens_on_disk() == {}
 
 
+def test_sweep_allow_audit_is_banded_not_blanket():
+    """Round 10 (VERDICT r9 #6): the sweep's --allow is no longer a free
+    pass — an allow-listed query must carry an _ALLOW_AUDITS entry whose
+    band check FAILS on out-of-band estimates and on drift in any
+    non-sketch column, and every name the sweep script passes via --allow
+    must have an audit defined."""
+    import importlib.util
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "selfcheck_t", repo / "tools" / "selfcheck.py"
+    )
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+
+    # every --allow name in the sweep script has an audit
+    sweep = (repo / "tools" / "sweep_sf01.sh").read_text()
+    import re
+
+    m = re.search(r"--allow\s+(\S+)", sweep)
+    assert m, "sweep_sf01.sh no longer passes --allow?"
+    for name in m.group(1).split(","):
+        assert name in sc._ALLOW_AUDITS, (
+            f"{name} is allow-listed without an audit — blanket allows "
+            "are banned"
+        )
+
+    audit = sc._banded_audit(["g"], {"est": 0.05})
+    cols = ["g", "est", "n"]
+    # in-band estimate, exact non-sketch column -> ALLOW
+    ok, msg = audit(cols, [("a", 102.0, 7)], cols, [("a", 100, 7)])
+    assert ok and "within" in msg
+    # out-of-band estimate -> FAIL
+    ok, msg = audit(cols, [("a", 110.0, 7)], cols, [("a", 100, 7)])
+    assert not ok and "outside" in msg
+    # sketch in band but a NON-sketch column drifted -> FAIL
+    ok, msg = audit(cols, [("a", 100.0, 8)], cols, [("a", 100, 7)])
+    assert not ok and "non-sketch" in msg
+    # group present on one side only -> FAIL
+    ok, msg = audit(cols, [("b", 100.0, 7)], cols, [("a", 100, 7)])
+    assert not ok
+
+
 def test_latest_sweep_covers_current_contract():
     """VERDICT r6 item 6: the sf0.1 full-contract sweep is the honesty
     gate over the driver's 50-query window, and it must stay mechanical —

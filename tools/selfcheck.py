@@ -66,6 +66,73 @@ def _normalize(rows, cols, exact=False):
     return out
 
 
+def _banded_audit(key_cols: list[str], bands: dict[str, float]):
+    """Self-auditing ALLOW (round 10, VERDICT r9 #6): instead of a blanket
+    pass, an allow-listed sketch query must prove its estimates sit inside
+    the documented error band of the oracle's exact values — computed from
+    the SAME result sets the sweep already fetched. Columns not in
+    ``bands`` must still match exactly (a drifted group count may not hide
+    behind the sketch allowance). Returns (ok, message)."""
+
+    def audit(s_cols, s_rows, d_cols, d_rows):
+        si = {c: i for i, c in enumerate(s_cols)}
+        di = {c: i for i, c in enumerate(d_cols)}
+        for c in key_cols + list(bands):
+            if c not in si or c not in di:
+                return False, f"audit column {c!r} missing from output"
+        if len(s_rows) != len(d_rows):
+            return False, f"row counts differ: {len(s_rows)} vs {len(d_rows)}"
+
+        def key(r, ix):
+            return tuple(_norm_cell(r[ix[k]]) for k in key_cols)
+
+        dmap = {key(r, di): r for r in d_rows}
+        exact_cols = [
+            c for c in s_cols if c not in bands and c not in key_cols
+        ]
+        worst = 0.0
+        for r in s_rows:
+            k = key(r, si)
+            o = dmap.get(k)
+            if o is None:
+                return False, f"group {k} missing from oracle result"
+            for c in exact_cols:
+                if _norm_cell(r[si[c]]) != _norm_cell(o[di[c]]):
+                    return False, (
+                        f"non-sketch column {c!r} diverges at group {k}: "
+                        f"{r[si[c]]!r} vs {o[di[c]]!r}"
+                    )
+            for c, band in bands.items():
+                est, exact = r[si[c]], o[di[c]]
+                if est is None and exact is None:
+                    continue
+                if est is None or exact is None:
+                    return False, f"{c!r} NULL on one side at group {k}"
+                rel = abs(float(est) - float(exact)) / max(float(exact), 1.0)
+                if rel > band:
+                    return False, (
+                        f"{c!r} at group {k}: est {est} vs exact {exact} "
+                        f"({rel:.2%} outside the {band:.2%} band)"
+                    )
+                worst = max(worst, rel)
+        return True, f"checked: estimates within {worst:.3%} of exact"
+
+    return audit
+
+
+# Error bands are 3x the documented HLL relative standard deviation
+# (rsd = 1.04/sqrt(2^lgConfigK)): approx_distincts pins lgConfigK=14
+# (rsd 0.81%), sketch_users_daily uses the Spark default 12 (rsd 1.63%).
+# approx_median (percentile_approx, accuracy 10000) gets a 1% value band.
+_ALLOW_AUDITS = {
+    "approx_distincts": _banded_audit(
+        ["o_orderpriority"],
+        {"approx_customers": 0.025, "approx_median": 0.01},
+    ),
+    "sketch_users_daily": _banded_audit(["day"], {"est_users": 0.05}),
+}
+
+
 _RISKY_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
 
@@ -167,7 +234,24 @@ def main() -> int:
         if ok:
             print(f"OK    {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
         elif name in allowed:
-            print(f"ALLOW {name}: expected divergence at this SF")
+            audit = _ALLOW_AUDITS.get(name)
+            if audit is None:
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: allow-listed but no audit is defined — "
+                    "a blanket allow is not a pass (add an _ALLOW_AUDITS "
+                    "entry encoding the expected divergence law)"
+                )
+                continue
+            ok2, msg = audit(
+                [c.lower() for c in s_cols], s_rows,
+                [c.lower() for c in d_cols], d_rows,
+            )
+            if ok2:
+                print(f"ALLOW {name}: {msg}")
+            else:
+                failures.append(name)
+                print(f"FAIL  {name}: allow audit failed: {msg}")
         else:
             failures.append(name)
 
