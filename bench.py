@@ -35,6 +35,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     # diff core + incremental/checksum lane
     "diff_orders",
+    # round 10 (VERDICT r9 #7): the faithful 3-CTE mode next to the
+    # single-join default measures the ONE documented perf claim about
+    # the reference's own plan shape (BASELINE.md predicts ~2-3x)
+    "diff_orders_faithful",
     "diff_lineitem_multikey",
     "diff_orders_incremental",
     "table_checksum_orders",
