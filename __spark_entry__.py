@@ -200,16 +200,25 @@ def _q_orders_filtered(spark, sf_dir):
 # that are already green AND unchanged can be pruned each round; leaving
 # them costs a window slot, nothing else.
 _CHECK_FIRST: list[str] = [
-    # round 9: the seven queries whose BEHAVIOR changed this round (LSH
-    # re-points, rangejoin guards, ADVICE fixes) must re-grade in THIS
-    # round's window, ahead of the conservatively-stale backlog
-    "ann_lsh_topk",
-    "neardup_minhash_lsh",
-    "sessions_overlap_promos",
-    "events_range_join",
-    "takedown_propagation",
-    "source_lang_entropy",
+    # round 10: queries whose BEHAVIOR changed this round must re-grade in
+    # THIS round's window, ahead of the conservatively-stale backlog —
+    # the flagship diff family (selectExpr plan-construction rewrite,
+    # output pinned identical), pmi + the text/tokenize family (the
+    # explicit [ \t\n\r\f] whitespace contract replacing Java/python \s),
+    # and the shingle consumers (python-side strip(" ") + class split)
+    "diff_orders",
+    "diff_orders_faithful",
+    "diff_lineitem_multikey",
     "pmi_collocations",
+    "text_stats",
+    "source_lang_entropy",
+    "neardup_ngram_jaccard",
+    "neardup_minhash_lsh",
+    "neardup_simhash",
+    "decontaminate_corpus",
+    "mix_budget_plan",
+    "events_range_join",
+    "sessions_overlap_promos",
 ]
 
 # Queries declared in the CURRENT round sit at the END of the never-checked

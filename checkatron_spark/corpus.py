@@ -997,7 +997,9 @@ def lm_bigram_coverage(
     for EVERY target doc (docs under 2 words score 0 across the board).
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.split(F.trim(t), r"\s+")
+    from checkatron_spark.functions.text import WS_CLASS
+
+    words = F.split(F.trim(t), WS_CLASS + "+")
 
     def bigrams(df):
         return df.select(
@@ -1212,7 +1214,7 @@ _LM_REF_U = (
 LM_BIGRAM_SQL = rf"""
 WITH u AS (SELECT doc_id, {_LM_REF_U} AS u FROM documents),
 w AS (
-    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS w
     FROM documents
 ),
 bg AS (

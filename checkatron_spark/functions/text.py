@@ -51,9 +51,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+# THE whitespace contract (round 10, extending ADVICE r9's pmi fix to the
+# whole text family): an EXPLICIT ASCII class, never \s — Java's \s
+# includes \x0B (vertical tab) and Python's is fully unicode-aware, while
+# the DuckDB oracles run RE2 where \s = [ \t\n\f\r ]. Every tokenizer on
+# every engine must mean exactly this class or a \x0B/unicode-space padded
+# doc diverges across engines.
+WS_CLASS = "[ \\t\\n\\r\\f]"
+NON_WS_CLASS = "[^ \\t\\n\\r\\f]"
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization -> array<string> (empty array for blank)."""
-    return F.split(F.trim(col), r"\s+")
+    return F.split(F.trim(col), WS_CLASS + "+")
 
 
 def token_count(col: Column) -> Column:
@@ -66,7 +76,9 @@ def token_count(col: Column) -> Column:
 def word_token_count(col: Column) -> Column:
     """BPE-ish sub-word unit count: alphanumeric runs + each non-space,
     non-alphanumeric symbol counts as its own token (regex token model)."""
-    return F.regexp_count(col, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+    return F.regexp_count(
+        col, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f]")
+    )
 
 
 def stopword_ratio(col: Column) -> Column:
@@ -81,7 +93,7 @@ def stopword_ratio(col: Column) -> Column:
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are punctuation/symbols."""
     n = F.length(col)
-    p = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    p = F.regexp_count(col, F.lit(r"[^\w \t\n\r\f]"))
     return F.when(n == 0, F.lit(0.0)).otherwise(
         p.cast("double") / n.cast("double")
     )
@@ -257,7 +269,7 @@ def hashed_linear_score(col: Column, *, n_buckets: int = 1024) -> Column:
     mean is one double division at the end — every step is bit-portable
     to the DuckDB oracle. NULL folds to '' (one ''-token, like SQL
     split), honoring the cleaning-never-yields-NULL rule."""
-    toks = F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+")
+    toks = F.split(F.trim(F.coalesce(col, F.lit(""))), WS_CLASS + "+")
 
     def _weight(t: Column) -> Column:
         bucket = (

@@ -88,13 +88,24 @@ def dedup_keyed(df: DataFrame, partition_cols: list[str], order_col: str) -> Dat
     )
 
 
+# the round-10 whitespace contract, python side (see functions/text.py
+# WS_CLASS): explicit ASCII class + space-only strip, matching SQL
+# trim()/string_split_regex exactly
+_WS_RE = re.compile("[ \t\n\r\f]+")
+
+
 def shingles(text_col, n: int = 3):
     """Distinct word n-gram shingles as array<string> (space-joined), via an
     Arrow-batched pandas UDF.
 
-    Semantics (mirrored by the DuckDB oracles): split trimmed text on
-    ``\\s+`` (empty text yields the [''] sentinel, like SQL split), docs
-    with < n words get one whole-doc shingle, order-preserving dedup.
+    Semantics (mirrored by the DuckDB oracles): split SQL-trimmed text
+    (spaces only — NOT python str.strip, which eats unicode whitespace the
+    oracle's trim() keeps) on the explicit ``[ \\t\\n\\r\\f]+`` class
+    (round 10 whitespace contract, functions/text.py WS_CLASS; python's
+    ``\\s`` is unicode-aware and Java's includes \\x0B — both diverge
+    from the RE2 oracle). Empty text yields the [''] sentinel like SQL
+    split; docs with < n words get one whole-doc shingle; order-preserving
+    dedup.
 
     A pure-JVM formulation exists (transform over an index sequence with
     concat_ws/element_at) but Catalyst interprets higher-order lambdas
@@ -106,7 +117,7 @@ def shingles(text_col, n: int = 3):
     def _sh(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            words = re.split(r"\s+", (t or "").strip())
+            words = _WS_RE.split((t or "").strip(" "))
             if len(words) < n:
                 out.append([" ".join(words)])
             else:
@@ -808,7 +819,7 @@ def simhash64(text_col_sql: str):
         aggregate(
             zip_with(
                 aggregate(
-                    transform(array_distinct(split(trim({text_col_sql}), '\\\\s+')),
+                    transform(array_distinct(split(trim({text_col_sql}), '[ \\\\t\\\\n\\\\r\\\\f]+')),
                               w -> cast(conv(substring(md5(w), 1, 15), 16, 10)
                                         AS bigint)),
                     array_repeat(0, 60),
@@ -1233,7 +1244,7 @@ def neardup_minhash_banded(
     def _sh_sig(texts: pd.Series) -> pd.DataFrame:
         shs, sigs = [], []
         for t in texts:
-            words = re.split(r"\s+", (t or "").strip())
+            words = _WS_RE.split((t or "").strip(" "))
             if len(words) < n:
                 grams = dict.fromkeys([" ".join(words)])
             else:

@@ -38,18 +38,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STOPS = ", ".join(f"''{w}''" for w in T.STOPWORDS).replace("''", "'")
-_TOKS = r"string_split_regex(trim(text), '\s+')"
+# explicit ASCII whitespace class on BOTH engines (round 10 — see
+# functions/text.py WS_CLASS): RE2's \s already equals it, Java's does
+# not (\x0B), so the class is spelled out everywhere for textual parity
+_TOKS = r"string_split_regex(trim(text), '[ \t\n\r\f]+')"
 
 TEXT_STATS_SQL = f"""
 WITH base AS (
     SELECT doc_id,
         CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
-        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_units,
+        len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]')) AS n_units,
         CASE WHEN len({_TOKS}) = 0 THEN 0.0
              ELSE CAST(len(list_filter({_TOKS}, t -> t IN ({_STOPS}))) AS DOUBLE)
                   / CAST(len({_TOKS}) AS DOUBLE) END AS stop_ratio,
         CASE WHEN length(text) = 0 THEN 0.0
-             ELSE CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+             ELSE CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\r\\f]')) AS DOUBLE)
                   / CAST(length(text) AS DOUBLE) END AS punct_ratio,
         length(text) AS n_len
     FROM documents
@@ -290,7 +293,7 @@ def _quality_sql_expr() -> str:
                  ELSE CAST(len(list_filter({toks}, t -> t IN ({stops}))) AS DOUBLE)
                       / CAST(len({toks}) AS DOUBLE) END) * 4.0, 1.0) * 0.5
         - least((CASE WHEN length(text) = 0 THEN 0.0
-                 ELSE CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                 ELSE CAST(len(regexp_extract_all(text, '[^\\w \\t\\n\\r\\f]')) AS DOUBLE)
                       / CAST(length(text) AS DOUBLE) END) * 2.0, 1.0) * 0.25,
     1.0), 0.0)
     """.format(toks=_TOKS, stops=_STOPS)
@@ -373,7 +376,7 @@ def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.coalesce(F.col("text"), F.lit(""))
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(t), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.trim(t), T.WS_CLASS + "+")).alias("n_tokens"),
         T.hashed_linear_score(F.col("text")).alias("quality_linear"),
     )
 
@@ -390,7 +393,7 @@ SELECT doc_id,
                          (x, y) -> x + y) / len(toks), 6) AS quality_linear
 FROM (
     SELECT doc_id,
-           string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+           string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS toks
     FROM documents
 )
 """
@@ -817,7 +820,12 @@ def q_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     class SplitSentences:
         def eval(self, doc_id, text):  # noqa: ANN001
             kept = [
-                p.strip() for p in (text or "").split(".") if p.strip() != ""
+                # strip(' ') not strip(): the codegen twin uses SQL trim()
+                # (spaces only) — python's default strip eats \t/\n/unicode
+                # whitespace the twin keeps (round-10 whitespace contract)
+                p.strip(" ")
+                for p in (text or "").split(".")
+                if p.strip(" ") != ""
             ]
             for i, s in enumerate(kept):
                 yield doc_id, i, s
@@ -908,7 +916,7 @@ _BENCH_U = (
 
 DECONTAMINATE_SQL = rf"""
 WITH w AS (
-    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w FROM documents
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS w FROM documents
 ),
 sh AS (
     SELECT doc_id,
@@ -954,7 +962,7 @@ def q_decontaminate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECONTAMINATE_MULTI_SQL = rf"""
 WITH w AS (
-    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w FROM documents
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS w FROM documents
 ),
 sh AS (
     SELECT doc_id,
@@ -1044,7 +1052,7 @@ def _bloom_pos_sql(gram: str, seed: int, m_bits: int = 65536) -> str:
 
 DECONTAMINATE_BLOOM_SQL = rf"""
 WITH w AS (
-    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w FROM documents
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS w FROM documents
 ),
 sh AS (
     SELECT doc_id,
@@ -1091,7 +1099,7 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_jaccard_sql(threshold: float = 0.8) -> str:
     return r"""
 WITH w AS (
-    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w FROM documents
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS w FROM documents
 ),
 docs AS (
     SELECT doc_id,
@@ -1164,7 +1172,7 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEARDUP_INCREMENTAL_SQL = r"""
 WITH w AS (
-    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS w FROM documents
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS w FROM documents
 ),
 docs AS (
     SELECT doc_id,
@@ -1918,7 +1926,7 @@ def q_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_ORACLE_SQL = r"""
 WITH toks AS (
     SELECT doc_id,
-           unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS w
+           unnest(list_distinct(string_split_regex(trim(text), '[ \t\n\r\f]+'))) AS w
     FROM documents
 ),
 th AS (

@@ -615,7 +615,7 @@ MIX_BUDGET_SQL = f"""
 WITH avail AS (
     SELECT lang, CAST(SUM(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                  ELSE len(string_split_regex(trim(coalesce(text, '')),
-                                             '\\s+')) END) AS BIGINT)
+                                             '[ \\t\\n\\r\\f]+')) END) AS BIGINT)
                AS avail_tokens
     FROM documents GROUP BY lang
 ),
@@ -706,7 +706,7 @@ WITH per AS (
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
                 ELSE len(string_split_regex(trim(coalesce(text, '')),
-                                            '\s+')) END) AS BIGINT)
+                                            '[ \t\n\r\f]+')) END) AS BIGINT)
                AS n_tokens,
            CAST(SUM(length(coalesce(text, ''))) AS BIGINT) AS n_chars
     FROM documents GROUP BY 1
