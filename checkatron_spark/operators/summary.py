@@ -58,8 +58,18 @@ def diff_summary(
     if exclude:
         dropped = {c.upper() for c in exclude}
         vcols = [c for c in vcols if c.upper() not in dropped]
-    any_diff = reduce(
-        lambda x, y: x | y, [F.col(f"`{c}`") > 0 for c in vcols], F.lit(False)
+    # rendered as ONE parsed SQL expression, not a python reduce of Column
+    # `|` calls: at warehouse-DESCRIBE widths the per-column py4j round
+    # trips dominate plan construction (round 10 — same fix as the diff
+    # projection, SCALE.md "Core diff"); the parsed tree is identical
+    any_diff = (
+        F.expr(
+            " OR ".join(
+                "`" + c.replace("`", "``") + "` > 0" for c in vcols
+            )
+        )
+        if vcols
+        else F.lit(False)
     )
     rs = F.col("_row_status")
     return diff_df.agg(
