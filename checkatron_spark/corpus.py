@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from checkatron_spark.functions.text import NON_WS_CLASS, WS_CLASS
 from checkatron_spark.sources.tables import load_table
 
 __all__ = [
@@ -997,8 +998,6 @@ def lm_bigram_coverage(
     for EVERY target doc (docs under 2 words score 0 across the board).
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    from checkatron_spark.functions.text import WS_CLASS
-
     words = F.split(F.trim(t), WS_CLASS + "+")
 
     def bigrams(df):
@@ -1297,10 +1296,9 @@ def pmi_collocations(
     # \x0B (vertical tab), RE2's does not — a \x0B-padded doc would
     # tokenize differently across engines. [ \t\n\r\f] means the same
     # thing in both; PMI_COLLOCATIONS_SQL uses the identical class.
-    ws = "[ \\t\\n\\r\\f]"
-    stripped = F.regexp_replace(t, f"^{ws}+|{ws}+$", "")
-    words = F.split(stripped, f"{ws}+")
-    w = docs.filter(t.rlike("[^ \\t\\n\\r\\f]")).select(words.alias("_w"))
+    stripped = F.regexp_replace(t, f"^{WS_CLASS}+|{WS_CLASS}+$", "")
+    words = F.split(stripped, f"{WS_CLASS}+")
+    w = docs.filter(t.rlike(NON_WS_CLASS)).select(words.alias("_w"))
     uni = scratch_persist(
         w.select(F.explode("_w").alias("tok"))
         .groupBy("tok")

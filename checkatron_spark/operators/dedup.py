@@ -30,7 +30,7 @@ from pyspark.sql.types import ArrayType, StringType
 from pyspark.sql.window import Window
 from checkatron_spark.session import scratch_persist
 
-from checkatron_spark.functions.text import fingerprint
+from checkatron_spark.functions.text import WS_CLASS, fingerprint
 
 __all__ = [
     "dedup_exact",
@@ -88,10 +88,11 @@ def dedup_keyed(df: DataFrame, partition_cols: list[str], order_col: str) -> Dat
     )
 
 
-# the round-10 whitespace contract, python side (see functions/text.py
-# WS_CLASS): explicit ASCII class + space-only strip, matching SQL
-# trim()/string_split_regex exactly
-_WS_RE = re.compile("[ \t\n\r\f]+")
+# the round-10 whitespace contract, python side: the class is DERIVED from
+# the single source of truth (functions/text.py WS_CLASS — python re reads
+# the \t/\n escapes identically to Java/RE2), plus space-only strip
+# matching SQL trim() exactly
+_WS_RE = re.compile(WS_CLASS + "+")
 
 
 def shingles(text_col, n: int = 3):

@@ -110,7 +110,26 @@ def _prepare_side(
     # presence marker: lets presence_fix mode distinguish "row absent" from
     # "first key legitimately NULL" (reference quirk, SURVEY.md section 2.3)
     proj.append(f"TRUE AS {_q(prefix + '__present__')}")
-    return df.selectExpr(*proj)
+    try:
+        return df.selectExpr(*proj)
+    except Exception:
+        # review r10: a drift-injected NULL's type may have no parseable
+        # DDL form (UDTs — VectorUDT's simpleString() is 'vector', which
+        # CAST cannot parse). Fall back to the Column-based projection,
+        # which accepts any DataType object: slower to construct (py4j per
+        # column) but total; the common all-parquet path never lands here.
+        cols = []
+        for c in all_cols:
+            if c in own_cols:
+                cols.append(F.col(f"`{rename[c]}`").alias(prefix + c))
+            else:
+                cols.append(
+                    F.lit(None).cast(other_types[c]).alias(prefix + c)
+                )
+        for e in extras:
+            cols.append(F.col(f"`{rename[e]}`").alias(prefix + e))
+        cols.append(F.lit(True).alias(prefix + "__present__"))
+        return df.select(*cols)
 
 
 def _status_col(b: str, a: str, alias: str, equal: str | None = None) -> str:

@@ -75,16 +75,27 @@ def _guarded_bins(
     )
 
 
-def _auto_bin_seconds(parts: list[tuple[DataFrame, str, str]]) -> int:
+def _auto_bin_seconds(
+    parts: list[tuple[DataFrame, str, str]], max_bins: int = 1024
+) -> int:
     """Derive the bin width from the data (VERDICT r9 #5): the MEDIAN
     interval length across the given (df, start, end) sides, in one cheap
     aggregate job (approx-percentile over the length column; the width is
     a performance knob, never a correctness input — results are exact at
     any width, so approx is fine). Median-length bins mean a typical
     interval explodes to ~2 copies while same-bin packing stays near the
-    overlap density. NULL-endpoint and negative-length rows are excluded
-    (they produce no bins anyway); an interval table with no measurable
-    rows falls back to the 3600 s default."""
+    overlap density.
+
+    The same aggregate also takes the MAX length, and the width is floored
+    at ceil(max_len / (max_bins - 2)) (review r10): a skewed distribution
+    — median 60 s plus one day-long outlier — would otherwise derive a
+    width that trips the ``max_bins_per_interval`` guard at runtime; auto
+    mode must never pick a width its own guard rejects. NULL-endpoint and
+    negative-length rows are excluded (they produce no bins anyway); an
+    interval table with no measurable rows falls back to the 3600 s
+    default."""
+    import math
+
     lens = None
     for df, s, e in parts:
         col = (
@@ -94,12 +105,17 @@ def _auto_bin_seconds(parts: list[tuple[DataFrame, str, str]]) -> int:
             F.col("_len").isNotNull() & (F.col("_len") >= 0)
         )
         lens = part if lens is None else lens.unionByName(part)
-    med = lens.agg(F.percentile_approx("_len", 0.5).alias("_m")).collect()[
-        0
-    ]["_m"]
-    if med is None or med <= 0:
+    row = lens.agg(
+        F.percentile_approx("_len", 0.5).alias("_m"),
+        F.max("_len").alias("_mx"),
+    ).collect()[0]
+    med, mx = row["_m"], row["_mx"]
+    if med is None or mx is None or mx <= 0:
         return 3600
-    return max(1, int(med))
+    # floor(e/w) - floor(s/w) + 1 <= len/w + 2, so w >= len/(max_bins - 2)
+    # guarantees the longest interval stays under the explode guard
+    guard_floor = math.ceil(mx / max(max_bins - 2, 1))
+    return max(1, int(med), guard_floor)
 
 
 def range_join_binned(
@@ -121,7 +137,9 @@ def range_join_binned(
     ``bin_seconds=None`` derives the width from the median interval
     length in one extra aggregate job (:func:`_auto_bin_seconds`)."""
     if bin_seconds is None:
-        bin_seconds = _auto_bin_seconds([(intervals, start_ts, end_ts)])
+        bin_seconds = _auto_bin_seconds(
+            [(intervals, start_ts, end_ts)], max_bins_per_interval
+        )
     p = points.withColumn(
         "_bin", F.floor(F.unix_timestamp(F.col(point_ts)) / bin_seconds)
     )
@@ -207,7 +225,8 @@ def interval_overlap_join(
             r_end = r_end + rsuffix
     if bin_seconds is None:
         bin_seconds = _auto_bin_seconds(
-            [(left, l_start, l_end), (right, r_start, r_end)]
+            [(left, l_start, l_end), (right, r_start, r_end)],
+            max_bins_per_interval,
         )
     w = float(bin_seconds)
 

@@ -187,3 +187,29 @@ def test_key_missing_raises(spark):
     a = spark.createDataFrame([("a",)], "val string")
     with pytest.raises(ValueError):
         diff(b, a, ["k1"])
+
+
+def test_diff_udt_drift_column_falls_back_to_column_projection(spark):
+    """Review r10: the selectExpr rewrite renders drift-injected NULLs as
+    CAST(NULL AS <simpleString>), which has no parseable DDL for UDTs
+    (VectorUDT -> 'vector'). The Column-based fallback must keep diff
+    total: an after-only vector column statuses as NULL_IN_BEFORE (2) on
+    every row, like any other drift column."""
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    before = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("v", LongType()),
+        StructField("feat", VectorUDT()),
+    ])
+    after = spark.createDataFrame(
+        [(1, 10, Vectors.dense([1.0, 2.0])), (2, 21, Vectors.dense([3.0]))],
+        schema,
+    )
+    d = diff(before, after, ["k"])
+    rows = {r.K_K: r for r in d.collect()}
+    assert d.columns == ["_row_status", "K_K", "K", "V", "FEAT"]
+    assert rows[1].FEAT == 2 and rows[2].FEAT == 2
+    assert rows[1].V == 0 and rows[2].V == 1

@@ -370,3 +370,38 @@ def test_auto_bin_seconds_degenerate_inputs_fall_back(spark):
     # all-degenerate [t, t] intervals: median 0 -> fall back, never bin 0
     points_like = spark.createDataFrame([(1, T0, T0)], schema)
     assert _auto_bin_seconds([(points_like, "s", "e")]) == 3600
+
+
+def test_auto_bin_seconds_never_trips_its_own_explode_guard(spark):
+    """Review r10: a skewed length distribution (median 60 s, one day-long
+    outlier) must not derive a width the max_bins_per_interval guard then
+    rejects — the width is floored at ceil(max_len / (max_bins - 2)), and
+    the join must run to completion in auto mode."""
+    from checkatron_spark.operators.rangejoin import (
+        _auto_bin_seconds,
+        range_join_binned,
+    )
+
+    ivs = [
+        (j, T0 + timedelta(minutes=10 * j),
+         T0 + timedelta(minutes=10 * j, seconds=60))
+        for j in range(9)
+    ] + [(99, T0, T0 + timedelta(days=1))]
+    intervals = spark.createDataFrame(ivs, ["iid", "w_start", "w_end"])
+    w = _auto_bin_seconds([(intervals, "w_start", "w_end")], 1024)
+    assert w == 85, w  # ceil(86400 / 1022), not the 60s median
+    points = spark.createDataFrame(
+        [(i, T0 + timedelta(minutes=5 * i)) for i in range(50)],
+        ["pid", "ts"],
+    )
+    out = range_join_binned(
+        points, intervals, point_ts="ts", start_ts="w_start",
+        end_ts="w_end", bin_seconds=None,
+    )
+    brute = points.crossJoin(intervals).filter(
+        (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+    )
+    key = lambda r: (r["pid"], r["iid"])  # noqa: E731
+    assert sorted(map(key, out.collect())) == sorted(
+        map(key, brute.collect())
+    )

@@ -77,8 +77,15 @@ def _banded_audit(key_cols: list[str], bands: dict[str, float]):
     def audit(s_cols, s_rows, d_cols, d_rows):
         si = {c: i for i, c in enumerate(s_cols)}
         di = {c: i for i, c in enumerate(d_cols)}
+        if set(si) != set(di):
+            # review r10: the exact-column loop indexes the oracle row by
+            # name — a one-sided column must FAIL here, not KeyError out
+            # of the whole sweep
+            return False, (
+                f"column sets differ: spark={sorted(si)} duck={sorted(di)}"
+            )
         for c in key_cols + list(bands):
-            if c not in si or c not in di:
+            if c not in si:
                 return False, f"audit column {c!r} missing from output"
         if len(s_rows) != len(d_rows):
             return False, f"row counts differ: {len(s_rows)} vs {len(d_rows)}"
