@@ -394,8 +394,15 @@ def test_driver_window_prune_invariants():
     stale_opt = entrymod._stale_greens_or_none(
         entrymod._queries_unordered(), green
     )
+    # round 10: the forced-rotation picks are exempt from pruning — the
+    # invariant is over the prunable set queries() actually uses
+    rotate = set(
+        entrymod._rotation_picks(
+            entrymod._queries_unordered(), green, stale_opt or set()
+        )
+    )
     prunable = entrymod._prunable(
-        entrymod._queries_unordered(), green, stale_opt
+        entrymod._queries_unordered(), green, stale_opt, keep=rotate
     )
     # the cap binds whenever prunable mass exists; a mass-stale round (an
     # edit to a widely-imported module flips most greens stale, and stale
