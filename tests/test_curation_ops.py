@@ -819,3 +819,74 @@ def test_fuzz_tiling_rewrite_matches_oracles(spark, texts):
         assert got2 == want2 and len(got2) == len(rows)
     finally:
         con.close()
+
+
+def test_exotic_whitespace_parity_spark_vs_oracle(spark, duck, tmp_path):
+    """Round 10 whitespace-contract lock: an adversarial corpus — vertical
+    tab, form feed, CR, no-break space (\\u00a0), em space (\\u2003),
+    zero-width space (\\u200b), leading/trailing tab/newline mixes, a
+    VT-only doc, a true-whitespace-only doc, NULL and empty — must grade
+    row-identical across Spark (Java regex + python kernels) and the
+    DuckDB (RE2) oracle for the token-stats and shingle-pair queries.
+    Every one of these characters picks a different side of \\s in at
+    least one of the three regex dialects; the explicit [ \\t\\n\\r\\f]
+    class is what makes the engines agree."""
+    import pandas as pd
+
+    from checkatron_spark.pipelines import (
+        NEARDUP_JACCARD_SQL,
+        TEXT_STATS_SQL,
+        q_neardup_jaccard,
+        q_text_stats,
+    )
+
+    texts = [
+        "plain words the and of",
+        "\x0bvertical\x0btab padded\x0b",
+        "\x0b",                               # VT-only: one token everywhere
+        "\ttab lead and trail\t",
+        "\nnewline lead the end\n",
+        "\fform\ffeed the gap\f",
+        "\rcarriage the return\r",
+        "no break space the pair",        # NBSP inside a "token"
+        "em space the pair",              # U+2003 inside a "token"
+        "zero​width the pair",            # ZWSP inside a "token"
+        " \t\n\f\r ",                          # true-whitespace-only: dropped
+        "",
+        None,
+        # repeated so the shingle query has real pairs to emit
+        "alpha\x0bbeta gamma delta the of",
+        "alpha\x0bbeta gamma delta the of",
+        "alpha beta gamma delta the of",
+    ]
+    rows = [
+        (i + 1, t, "en", "web", len(t) if t else 0)
+        for i, t in enumerate(texts)
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    duck.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    for qfn, sql in (
+        (q_text_stats, TEXT_STATS_SQL),
+        (q_neardup_jaccard, NEARDUP_JACCARD_SQL),
+    ):
+        df = qfn(spark, str(tmp_path))
+        got = sorted(
+            tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+            for r in df.collect()
+        )
+        res = duck.sql(sql)
+        idx = [res.columns.index(c) for c in df.columns]
+        want = sorted(
+            tuple(
+                round(row[i], 9) if isinstance(row[i], float) else row[i]
+                for i in idx
+            )
+            for row in res.fetchall()
+        )
+        assert got == want, (qfn.__name__, got[:4], want[:4])
+    assert len(got) >= 1  # the pair query emitted real rows, not vacuous
