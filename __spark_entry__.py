@@ -226,7 +226,13 @@ _CHECK_FIRST: list[str] = [
 # module merge order. Round 5: empty — the never-checked set (the 20-query
 # round-4 backlog plus the ~16 round-5 additions) fits in one 50-slot
 # window regardless of internal order, so no pinning is needed.
-_CHECK_LAST: list[str] = []
+_CHECK_LAST: list[str] = [
+    # round 10: the per-source adaptive quality floor pair is new this
+    # round — never checked, so it enters the window after any older
+    # never-checked backlog (there is none this round)
+    "quality_floor_by_source",
+    "quality_floor_kept",
+]
 
 
 def _greens_on_disk() -> dict[str, str]:

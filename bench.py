@@ -87,6 +87,9 @@ HEADLINE = [
     "strip_boilerplate",
     "neardup_incremental_batch",
     "curation_funnel",
+    # round-10: per-source adaptive quality floor (percentile-sketch
+    # aggregate + broadcast threshold join — the grouped-quantile shape)
+    "quality_floor_kept",
     # round-5 dedup additions (keep-list e2e = pairs + clustering + semi-
     # join composed; winnowing = char-gram hash UDF + fingerprint join)
     "dedup_corpus_e2e",

@@ -52,6 +52,8 @@ __all__ = [
     "token_heavy_hitters_cms",
     "lm_bigram_coverage",
     "cms_merge",
+    "quality_floor_by_source",
+    "quality_floor_kept",
     "QUERIES",
     "oracles",
 ]
@@ -1385,6 +1387,164 @@ WHERE p.n_pair >= 5
 """
 
 
+
+def _score_by_source(docs: DataFrame) -> DataFrame:
+    from checkatron_spark.functions.text import quality_score
+
+    # NULL text is explicitly un-scoreable (q NULL): quality_score alone
+    # would give it 0.75 — least()/greatest() SKIP NULLs on both engines,
+    # so every NULL-driven component collapses to its cap — and a quality
+    # GATE must not pass documents it cannot read. The oracle CTE carries
+    # the identical CASE.
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("text").isNotNull(), quality_score(F.col("text"))
+        ).alias("_q"),
+    )
+
+
+def quality_floor_by_source(
+    docs: DataFrame, *, frac: float = 0.1, accuracy: int = 1_000_000
+) -> DataFrame:
+    """Per-source ADAPTIVE quality floor — the curation policy "drop each
+    source's own worst ``frac``" instead of one global threshold (a global
+    cut silently empties low-register sources and leaves high-register
+    sources unpruned; per-source floors keep the mixture while shedding
+    each source's tail).
+
+    The floor is the per-source ``frac``-quantile of the deterministic
+    ``quality_score``; a document is kept when quality is STRICTLY above
+    its source's floor (ties at the floor drop, so a mass-tie can never
+    keep more than 1-frac). Spark's ``percentile_approx`` at accuracy 1e6
+    returns the exact discrete quantile below ~1e6 docs/source — the
+    fixtures' regime, graded bit-exact against DuckDB's ``quantile_disc``
+    (the approx_distincts precedent); beyond that it degrades to an
+    honest rank-error estimate, which is the 100 TB path anyway.
+
+    100 TB plan: one corpus scan into a map-side-combined quantile sketch
+    per source (|sources| rows), broadcast back over a second scan —
+    no corpus-sized shuffle at any point. NULL-text docs are explicitly
+    scored NULL (see _score_by_source): excluded from the quantile AND
+    dropped by the strict comparison on BOTH engines.
+
+    Returns the audit: (source, n_docs, n_scored, quality_floor, n_kept).
+    """
+    from checkatron_spark.session import scratch_persist
+
+    scored = scratch_persist(_score_by_source(docs))
+    thr = scored.groupBy("source").agg(
+        F.percentile_approx("_q", frac, accuracy).alias("quality_floor"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("_q").cast("bigint").alias("n_scored"),
+    )
+    kept = (
+        scored.join(
+            F.broadcast(thr.select("source", "quality_floor")), "source"
+        )
+        .filter(F.col("_q") > F.col("quality_floor"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return thr.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_scored",
+        "quality_floor",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+def quality_floor_kept(
+    docs: DataFrame, *, frac: float = 0.1, accuracy: int = 1_000_000
+) -> DataFrame:
+    """The kept-document view of :func:`quality_floor_by_source`: every
+    (doc_id, source, quality) strictly above its source's adaptive floor —
+    what the next pipeline stage consumes. Same one-scan-plus-broadcast
+    plan; quality is emitted raw (the score arithmetic is bit-portable,
+    the text_stats precedent)."""
+    scored = _score_by_source(docs)
+    thr = scored.groupBy("source").agg(
+        F.percentile_approx("_q", frac, accuracy).alias("_floor")
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .filter(F.col("_q") > F.col("_floor"))
+        .select("doc_id", "source", F.col("_q").alias("quality"))
+    )
+
+
+def q_quality_floor_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return quality_floor_by_source(load_table(spark, "documents", sf_dir))
+
+
+def q_quality_floor_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_floor_kept(load_table(spark, "documents", sf_dir))
+
+
+def _quality_scored_sql() -> str:
+    """The ``scored`` CTE: quality_score's DuckDB twin (textually the same
+    sub-expressions as TEXT_STATS_SQL's, which is graded bit-exact) keyed
+    by (doc_id, source)."""
+    from checkatron_spark.pipelines import _STOPS, _TOKS
+
+    stop_ratio = (
+        f"CASE WHEN len({_TOKS}) = 0 THEN 0.0 "
+        f"ELSE CAST(len(list_filter({_TOKS}, t -> t IN ({_STOPS}))) "
+        f"AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) END"
+    )
+    punct_ratio = (
+        "CASE WHEN length(text) = 0 THEN 0.0 "
+        "ELSE CAST(len(regexp_extract_all(text, "
+        "'[^\\w \\t\\n\\r\\f]')) AS DOUBLE) "
+        "/ CAST(length(text) AS DOUBLE) END"
+    )
+    return f"""scored AS (
+    SELECT doc_id, source,
+        CASE WHEN text IS NOT NULL THEN
+        greatest(least(
+            least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+            + least(({stop_ratio}) * 4.0, 1.0) * 0.5
+            - least(({punct_ratio}) * 2.0, 1.0) * 0.25,
+        1.0), 0.0) END AS q
+    FROM documents
+)"""
+
+
+def quality_floor_audit_sql(frac: float = 0.1) -> str:
+    return f"""
+WITH {_quality_scored_sql()},
+thr AS (
+    SELECT source, quantile_disc(q, {frac}) AS quality_floor,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(q) AS BIGINT) AS n_scored
+    FROM scored GROUP BY source
+)
+SELECT t.source, t.n_docs, t.n_scored, t.quality_floor,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM thr t LEFT JOIN (
+    SELECT s.source, COUNT(*) AS n_kept
+    FROM scored s JOIN thr ON s.source = thr.source
+    WHERE s.q > thr.quality_floor GROUP BY s.source
+) k ON t.source = k.source
+"""
+
+
+def quality_floor_kept_sql(frac: float = 0.1) -> str:
+    return f"""
+WITH {_quality_scored_sql()},
+thr AS (
+    SELECT source, quantile_disc(q, {frac}) AS quality_floor
+    FROM scored GROUP BY source
+)
+SELECT s.doc_id, s.source, s.q AS quality
+FROM scored s JOIN thr ON s.source = thr.source
+WHERE s.q > thr.quality_floor
+"""
+
 QUERIES = {
     "dup_ngram_profile": q_dup_ngram_profile,
     "chunk_documents": q_chunk_documents,
@@ -1400,6 +1560,8 @@ QUERIES = {
     "token_heavy_hitters_cms": q_token_heavy_hitters,
     "lm_bigram_coverage": q_lm_bigram_coverage,
     "pmi_collocations": q_pmi_collocations,
+    "quality_floor_by_source": q_quality_floor_by_source,
+    "quality_floor_kept": q_quality_floor_kept,
 }
 
 
@@ -1419,4 +1581,6 @@ def oracles() -> dict[str, str]:
         "token_heavy_hitters_cms": TOKEN_CMS_SQL,
         "lm_bigram_coverage": LM_BIGRAM_SQL,
         "pmi_collocations": PMI_COLLOCATIONS_SQL,
+        "quality_floor_by_source": quality_floor_audit_sql(),
+        "quality_floor_kept": quality_floor_kept_sql(),
     }

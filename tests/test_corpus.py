@@ -337,3 +337,56 @@ def test_pmi_vertical_tab_parity_spark_vs_oracle(spark, duck, tmp_path):
     assert got == want
     # the VT-joined bigram survives the min_count floor on both engines
     assert any("\x0b" in r[0] for r in got)
+
+
+# ---------------------------------------------------------------------------
+# quality_floor_by_source (round 10)
+
+
+def test_quality_floor_is_adaptive_per_source(spark):
+    """Two sources with different quality distributions must get DIFFERENT
+    floors (the point of per-source adaptation), NULL-text docs are
+    excluded from both the quantile and the kept set, and ties at the
+    floor drop (strict inequality)."""
+    from checkatron_spark.corpus import (
+        quality_floor_by_source,
+        quality_floor_kept,
+    )
+
+    # source A: long, stopword-rich docs (high quality); source B: short,
+    # punctuation-heavy docs (low quality). One NULL-text doc per source.
+    a_doc = ("the and of to in " * 12).strip()
+    b_doc = "x!!! ??? ###"
+    rows = (
+        [(i, a_doc, "en", "A", len(a_doc)) for i in range(1, 11)]
+        + [(100 + i, b_doc, "en", "B", len(b_doc)) for i in range(1, 11)]
+        + [(900, None, "en", "A", 0), (901, None, "en", "B", 0)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    audit = {r.source: r for r in quality_floor_by_source(docs).collect()}
+    assert audit["A"].n_docs == 11 and audit["A"].n_scored == 10
+    assert audit["B"].n_docs == 11 and audit["B"].n_scored == 10
+    assert audit["A"].quality_floor > audit["B"].quality_floor
+    # every scored doc in a source ties at that source's single quality
+    # value == the floor -> strict inequality keeps NOTHING (mass-tie can
+    # never keep more than 1-frac)
+    assert audit["A"].n_kept == 0 and audit["B"].n_kept == 0
+    kept = quality_floor_kept(docs).collect()
+    assert kept == []
+
+    # now break the tie: one strictly-better doc per source must be the
+    # only survivor of its source
+    better_a = a_doc + " the and of extra words on it goes for length"
+    rows2 = rows + [
+        (500, better_a, "en", "A", len(better_a)),
+        (501, "the and of to in plain words here", "en", "B", 34),
+    ]
+    docs2 = spark.createDataFrame(
+        rows2, "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    kept2 = {(r.doc_id, r.source) for r in quality_floor_kept(docs2).collect()}
+    assert kept2 == {(500, "A"), (501, "B")}

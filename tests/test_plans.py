@@ -404,3 +404,19 @@ def test_wide_table_diff_1200_cols_codegen_fallback(spark):
         F.sum("C1199").alias("last"),
     ).collect()[0]
     assert agg.c7 == 40 and agg.c8 == 0 and agg.last == 0
+
+
+def test_quality_floor_plan_broadcasts_thresholds(spark):
+    """SCALE.md 'Corpus passes': the per-source adaptive quality floor is
+    one corpus scan into a map-side-combined percentile sketch per source,
+    then the |sources|-row threshold table BROADCAST back over a second
+    scan — never a corpus-sized sort-merge join, never a window over the
+    corpus."""
+    from checkatron_spark.corpus import quality_floor_kept
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = _plan(quality_floor_kept(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_percentile_approx" in plan, plan[:1200]
