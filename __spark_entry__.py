@@ -26,6 +26,7 @@ from checkatron_spark import multimodal as M
 from checkatron_spark import pipelines as P
 from checkatron_spark import streaming as ST
 from checkatron_spark import sampling as SA
+from checkatron_spark import selection as SEL
 from checkatron_spark import tpch_ext as T
 from checkatron_spark import tpch_ext2 as T2
 from checkatron_spark import workloads as W
@@ -232,6 +233,11 @@ _CHECK_LAST: list[str] = [
     # never-checked backlog (there is none this round)
     "quality_floor_by_source",
     "quality_floor_kept",
+    # round 10 (late batch): the selection module — BM25 retrieval,
+    # graded contamination policy, DSIR importance weights
+    "bm25_topk",
+    "contamination_frac",
+    "dsir_importance",
 ]
 
 
@@ -1145,6 +1151,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **ST.QUERIES,
         **C.QUERIES,
         **EX.QUERIES,
+        **SEL.QUERIES,
     }
 
 
@@ -1236,4 +1243,5 @@ def oracle_sql() -> dict[str, str]:
         **ST.oracles(),
         **C.oracles(),
         **EX.oracles(),
+        **SEL.oracles(),
     }

@@ -117,6 +117,13 @@ HEADLINE = [
     "pmi_collocations",
     "events_session_stats",
     "ann_label_filtered_topk",
+    # round-10 (late batch): the selection module — BM25 lexical retrieval
+    # (filtered-posting aggregate + scalar broadcast), graded contamination
+    # (broadcast LEFT gram join), DSIR importance weights (bucket-count
+    # aggregate + broadcast log-ratio join over an Arrow bigram kernel)
+    "bm25_topk",
+    "contamination_frac",
+    "dsir_importance",
 ]
 
 

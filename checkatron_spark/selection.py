@@ -1,0 +1,504 @@
+"""Training-data SELECTION operators: relevance retrieval, graded
+contamination policy, and importance weighting.
+
+These are the ops a pretraining pipeline runs between curation (corpus.py)
+and mixing (sampling.py) to decide WHICH documents feed the model:
+
+- ``bm25_topk``: Okapi BM25 retrieval of the corpus documents most relevant
+  to a fixed query-term set — the standard lexical scorer behind
+  "select training docs similar to the target domain" pipelines (and the
+  retrieval half of RAG data prep). Plan: tokenize + explode, filter to the
+  query terms BEFORE the aggregate (so the per-(doc, term) shuffle carries
+  only matching postings, not the corpus), tiny df/corpus-stats sides
+  broadcast, global top-k via sort+limit (TakeOrderedAndProject — no
+  single-reducer window at corpus scale).
+- ``contamination_frac``: the graded form of benchmark decontamination
+  (operators/dedup.py decontaminate gives the binary form): per corpus doc,
+  the FRACTION of its distinct word n-grams that appear in the eval set,
+  with the GPT-3-style thresholded verdict (clean / flag / drop). A binary
+  "shares any gram" rule drops a 10k-word doc for one quoted sentence; the
+  graded policy is what production hygiene actually ships.
+- ``dsir_importance``: hashed-bigram importance weights from DSIR ("Data
+  Selection for Language Models via Importance Resampling", Xie et al.
+  2023): estimate target vs raw unigram-pair distributions over B hashed
+  feature buckets, score every raw doc by its summed log-likelihood ratio.
+  Plan: one explode + ONE (bucket)-keyed aggregate (B=256 rows out,
+  map-side combined), log-ratio table broadcast back over a second gram
+  scan, per-doc integer aggregate (shuffle volume = |docs|, map-side
+  combined because explode preserves row locality). No corpus-sized
+  shuffle on the gram key at any point.
+
+Engine-parity contract (the module's invariant): every cross-engine
+comparison or ranking happens on MICRO-UNIT BIGINTs — each per-term /
+per-bucket double score is rounded to 1e-6 ONCE, cast to BIGINT, and all
+downstream sums/ranks are exact integer arithmetic, immune to
+floating-point summation order on either engine. The score expressions
+themselves are rendered from ONE shared template string per operator
+(``_BM25_SCORE_TMPL`` / ``_DSIR_LR_TMPL``) evaluated by both Spark and
+DuckDB, so the arithmetic trees are textually identical; the only residual
+cross-engine risk is a libm-vs-JVM ``ln()`` ULP landing exactly on a
+0.5-micro rounding boundary (measure-zero; the tfidf_top_terms precedent).
+Hash parity uses the md5-hex-prefix construction from sampling.hash_uniform.
+Tokenization follows the round-10 whitespace contract
+(functions/text.py WS_CLASS, explicit ``[ \\t\\n\\r\\f]``).
+
+Reference parity note: the reference (simbo1905/checkatron) has no
+selection operators — this module belongs to the large-scale-training-data
+mandate layered on top of the diff-engine surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from checkatron_spark.functions.text import WS_CLASS
+from checkatron_spark.sources.tables import load_table
+
+__all__ = [
+    "bm25_topk",
+    "contamination_frac",
+    "dsir_importance",
+    "BM25_TERMS",
+    "QUERIES",
+    "oracles",
+]
+
+# Fixed query-term set for the declared bm25_topk query: mid-frequency
+# content words present in the fixture vocabulary.
+BM25_TERMS = ("hash", "join", "vector", "stream")
+
+_DUCK_TOKS = r"string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+')"
+
+
+def _tokens(text_col: Column) -> Column:
+    """SQL-trimmed whitespace-split tokens; NULL text behaves like ''
+    (the [''] sentinel, matching the oracle's coalesce)."""
+    return F.split(F.trim(F.coalesce(text_col, F.lit(""))), WS_CLASS + "+")
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+# The per-(doc, term) BM25 contribution in micro-units, over columns
+# tf/df/dl/n_docs/sum_dl (all BIGINT). idf is the Lucene/Robertson
+# ln(1 + (N - df + 0.5)/(df + 0.5)) variant (always positive); avgdl is
+# spelled sum_dl/n_docs INSIDE the template so both engines divide the
+# same exact integers. Evaluated verbatim by Spark (expr) and DuckDB.
+_BM25_SCORE_TMPL = (
+    "CAST(round("
+    "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)"
+    " / (CAST(df AS DOUBLE) + 0.5))"
+    " * ((CAST(tf AS DOUBLE) * ({k1} + 1.0))"
+    " / (CAST(tf AS DOUBLE) + {k1} * (1.0 - {b} + {b}"
+    " * CAST(dl AS DOUBLE)"
+    " / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms=BM25_TERMS,
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` corpus documents by Okapi BM25 against ``query_terms``.
+
+    Returns (doc_id, score_micro, rnk): score in exact 1e-6 units
+    (BIGINT — see the module parity contract), rank dense from 1 with
+    the total tie-break (score DESC, doc_id ASC).
+
+    100 TB plan: the ``isin`` filter lands BEFORE the (doc, term)
+    aggregate, so the only corpus-sized shuffle carries matching postings
+    (|terms| is a handful — the map-side combine collapses each partition
+    to ~|docs-with-hits| rows). df (|terms| rows) and the corpus stats
+    (1 row) broadcast; the final top-k is sort+limit, which Spark executes
+    as TakeOrderedAndProject — per-partition heaps, no global window."""
+    toks = _tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        toks.alias("_w"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("_w").alias("token"))
+        .filter(F.col("token").isin(*query_terms))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    score_u = _BM25_SCORE_TMPL.format(k1=repr(float(k1)), b=repr(float(b)))
+    per_doc = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(score_u).alias("score_u"))
+        .groupBy("doc_id")
+        .agg(F.sum("score_u").cast("bigint").alias("score_micro"))
+    )
+    topk = per_doc.orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    # rank over the <= k survivors only — a bounded single partition
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return topk.select(
+        "doc_id",
+        "score_micro",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+
+
+def bm25_topk_sql(
+    query_terms=BM25_TERMS, *, k: int = 20, k1: float = 1.2, b: float = 0.75
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    score_u = _BM25_SCORE_TMPL.format(k1=repr(float(k1)), b=repr(float(b)))
+    return f"""
+WITH base AS (
+    SELECT doc_id, len({_DUCK_TOKS}) AS dl, {_DUCK_TOKS} AS w FROM documents
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base
+),
+tf AS (
+    SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(w) AS token FROM base)
+    WHERE token IN ({terms})
+    GROUP BY doc_id, dl, token
+),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+per_doc AS (
+    SELECT doc_id, CAST(SUM({score_u}) AS BIGINT) AS score_micro
+    FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+    GROUP BY doc_id
+)
+SELECT doc_id, score_micro, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+    FROM per_doc
+)
+WHERE rnk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# graded contamination
+# ---------------------------------------------------------------------------
+
+def contamination_frac(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    flag_pct: float = 20.0,
+    drop_pct: float = 70.0,
+) -> DataFrame:
+    """Graded benchmark contamination: for EVERY corpus document, the
+    share of its distinct word ``n``-grams that appear anywhere in the
+    benchmark set, plus the thresholded policy verdict — 'drop' at
+    >= ``drop_pct`` percent overlap, 'flag' at >= ``flag_pct``, else
+    'clean' (the GPT-3 appendix-C shape: graded overlap, not binary
+    membership).
+
+    Returns (doc_id, n_grams, n_matched, pct_matched, verdict) for every
+    corpus doc (zero-overlap docs report 0 / 'clean'). pct_matched is ONE
+    IEEE division of two exact integers, rounded to 4 places on both
+    engines; the verdict compares that exact rounded value, so the policy
+    is engine-portable by construction.
+
+    Plan: same broadcast shape as operators/dedup.py decontaminate — the
+    benchmark's distinct gram set broadcasts, the corpus side is one scan
+    + shingle explode + per-doc counts; the broadcast LEFT join keeps
+    non-overlapping docs without a second corpus pass."""
+    from checkatron_spark.operators.dedup import shingles
+
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("s"),
+    )
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        doc_sh.join(F.broadcast(bench_sh), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count("_hit").cast("bigint").alias("n_matched"),
+        )
+    )
+    pct = F.expr(
+        "round(100.0 * CAST(n_matched AS DOUBLE)"
+        " / CAST(n_grams AS DOUBLE), 4)"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_matched",
+        pct.alias("pct_matched"),
+        F.when(pct >= F.lit(drop_pct), F.lit("drop"))
+        .when(pct >= F.lit(flag_pct), F.lit("flag"))
+        .otherwise(F.lit("clean"))
+        .alias("verdict"),
+    )
+
+
+def contamination_frac_sql(
+    *, n: int = 3, flag_pct: float = 20.0, drop_pct: float = 70.0
+) -> str:
+    """DuckDB twin. The sh CTE mirrors operators/dedup.py shingles():
+    distinct grams, whole-doc fallback below n words (DECONTAMINATE_SQL
+    precedent, pipelines.py)."""
+    from checkatron_spark.sampling import _duck_uniform
+
+    u = _duck_uniform("doc_id", "bench-v1")
+    pct = (
+        "round(100.0 * CAST(n_matched AS DOUBLE)"
+        " / CAST(n_grams AS DOUBLE), 4)"
+    )
+    return f"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS w FROM documents
+),
+sh AS (
+    SELECT doc_id,
+        CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(w) - {n} + 2),
+                  i -> array_to_string(w[i:i+{n - 1}], ' ')))
+        END AS sh
+    FROM w
+),
+u AS (SELECT doc_id, {u} AS u FROM documents),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+bench AS (SELECT DISTINCT s FROM ex JOIN u USING (doc_id) WHERE u < 0.05),
+corpus AS (SELECT ex.doc_id, ex.s FROM ex JOIN u USING (doc_id) WHERE u >= 0.05),
+per_doc AS (
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(b.s) AS BIGINT) AS n_matched
+    FROM corpus c LEFT JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+)
+SELECT doc_id, n_grams, n_matched, {pct} AS pct_matched,
+       CASE WHEN {pct} >= {drop_pct} THEN 'drop'
+            WHEN {pct} >= {flag_pct} THEN 'flag'
+            ELSE 'clean' END AS verdict
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+# Per-bucket Laplace-smoothed log-likelihood ratio in micro-units, over
+# columns ct/cr (target/raw bucket counts) and tt/tr (side totals), all
+# BIGINT; {nb} is the bucket count. Evaluated verbatim by both engines.
+_DSIR_LR_TMPL = (
+    "CAST(round("
+    "(ln((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + {nb}.0))"
+    " - ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + {nb}.0)))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+def _bigram_buckets(text_col: Column, n_buckets: int) -> Column:
+    """array<bigint> of hashed word-bigram feature buckets, one entry per
+    bigram OCCURRENCE (DSIR counts occurrences, not the distinct set).
+
+    Arrow-batched pandas UDF — the shingles() precedent: Catalyst
+    interprets higher-order lambdas per element, so the transform/concat
+    formulation is ~10x slower on real corpora; the bucket id is
+    int(md5(gram)[:8hex], 16) % B, byte-identical to the oracle's
+    ('0x' || substring(md5(g),1,8))::BIGINT % B on UTF-8 text."""
+    ws_re = re.compile(WS_CLASS + "+")
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _bk(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = ws_re.split((t or "").strip(" "))
+            out.append(
+                [
+                    int(
+                        hashlib.md5(
+                            (words[i] + " " + words[i + 1]).encode("utf-8")
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % n_buckets
+                    for i in range(len(words) - 1)
+                ]
+            )
+        return pd.Series(out)
+
+    return _bk(text_col)
+
+
+def dsir_importance(
+    docs: DataFrame,
+    is_target: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR hashed-bigram importance weights (Xie et al. 2023): treat the
+    rows where ``is_target`` holds as the high-quality target corpus,
+    estimate target vs raw bigram-feature distributions over
+    ``n_buckets`` hashed buckets with +1 smoothing, and weight every RAW
+    document by the summed log-likelihood ratio of its bigram occurrences
+    — the score importance resampling then draws against.
+
+    Returns (doc_id, n_grams, weight_micro) for every raw doc with at
+    least one bigram; weight_micro = sum over occurrences of the
+    per-bucket micro-unit log-ratio (exact integer arithmetic — see the
+    module parity contract).
+
+    100 TB plan: grams are never shuffled on the gram key — the count
+    pass groups by (bucket) into <= B rows (map-side combined), the
+    log-ratio table (B rows) broadcasts back over a second gram scan,
+    and the per-doc aggregate's shuffle volume is |docs| because explode
+    preserves row locality for the map-side combine. (A zero-shuffle
+    variant — collect the B-row table into a MAP literal and F.aggregate
+    the bucket array per row, the bloom-mask precedent — saves the
+    |docs| shuffle; kept declarative here because the doc_id aggregate
+    is already combine-collapsed.)"""
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("_t"),
+        F.explode(_bigram_buckets(F.col(text_col), n_buckets)).alias("bucket"),
+    )
+    counts = grams.groupBy("bucket").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_t"), F.lit(1))), F.lit(0)
+        ).cast("bigint").alias("ct"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_t"), F.lit(1))), F.lit(0)
+        ).cast("bigint").alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").cast("bigint").alias("tt"),
+        F.sum("cr").cast("bigint").alias("tr"),
+    )
+    lr_u = _DSIR_LR_TMPL.format(nb=int(n_buckets))
+    lr = (
+        counts.crossJoin(F.broadcast(totals))
+        .select("bucket", F.expr(lr_u).alias("lr_u"))
+    )
+    return (
+        grams.filter(~F.col("_t"))
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("lr_u").cast("bigint").alias("weight_micro"),
+        )
+    )
+
+
+def dsir_importance_sql(*, n_buckets: int = 256) -> str:
+    from checkatron_spark.sampling import _duck_uniform
+
+    u = _duck_uniform("doc_id", "bench-v1")
+    lr_u = _DSIR_LR_TMPL.format(nb=int(n_buckets))
+    return f"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS w FROM documents
+),
+g AS (
+    SELECT doc_id, unnest(
+        CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        END) AS gram
+    FROM w
+),
+u AS (SELECT doc_id, ({u} < 0.05) AS is_t FROM documents),
+sides AS (
+    SELECT g.doc_id, is_t,
+           ('0x' || substring(md5(gram), 1, 8))::BIGINT % {n_buckets} AS bucket
+    FROM g JOIN u USING (doc_id)
+),
+counts AS (
+    SELECT bucket,
+           CAST(COALESCE(SUM(CASE WHEN is_t THEN 1 END), 0) AS BIGINT) AS ct,
+           CAST(COALESCE(SUM(CASE WHEN NOT is_t THEN 1 END), 0) AS BIGINT) AS cr
+    FROM sides GROUP BY bucket
+),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM counts),
+lr AS (SELECT bucket, {lr_u} AS lr_u FROM counts CROSS JOIN tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(lr_u) AS BIGINT) AS weight_micro
+FROM (SELECT doc_id, bucket FROM sides WHERE NOT is_t) r
+JOIN lr USING (bucket)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(load_table(spark, "documents", sf_dir))
+
+
+def q_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 5%-eval-draw split as decontaminate_corpus (salt 'bench-v1'),
+    graded instead of binary."""
+    from checkatron_spark.sampling import hash_uniform
+
+    docs = load_table(spark, "documents", sf_dir)
+    u = hash_uniform(F.col("doc_id"), "bench-v1")
+    return contamination_frac(
+        docs.filter(u >= 0.05), docs.filter(u < 0.05), "text", "doc_id"
+    )
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5% 'bench-v1' draw plays the DSIR target distribution; every
+    other document is raw and gets a weight."""
+    from checkatron_spark.sampling import hash_uniform
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_importance(
+        docs, hash_uniform(F.col("doc_id"), "bench-v1") < 0.05
+    )
+
+
+QUERIES = {
+    "bm25_topk": q_bm25_topk,
+    "contamination_frac": q_contamination_frac,
+    "dsir_importance": q_dsir_importance,
+}
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "bm25_topk": bm25_topk_sql(),
+        "contamination_frac": contamination_frac_sql(),
+        "dsir_importance": dsir_importance_sql(),
+    }

@@ -185,6 +185,14 @@ def test_no_cartesian_in_any_query(spark):
         # crossed into the single output row; the triangle join itself is
         # an ordered-edge equi-join
         "neardup_triangles",
+        # scalar shape: the 1-row (n_docs, sum_dl) corpus-stats aggregate
+        # broadcast against the query-term posting table (tfidf precedent;
+        # df itself rides a broadcast equi-join on token)
+        "bm25_topk",
+        # scalar shape: the 1-row (tt, tr) side-totals aggregate broadcast
+        # against the <=256-row bucket-count table; the gram passes are
+        # hash aggregations and a broadcast equi-join on bucket
+        "dsir_importance",
     }
     for name, q in entrymod.full_queries().items():
         if name.startswith("stream_"):

@@ -1,0 +1,187 @@
+"""Unit tests for the selection module (BM25 retrieval, graded
+contamination, DSIR importance weights).
+
+The declared queries' DuckDB oracles pin engine parity on the fixtures at
+three scales; these tests pin the BOUNDARY behavior the word-salad
+fixtures never exercise (NULL text, sub-n-gram docs, 100%-contained docs,
+score-sign structure) plus engine parity on an adversarial NULL/exotic-
+whitespace corpus the fixtures don't contain."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from checkatron_spark.selection import (
+    bm25_topk,
+    bm25_topk_sql,
+    contamination_frac,
+    contamination_frac_sql,
+    dsir_importance,
+    dsir_importance_sql,
+)
+
+
+def test_bm25_scores_and_ranking(spark):
+    # hand-checkable corpus: N=3, terms present in 2/3 docs
+    docs = spark.createDataFrame(
+        [
+            (1, "join join join filler filler"),
+            (2, "join filler filler filler filler"),
+            (3, "nothing relevant here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bm25_topk(docs, ("join",), k=10).collect()
+    }
+    # doc 3 has no posting -> absent; doc 1 (tf=3) outranks doc 2 (tf=1)
+    assert set(out) == {1, 2}
+    assert out[1]["rnk"] == 1 and out[2]["rnk"] == 2
+    assert out[1]["score_micro"] > out[2]["score_micro"] > 0
+    # python reference for doc 2: tf=1, df=2, N=3, dl=5, avgdl=5
+    idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    s = idf * (1.0 * 2.2) / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * 5.0 / 5.0))
+    assert out[2]["score_micro"] == round(s * 1e6)
+
+
+def test_bm25_tie_breaks_on_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(7, "join x"), (3, "join x"), (5, "join x")], ["doc_id", "text"]
+    )
+    rows = bm25_topk(docs, ("join",), k=2).collect()
+    assert [(r["doc_id"], r["rnk"]) for r in rows] == [(3, 1), (5, 2)]
+
+
+def test_bm25_null_text_does_not_poison_stats(spark):
+    # NULL text folds to the [''] sentinel (dl=1) like the oracle's
+    # coalesce; the doc has no posting so it never scores
+    docs = spark.createDataFrame(
+        [(1, "join a b"), (2, None)], ["doc_id", "text"]
+    )
+    rows = bm25_topk(docs, ("join",), k=10).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_contamination_frac_verdict_thresholds(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            # all 3 trigrams in bench -> 100% -> drop
+            (1, "alpha beta gamma delta epsilon"),
+            # 1 of 4 trigrams matched (25%) -> flag
+            (2, "alpha beta gamma x y z"),
+            # nothing shared -> clean
+            (3, "totally unrelated words here now"),
+            # sub-n doc: whole-doc shingle, not in bench -> clean
+            (4, "alpha beta"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_frac(docs, bench, "text", "doc_id").collect()
+    }
+    assert out[1]["verdict"] == "drop" and out[1]["pct_matched"] == 100.0
+    assert out[2]["verdict"] == "flag" and out[2]["pct_matched"] == 25.0
+    assert out[3]["verdict"] == "clean" and out[3]["n_matched"] == 0
+    assert out[4]["n_grams"] == 1 and out[4]["verdict"] == "clean"
+    # every corpus doc reports, even with zero overlap
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    # target speaks "alpha beta"; raw docs either mimic the target
+    # distribution or speak "zed yon" — the mimic must weight higher
+    rows = (
+        [(i, "alpha beta alpha beta alpha", True) for i in range(4)]
+        + [(10, "alpha beta alpha beta alpha", False)]
+        + [(11, "zed yon zed yon zed", False)]
+        + [(12, "x", False)]  # < 2 tokens -> no grams -> absent
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(docs, F.col("is_t")).collect()
+    }
+    # only RAW docs with >= 1 bigram appear
+    assert set(out) == {10, 11}
+    assert out[10]["n_grams"] == 4 and out[11]["n_grams"] == 4
+    assert out[10]["weight_micro"] > out[11]["weight_micro"]
+    # python reference for doc 11: all 4 grams land in buckets with
+    # ct=0; raw counts: "zed yon"x2? grams are occurrences:
+    # [zed yon, yon zed, zed yon, yon zed] -> per-gram cr from doc 11 only
+    import hashlib
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 256
+
+    # totals: target 4 docs x 4 grams = 16; raw 4 + 4 = 8
+    tt, tr = 16, 8
+    from collections import Counter
+
+    craw = Counter()
+    ctgt = Counter()
+    for d, t, is_t in rows:
+        w = t.split(" ")
+        for i in range(len(w) - 1):
+            (ctgt if is_t else craw)[bucket(w[i] + " " + w[i + 1])] += 1
+    want = 0
+    for g in ["zed yon", "yon zed", "zed yon", "yon zed"]:
+        b = bucket(g)
+        lr = math.log((ctgt[b] + 1.0) / (tt + 256.0)) - math.log(
+            (craw[b] + 1.0) / (tr + 256.0)
+        )
+        want += round(lr * 1e6)
+    assert out[11]["weight_micro"] == want
+
+
+def test_selection_parity_on_nulls_and_exotic_whitespace(spark, duck, tmp_path):
+    """The fixtures contain no NULL/empty/exotic-whitespace text; the
+    three new oracles must still grade row-identical on a corpus that
+    does (the round-10 whitespace-contract lock, extended to the
+    selection module). doc_ids are chosen so the 'bench-v1' 5% draw puts
+    at least one doc on each side of the split."""
+    import pandas as pd
+
+    from checkatron_spark.sampling import hash_uniform
+    from checkatron_spark.selection import QUERIES, oracles
+
+    # find ids on both sides of the bench-v1 draw deterministically
+    probe = spark.createDataFrame(
+        [(i,) for i in range(400)], ["doc_id"]
+    ).select("doc_id", hash_uniform(F.col("doc_id"), "bench-v1").alias("u"))
+    us = {r["doc_id"]: r["u"] for r in probe.collect()}
+    bench_ids = [i for i in us if us[i] < 0.05][:2]
+    raw_ids = [i for i in us if us[i] >= 0.05][:6]
+    assert bench_ids and len(raw_ids) >= 6
+
+    texts = [
+        "join hash vector stream join",       # all query terms
+        None,                                  # NULL text
+        "",                                    # empty
+        "join\x0bhash a b",                    # vertical tab inside
+        "  join \t hash\n vector  ",           # lead/trail mixes
+        " join hash stream x",       # NBSP is NOT a separator
+    ]
+    rows = [(bench_ids[0], "join hash vector a b c"), (bench_ids[1], None)]
+    rows += list(zip(raw_ids, texts))
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    for name, q in QUERIES.items():
+        df = q(spark, str(tmp_path))
+        got = sorted(tuple(r) for r in df.collect())
+        res = duck.sql(oracles()[name])
+        idx = [res.columns.index(c) for c in df.columns]
+        want = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
+        assert got == want, f"{name}: spark={got[:5]} duck={want[:5]}"
+        assert got, f"{name}: adversarial corpus produced no rows"

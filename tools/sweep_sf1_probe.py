@@ -131,6 +131,13 @@ PROBE_DOCS = [
     "dedup_reelect_after_takedown",
     # round 8: graph-shape audit — work ∝ sum(deg²) over the pair set
     "neardup_triangles",
+    # round 10 (late batch): selection module — posting-filtered BM25,
+    # graded contamination (broadcast gram join), DSIR hashed-bigram
+    # weights (B-row bucket aggregate + broadcast log-ratio join); all
+    # three should grow ~linearly in corpus gram volume
+    "bm25_topk",
+    "contamination_frac",
+    "dsir_importance",
 ]
 
 
