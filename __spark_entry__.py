@@ -238,6 +238,7 @@ _CHECK_LAST: list[str] = [
     "bm25_topk",
     "contamination_frac",
     "dsir_importance",
+    "semdedup_prune",
 ]
 
 

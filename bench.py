@@ -124,6 +124,8 @@ HEADLINE = [
     "bm25_topk",
     "contamination_frac",
     "dsir_importance",
+    # SemDeDup: kmeans (Arrow kernel) + within-cluster pair join composed
+    "semdedup_prune",
 ]
 
 

@@ -2164,10 +2164,16 @@ def q_kmeans_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 10000) -> str:
+def _kmeans_sql(
+    k: int = 8, iters: int = 3, scale: int = 10000, src: str = "embeddings"
+) -> str:
     """Unrolled Lloyd CTE chain mirroring operators/kmeans.py bit-for-bit:
     BIGINT grid distances, min(dist*k+cid) argmin encoding, one IEEE double
-    division + floor(x+0.5) per re-quantized centroid component."""
+    division + floor(x+0.5) per re-quantized centroid component. ``src``
+    lets callers cluster a FILTERED relation (selection.semdedup_sql
+    excludes degenerate embeddings before clustering — NULL seed vectors
+    make the Lloyd argmin engine-divergent); the default is the
+    kmeans_domains contract, byte-identical to before the parameter."""
     dist = (
         "CAST(list_sum(list_transform(range(1, len(x) + 1), "
         "i -> (x[i] - m[i]) * (x[i] - m[i]))) AS BIGINT)"
@@ -2177,7 +2183,7 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 10000) -> str:
   SELECT vec_id,
          list_transform(embedding, v ->
              CAST(floor(CAST(v AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS x
-  FROM embeddings
+  FROM {src}
 ),
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,

@@ -64,6 +64,7 @@ __all__ = [
     "bm25_topk",
     "contamination_frac",
     "dsir_importance",
+    "semdedup",
     "BM25_TERMS",
     "QUERIES",
     "oracles",
@@ -459,6 +460,118 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 10000,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication restricted to
+    k-means clusters — cluster the embeddings, compare pairs ONLY within a
+    cluster, and drop every vector whose cosine similarity to a
+    LOWER-id clustermate reaches ``threshold`` (keep-first, the same
+    deterministic winner rule as the text dedup family).
+
+    Returns (vec_id, cluster_id, kept) for every comparable vector —
+    zero-norm/NULL embeddings are excluded BEFORE clustering (cosine is
+    undefined on them, and a NULL seed vector makes the Lloyd argmin
+    engine-divergent; the module-wide degenerate-embedding contract). On
+    degenerate-free input — every driver fixture — the clustering matches
+    the declared kmeans_domains assignment bit-for-bit.
+
+    100 TB plan: clustering IS the scale lever — pair work is
+    sum(|cluster|^2), so k grows with the corpus to keep clusters bounded
+    (the paper runs k~11k on LAION; the declared query's k=8 matches the
+    kmeans_domains contract at fixture scale). The pair stage is a
+    cluster-equality hash self-join (never all-pairs over the corpus),
+    the drop set is a per-id distinct, and the verdict is one broadcast-
+    size left join back. Exactness: the cosine is the sequential-fold dot
+    product shared with the ANN operators (bit-identical to the oracle's
+    list_reduce), compared UNROUNDED on both engines — the
+    neardup_embedding_cosine precedent."""
+    from checkatron_spark.operators.kmeans import kmeans_assign
+    from checkatron_spark.operators.similarity import _safe_div, dot, l2_norm
+    from checkatron_spark.session import scratch_persist
+
+    ok = emb.filter(
+        F.col(vec_col).isNotNull() & (l2_norm(F.col(vec_col)) > 0.0)
+    )
+    assign = kmeans_assign(ok, k=k, iters=iters, scale=scale).select(
+        id_col, "cluster_id"
+    )
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = scratch_persist(
+        ok.select(
+            F.col(id_col),
+            dv.alias("_v"),
+            l2_norm(F.col(vec_col)).alias("_n"),
+        ).join(assign, id_col)
+    )
+    a = v.select(
+        F.col(id_col).alias("_ida"),
+        "cluster_id",
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("_idb"),
+        "cluster_id",
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(
+            _safe_div(
+                dot(F.col("_va"), F.col("_vb")),
+                F.col("_na") * F.col("_nb"),
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return v.select(id_col, "cluster_id").join(dropped, id_col, "left").select(
+        id_col, "cluster_id", F.col("_d").isNull().alias("kept")
+    )
+
+
+def semdedup_sql(
+    *, k: int = 8, iters: int = 3, scale: int = 10000, threshold: float = 0.3
+) -> str:
+    """DuckDB twin: the unrolled Lloyd chain from pipelines._kmeans_sql as
+    a subquery, the same _EMB_OK degenerate filter, the same unrounded
+    list_reduce cosine."""
+    from checkatron_spark.pipelines import _EMB_OK, _cos_sql, _kmeans_sql
+
+    km = _kmeans_sql(k=k, iters=iters, scale=scale, src="emb_ok")
+    return f"""
+WITH emb_ok AS (SELECT * FROM embeddings WHERE {_EMB_OK}),
+assign AS (SELECT vec_id, cluster_id FROM (WITH {km.removeprefix('WITH ')}) t),
+v AS (
+    SELECT e.vec_id, e.embedding, a.cluster_id
+    FROM emb_ok e JOIN assign a USING (vec_id)
+),
+dropped AS (
+    SELECT DISTINCT a.vec_id
+    FROM v a JOIN v b ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {threshold}
+)
+SELECT v.vec_id, v.cluster_id, (d.vec_id IS NULL) AS kept
+FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # declared queries
 # ---------------------------------------------------------------------------
 
@@ -489,10 +602,20 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table, on the SAME clustering contract
+    as kmeans_domains (k=8, 3 rounds, 1e4 grid). threshold=0.3 is
+    fixture-tuned (the synthetic embeddings top out near 0.51
+    within-cluster; a production near-dup bar sits at 0.9+), the
+    decontaminate_semantic precedent."""
+    return semdedup(load_table(spark, "embeddings", sf_dir))
+
+
 QUERIES = {
     "bm25_topk": q_bm25_topk,
     "contamination_frac": q_contamination_frac,
     "dsir_importance": q_dsir_importance,
+    "semdedup_prune": q_semdedup_prune,
 }
 
 
@@ -501,4 +624,5 @@ def oracles() -> dict[str, str]:
         "bm25_topk": bm25_topk_sql(),
         "contamination_frac": contamination_frac_sql(),
         "dsir_importance": dsir_importance_sql(),
+        "semdedup_prune": semdedup_sql(),
     }

@@ -193,6 +193,10 @@ def test_no_cartesian_in_any_query(spark):
         # against the <=256-row bucket-count table; the gram passes are
         # hash aggregations and a broadcast equi-join on bucket
         "dsir_importance",
+        # inherits kmeans_domains' deliberate corpus x k-centroid-literals
+        # BNLJ (Lloyd assignment); the SemDeDup pair stage itself is a
+        # cluster-equality hash self-join
+        "semdedup_prune",
     }
     for name, q in entrymod.full_queries().items():
         if name.startswith("stream_"):

@@ -140,6 +140,40 @@ def test_dsir_weights_separate_target_like_docs(spark):
     assert out[11]["weight_micro"] == want
 
 
+def test_semdedup_keep_first_within_cluster(spark):
+    from checkatron_spark.selection import semdedup
+
+    # two tight directions plus an orthogonal singleton; k=2 so the two
+    # groups split; within the near-identical group only the LOWEST id
+    # survives at a high threshold
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),   # near-dup of 1 -> dropped
+        (5, [0.998, 0.002, 0.0, 0.0]),   # near-dup of 1 -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),       # different direction
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup(df, k=2, iters=2, threshold=0.95).collect()
+    }
+    assert out == {1: True, 2: False, 5: False, 3: True}
+
+
+def test_semdedup_excludes_degenerate_but_clusters_them(spark):
+    from checkatron_spark.selection import semdedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 0.0]),   # zero norm -> absent from output
+        (4, None),          # NULL -> absent from output
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in semdedup(df, k=2, iters=2).collect()}
+    assert set(out) == {1, 2}
+
+
 def test_selection_parity_on_nulls_and_exotic_whitespace(spark, duck, tmp_path):
     """The fixtures contain no NULL/empty/exotic-whitespace text; the
     three new oracles must still grade row-identical on a corpus that
@@ -177,11 +211,44 @@ def test_selection_parity_on_nulls_and_exotic_whitespace(spark, duck, tmp_path):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{tmp_path / 'documents.parquet'}')"
     )
-    for name, q in QUERIES.items():
-        df = q(spark, str(tmp_path))
+    for name in ("bm25_topk", "contamination_frac", "dsir_importance"):
+        df = QUERIES[name](spark, str(tmp_path))
         got = sorted(tuple(r) for r in df.collect())
         res = duck.sql(oracles()[name])
         idx = [res.columns.index(c) for c in df.columns]
         want = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
         assert got == want, f"{name}: spark={got[:5]} duck={want[:5]}"
         assert got, f"{name}: adversarial corpus produced no rows"
+
+
+def test_semdedup_parity_on_degenerate_embeddings(spark, duck, tmp_path):
+    """Fixture embeddings are all well-formed; pin the oracle's
+    degenerate contract on a corpus that is not — a NULL embedding and a
+    zero vector must be absent from the OUTPUT on both engines while
+    still feeding the (distance-based) clustering."""
+    import pandas as pd
+
+    from checkatron_spark.selection import QUERIES, oracles
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.95, 0.05, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),   # zero norm
+        (5, None),                    # NULL embedding
+        (6, [0.0, 0.9, 0.1, 0.0]),
+    ]
+    pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'embeddings.parquet'}')"
+    )
+    df = QUERIES["semdedup_prune"](spark, str(tmp_path))
+    got = sorted(tuple(r) for r in df.collect())
+    res = duck.sql(oracles()["semdedup_prune"])
+    idx = [res.columns.index(c) for c in df.columns]
+    want = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
+    assert got == want
+    assert {r[0] for r in got} == {1, 2, 3, 6}

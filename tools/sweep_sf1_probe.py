@@ -74,6 +74,11 @@ PROBE = [
     # block population (10x here: same label count, 10x members)
     "ann_label_filtered_topk",
     "kmeans_domains",
+    # round 10 (late batch): SemDeDup — within-cluster pair work is
+    # sum(|cluster|^2), so 10x rows at fixed k=8 grows the pair stage
+    # ~100x/k... in practice bounded by the kmeans + join constants at
+    # this scale; at 100 TB the lever is k ∝ corpus (see SCALE.md)
+    "semdedup_prune",
 ]
 
 # tiled-fixture batch 2: flagship diff + TPC-H/window/events shapes
