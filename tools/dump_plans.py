@@ -74,6 +74,11 @@ HEADLINERS = [
     ("neardup_triangles", "triangle count (round 8): ordered-edge equi-join intersect; scalar 1-row crosses only"),
     ("ann_lsh_topk", "round 9: re-pointed at the IVF exact scale path (8 cells / 3 probed); MLlib BRP-LSH parity is pytest-only"),
     ("neardup_minhash_lsh", "round 9: re-pointed at the banded-MinHash scale path at a SECOND operating point (32 hashes, 16 AND-bands of 2, exact-Jaccard verify); MLlib MinHashLSH parity is pytest-only"),
+    ("quality_floor_by_source", "per-source adaptive quality floor (round 10): one percentile-sketch aggregate per source, thresholds broadcast back; no corpus shuffle"),
+    ("bm25_topk", "BM25 retrieval (round 10): term filter BEFORE the posting aggregate; df + corpus stats broadcast; global top-k is TakeOrderedAndProject"),
+    ("contamination_frac", "graded contamination (round 10): eval gram set broadcasts, one corpus scan, broadcast LEFT join keeps zero-overlap docs"),
+    ("dsir_importance", "DSIR weights (round 10): Arrow bigram-bucket kernel; bucket counts map-side combined to <=256 rows; log-ratio table broadcast back"),
+    ("semdedup_prune", "SemDeDup (round 10): kmeans Arrow kernel + cluster-equality pair self-join; drop set distinct + verdict left join"),
 ]
 
 
