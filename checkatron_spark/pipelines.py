@@ -1989,8 +1989,15 @@ def _cos_sql(a: str, b: str) -> str:
 # must encode the same contract so a future degenerate fixture row
 # diverges on NEITHER engine instead of breaking the bit-exact sweep
 # confusingly (DuckDB would otherwise emit the row with NULL/inf cosine).
+# Element-level NULLs must ALSO drop (round 10 self-review): Spark's
+# l2_norm is a sequential fold, so one NULL element poisons the whole
+# norm (NULL > 0 -> row dropped); DuckDB's list_sum SKIPS NULL elements
+# and would keep the row — and even let it seed a k-means centroid.
+# The len(filter) clause encodes Spark's stricter semantics.
 _EMB_OK = (
-    "embedding IS NOT NULL AND sqrt(list_sum(list_transform("
+    "embedding IS NOT NULL"
+    " AND len(list_filter(embedding, v -> v IS NULL)) = 0"
+    " AND sqrt(list_sum(list_transform("
     "embedding, v -> v::DOUBLE * v::DOUBLE))) > 0"
 )
 

@@ -142,6 +142,13 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
+    # persisted: BOTH the dfreq broadcast build and the per_doc probe
+    # consume tf — broadcast exchanges materialize independently, so an
+    # unpersisted tf would re-run the corpus scan + explode + aggregate
+    # (the dup_ngram_profile precedent)
+    from checkatron_spark.session import scratch_persist
+
+    tf = scratch_persist(tf)
     dfreq = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
@@ -282,7 +289,7 @@ def contamination_frac_sql(
     )
     return f"""
 WITH w AS (
-    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS w FROM documents
+    SELECT doc_id, {_DUCK_TOKS} AS w FROM documents
 ),
 sh AS (
     SELECT doc_id,
@@ -428,7 +435,7 @@ def dsir_importance_sql(*, n_buckets: int = 256) -> str:
     lr_u = _DSIR_LR_TMPL.format(nb=int(n_buckets))
     return f"""
 WITH w AS (
-    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS w FROM documents
+    SELECT doc_id, {_DUCK_TOKS} AS w FROM documents
 ),
 g AS (
     SELECT doc_id, unnest(

@@ -592,6 +592,10 @@ def test_degenerate_embedding_parity_spark_vs_oracle(spark, duck, tmp_path):
         (4, [0.0, 1.0, 0.0, 0.0], 1),
         (5, [0.5, 0.5, 0.0, 0.0], 2),
         (50, [0.0, 0.0, 0.0, 0.0], 2),          # degenerate QUERY -> dropped
+        # element-level NULL -> dropped on BOTH engines (round-10
+        # self-review: Spark's fold-norm poisons on one NULL element;
+        # _EMB_OK's list_filter clause makes the oracle match)
+        (6, [None, 1.0, 0.0, 0.0], 1),
     ]
     pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
         tmp_path / "embeddings.parquet"
@@ -612,7 +616,7 @@ def test_degenerate_embedding_parity_spark_vs_oracle(spark, duck, tmp_path):
         want = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
         assert got == want, (qfn.__name__, got, want)
         ids = {r[0] for r in got} | {r[1] for r in got}
-        assert not ids & {2, 3, 50}, (qfn.__name__, ids)
+        assert not ids & {2, 3, 50, 6}, (qfn.__name__, ids)
     assert len(got) >= 1  # the parity check wasn't vacuous
 
 

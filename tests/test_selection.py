@@ -223,9 +223,12 @@ def test_selection_parity_on_nulls_and_exotic_whitespace(spark, duck, tmp_path):
 
 def test_semdedup_parity_on_degenerate_embeddings(spark, duck, tmp_path):
     """Fixture embeddings are all well-formed; pin the oracle's
-    degenerate contract on a corpus that is not — a NULL embedding and a
-    zero vector must be absent from the OUTPUT on both engines while
-    still feeding the (distance-based) clustering."""
+    degenerate contract on a corpus that is not — a NULL embedding, a
+    zero vector, and an element-NULL vector are excluded BEFORE the
+    clustering on BOTH engines (a degenerate seed vector makes the Lloyd
+    argmin engine-divergent; Spark's fold-norm drops element-NULLs that
+    DuckDB's NULL-skipping list_sum would keep — the _EMB_OK clause
+    added in the round-10 self-review)."""
     import pandas as pd
 
     from checkatron_spark.selection import QUERIES, oracles
@@ -234,9 +237,10 @@ def test_semdedup_parity_on_degenerate_embeddings(spark, duck, tmp_path):
         (1, [1.0, 0.0, 0.0, 0.0]),
         (2, [0.95, 0.05, 0.0, 0.0]),
         (3, [0.0, 1.0, 0.0, 0.0]),
-        (4, [0.0, 0.0, 0.0, 0.0]),   # zero norm
-        (5, None),                    # NULL embedding
+        (4, [0.0, 0.0, 0.0, 0.0]),      # zero norm
+        (5, None),                       # NULL embedding
         (6, [0.0, 0.9, 0.1, 0.0]),
+        (7, [None, 1.0, 0.0, 0.0]),      # element-level NULL
     ]
     pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
         tmp_path / "embeddings.parquet"
