@@ -111,6 +111,10 @@ PROBE2 = [
     "sessions_overlap_promos",
     # round 8: posexplode→(label, dim) groupBys; 64 rows per vector
     "embedding_drift",
+    # round 10 (late batch): BM25 — tiled fixture keeps the testdata
+    # vocabulary, so the posting filter actually selects; growth tracks
+    # matching-posting volume, never the corpus
+    "bm25_topk",
 ]
 
 # realistic-duplication batch: every pair/cluster/corpus-shaped operator
@@ -136,11 +140,13 @@ PROBE_DOCS = [
     "dedup_reelect_after_takedown",
     # round 8: graph-shape audit — work ∝ sum(deg²) over the pair set
     "neardup_triangles",
-    # round 10 (late batch): selection module — posting-filtered BM25,
-    # graded contamination (broadcast gram join), DSIR hashed-bigram
-    # weights (B-row bucket aggregate + broadcast log-ratio join); all
-    # three should grow ~linearly in corpus gram volume
-    "bm25_topk",
+    # round 10 (late batch): selection module — graded contamination
+    # (broadcast gram join) and DSIR hashed-bigram weights (B-row bucket
+    # aggregate + broadcast log-ratio join); both grow ~linearly in
+    # corpus gram volume. (bm25_topk probes in PROBE2: its fixed query
+    # terms live in the TESTDATA vocabulary — on this batch's synthetic
+    # Zipf tokens the posting filter matches nothing and the probe row
+    # would be vacuous.)
     "contamination_frac",
     "dsir_importance",
 ]
