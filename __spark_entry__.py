@@ -239,6 +239,8 @@ _CHECK_LAST: list[str] = [
     "contamination_frac",
     "dsir_importance",
     "semdedup_prune",
+    "novelty_profile",
+    "ccnet_ppl_buckets",
 ]
 
 

@@ -126,6 +126,10 @@ HEADLINE = [
     "dsir_importance",
     # SemDeDup: kmeans (Arrow kernel) + within-cluster pair join composed
     "semdedup_prune",
+    # first-seer novelty (gram min + join-back, the dup_ngram shape) and
+    # CCNet per-language terciles (LM-coverage join + grouped sketch)
+    "novelty_profile",
+    "ccnet_ppl_buckets",
 ]
 
 

@@ -54,6 +54,8 @@ __all__ = [
     "cms_merge",
     "quality_floor_by_source",
     "quality_floor_kept",
+    "novelty_profile",
+    "ccnet_ppl_buckets",
     "QUERIES",
     "oracles",
 ]
@@ -1545,6 +1547,189 @@ FROM scored s JOIN thr ON s.source = thr.source
 WHERE s.q > thr.quality_floor
 """
 
+def novelty_profile(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """First-seer n-gram novelty: for every document, the fraction of its
+    distinct word n-grams that FIRST appear in this document (first seer =
+    lowest doc_id over the whole corpus). The corpus-order novelty curve
+    is the aggregate view behind "how much new text does each crawl
+    increment add" — low-novelty docs are templated/derivative and are
+    the first candidates for down-weighting in a mixture.
+
+    Returns (doc_id, n_grams, n_novel, novelty_pct, is_derivative) for
+    every doc: novelty_pct is ONE IEEE division of two exact integers
+    rounded to 4 places; is_derivative flags docs under 20% novelty.
+
+    Plan: the dup_ngram_profile shape — one shuffle on the gram key for
+    the min-doc_id first-seer table (map-side combined min), join back on
+    the gram, one shuffle on doc_id to re-aggregate. Both shuffles are on
+    high-cardinality keys; nothing collects, no all-pairs work. Grams use
+    operators/dedup.py shingles() (the round-10 whitespace contract)."""
+    from checkatron_spark.operators.dedup import shingles
+    from checkatron_spark.session import scratch_persist
+
+    doc_sh = scratch_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(F.col(text_col), n)).alias("s"),
+        )
+    )
+    first = doc_sh.groupBy("s").agg(F.min("doc_id").alias("_first"))
+    per_doc = (
+        doc_sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("_first"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+    )
+    pct = F.expr(
+        "round(100.0 * CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 4)"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        pct.alias("novelty_pct"),
+        (pct < F.lit(20.0)).alias("is_derivative"),
+    )
+
+
+def q_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return novelty_profile(load_table(spark, "documents", sf_dir))
+
+
+def novelty_profile_sql(*, n: int = 3) -> str:
+    """DuckDB twin: the shingles() sh CTE (DECONTAMINATE_SQL precedent —
+    distinct grams, whole-doc fallback under n words)."""
+    pct = (
+        "round(100.0 * CAST(n_novel AS DOUBLE)"
+        " / CAST(n_grams AS DOUBLE), 4)"
+    )
+    return rf"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+') AS w FROM documents
+),
+sh AS (
+    SELECT doc_id,
+        CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(range(1, len(w) - {n} + 2),
+                  i -> array_to_string(w[i:i+{n - 1}], ' ')))
+        END AS sh
+    FROM w
+),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+first_seer AS (SELECT s, MIN(doc_id) AS f FROM ex GROUP BY s),
+per_doc AS (
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN e.doc_id = fs.f THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+    FROM ex e JOIN first_seer fs USING (s)
+    GROUP BY e.doc_id
+)
+SELECT doc_id, n_grams, n_novel, {pct} AS novelty_pct,
+       ({pct} < 20.0) AS is_derivative
+FROM per_doc
+"""
+
+
+def ccnet_ppl_buckets(
+    target: DataFrame,
+    reference: DataFrame,
+    lang_by_id: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    accuracy: int = 1_000_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split, per language: score every target
+    document with the exact-arithmetic LM-coverage signal
+    (:func:`lm_bigram_coverage` — the integer perplexity proxy), then cut
+    each LANGUAGE at its own score terciles. Per-language cuts are the
+    point of CCNet's design: a global cut would call every low-resource
+    language "tail" because its reference coverage is thinner.
+
+    head = mean_band STRICTLY above the language's upper tercile, tail =
+    at-or-below the lower tercile, middle = the rest; ties fall DOWN a
+    bucket on both engines (strict >). The terciles are
+    ``percentile_approx`` at accuracy 1e6 — exact below ~1e6 docs/lang,
+    honest rank-error estimates beyond (the quality_floor contract).
+
+    Returns (doc_id, lang, mean_band, bucket) for every target doc.
+
+    100 TB plan: the score is the lm_bigram_coverage join (work ∝ corpus
+    tokens); the tercile table is one map-side-combined sketch pass
+    (|langs| rows) broadcast back; the lang attachment is a hash join on
+    doc_id. No added corpus-sized shuffle beyond the score itself."""
+    from checkatron_spark.session import scratch_persist
+
+    scored = scratch_persist(
+        lm_bigram_coverage(
+            target, reference, text_col=text_col, id_col=id_col
+        )
+        .select(id_col, "mean_band")
+        .join(lang_by_id, id_col)
+    )
+    thr = scored.groupBy("lang").agg(
+        F.percentile_approx(
+            "mean_band", [1.0 / 3.0, 2.0 / 3.0], accuracy
+        ).alias("_t")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .select(
+            F.col(id_col),
+            "lang",
+            "mean_band",
+            F.when(F.col("mean_band") > F.col("_t")[1], F.lit("head"))
+            .when(F.col("mean_band") > F.col("_t")[0], F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 10% 'lm-ref-v1' reference draw as lm_bigram_coverage; the
+    other 90% is bucketed head/middle/tail per language."""
+    from checkatron_spark.sampling import hash_uniform
+
+    docs = load_table(spark, "documents", sf_dir)
+    u = hash_uniform(F.col("doc_id"), "lm-ref-v1")
+    return ccnet_ppl_buckets(
+        docs.filter(u >= 0.1),
+        docs.filter(u < 0.1),
+        docs.select("doc_id", "lang"),
+    )
+
+
+def ccnet_ppl_buckets_sql() -> str:
+    return f"""
+WITH base AS (SELECT doc_id, mean_band FROM ({LM_BIGRAM_SQL}) s),
+scored AS (
+    SELECT b.doc_id, b.mean_band, d.lang
+    FROM base b JOIN documents d USING (doc_id)
+),
+thr AS (
+    SELECT lang, quantile_disc(mean_band, 1.0/3.0) AS t1,
+           quantile_disc(mean_band, 2.0/3.0) AS t2
+    FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.mean_band,
+       CASE WHEN s.mean_band > thr.t2 THEN 'head'
+            WHEN s.mean_band > thr.t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN thr ON s.lang IS NOT DISTINCT FROM thr.lang
+"""
+
+
 QUERIES = {
     "dup_ngram_profile": q_dup_ngram_profile,
     "chunk_documents": q_chunk_documents,
@@ -1562,6 +1747,8 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "quality_floor_by_source": q_quality_floor_by_source,
     "quality_floor_kept": q_quality_floor_kept,
+    "novelty_profile": q_novelty_profile,
+    "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
 }
 
 
@@ -1583,4 +1770,6 @@ def oracles() -> dict[str, str]:
         "pmi_collocations": PMI_COLLOCATIONS_SQL,
         "quality_floor_by_source": quality_floor_audit_sql(),
         "quality_floor_kept": quality_floor_kept_sql(),
+        "novelty_profile": novelty_profile_sql(),
+        "ccnet_ppl_buckets": ccnet_ppl_buckets_sql(),
     }

@@ -390,3 +390,74 @@ def test_quality_floor_is_adaptive_per_source(spark):
     )
     kept2 = {(r.doc_id, r.source) for r in quality_floor_kept(docs2).collect()}
     assert kept2 == {(500, "A"), (501, "B")}
+
+
+def test_novelty_first_seer_rule(spark):
+    from checkatron_spark.corpus import novelty_profile
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1 coins every gram it has (3 grams)
+            (1, "alpha beta gamma delta epsilon"),
+            # doc 2 repeats doc 1's text -> 0% novel, derivative
+            (2, "alpha beta gamma delta epsilon"),
+            # doc 3 shares one gram with doc 1, coins three of four
+            (3, "alpha beta gamma zeta eta theta"),
+            # sub-n doc: one whole-doc shingle, unseen -> 100% novel
+            (4, "iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in novelty_profile(docs).collect()}
+    assert out[1]["n_novel"] == out[1]["n_grams"] == 3
+    assert out[1]["novelty_pct"] == 100.0 and not out[1]["is_derivative"]
+    assert out[2]["n_novel"] == 0 and out[2]["is_derivative"]
+    assert out[3]["n_grams"] == 4 and out[3]["n_novel"] == 3
+    assert out[4]["n_grams"] == 1 and out[4]["novelty_pct"] == 100.0
+
+
+def test_ccnet_buckets_cut_per_language(spark):
+    from checkatron_spark.corpus import ccnet_ppl_buckets
+
+    # reference: bigram "x1 x2" seen 16x (band 2), "y1 y2" 4x (band 1),
+    # "z1 z2" once (band 0) — so target mean_band takes graded values
+    ref_rows = (
+        [(100 + i, "x1 x2") for i in range(16)]
+        + [(200 + i, "y1 y2") for i in range(4)]
+        + [(300, "z1 z2")]
+    )
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    # two languages; within EACH, six graded registers (mean_band
+    # 2 / 1.5 / 1 / 0.5 / 0 / 0). A global cut would fold the languages
+    # together; per-language terciles must split BOTH three ways, and
+    # with 6 distinct-ish scores every bucket is non-empty under any
+    # discrete-quantile rank convention.
+    texts = [
+        "x1 x2",                 # mean_band 2.0
+        "x1 x2 q y1 y2",         # 1.5
+        "y1 y2",                 # 1.0
+        "y1 y2 q z1 z2",         # 0.5
+        "z1 z2",                 # 0.0 (band-0 known gram)
+        "unk1 unk2",             # 0.0 (nothing known)
+    ]
+    tgt_rows = [
+        (base + j, text, lang)
+        for lang, base in (("en", 0), ("fr", 30))
+        for j, text in enumerate(texts)
+    ]
+    tgt = spark.createDataFrame(tgt_rows, ["doc_id", "text", "lang"])
+    out = ccnet_ppl_buckets(
+        tgt.select("doc_id", "text"),
+        ref,
+        tgt.select("doc_id", "lang"),
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["bucket"])
+    assert by_lang == {"en": {"head", "middle", "tail"},
+                       "fr": {"head", "middle", "tail"}}
+    # the top register is head in BOTH languages; zero scores are tail
+    bucket = {r["doc_id"]: r["bucket"] for r in out}
+    assert bucket[0] == "head" and bucket[30] == "head"
+    assert bucket[4] == bucket[5] == "tail"
+    assert bucket[34] == bucket[35] == "tail"

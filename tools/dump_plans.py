@@ -79,6 +79,8 @@ HEADLINERS = [
     ("contamination_frac", "graded contamination (round 10): eval gram set broadcasts, one corpus scan, broadcast LEFT join keeps zero-overlap docs"),
     ("dsir_importance", "DSIR weights (round 10): Arrow bigram-bucket kernel; bucket counts map-side combined to <=256 rows; log-ratio table broadcast back"),
     ("semdedup_prune", "SemDeDup (round 10): kmeans Arrow kernel + cluster-equality pair self-join; drop set distinct + verdict left join"),
+    ("novelty_profile", "first-seer novelty (round 10): gram min-doc_id groupBy + join-back + doc re-aggregate — the dup_ngram shape"),
+    ("ccnet_ppl_buckets", "CCNet buckets (round 10): LM-coverage join + per-language tercile sketch broadcast back"),
 ]
 
 

@@ -149,6 +149,11 @@ PROBE_DOCS = [
     # would be vacuous.)
     "contamination_frac",
     "dsir_importance",
+    # round 10 (late batch 2): first-seer novelty — the dup_ngram_profile
+    # shuffle shape, growth ∝ gram volume; CCNet buckets — the
+    # lm_bigram_coverage join + a |langs|-row sketch pass
+    "novelty_profile",
+    "ccnet_ppl_buckets",
 ]
 
 
