@@ -162,11 +162,23 @@ PROBE_DOCS = [
 # regression: the reason documents the growth LAW (e.g. output-bound), and
 # removing the cause retires the entry.
 ALLOW: dict[str, str] = {
-    # (empty since round 10 — decontaminate_bloom was retired once the
-    # per-(benchmark, params) mask memo landed: the probe's min-of-2 pays
-    # the mask build on run 1 only, so the measured row is scan-growth and
-    # sits inside the mechanical bound on its own, r9: t_ratio 8.39 vs
-    # bound 12.55)
+    # (decontaminate_bloom retired round 10 — once the per-(benchmark,
+    # params) mask memo landed, the probe's min-of-2 pays the mask build
+    # on run 1 only, so the measured row is scan-growth and sits inside
+    # the mechanical bound on its own; r9: t_ratio 8.39 vs bound 12.55)
+    #
+    # SemDeDup's pair stage is sum(|cluster|^2) at FIXED k=8 (the
+    # kmeans_domains clustering contract): 10x rows at the same k means
+    # ~12.5x pair work BY DESIGN — this is the operator's documented
+    # growth law, not a plan defect. The production lever is k ∝ corpus
+    # so cluster sizes stay bounded (the paper runs k~11k on LAION);
+    # at fixture scale the declared query pins k to match kmeans_domains.
+    # See SCALE.md "Selection module". Retiring this entry would require
+    # a data-dependent k, which the unrolled-CTE oracle cannot express.
+    "semdedup_prune": (
+        "pair work = sum(|cluster|^2) at fixed k=8; 10x rows -> ~12.5x "
+        "pairs by design; the 100 TB lever is k ∝ corpus (SCALE.md)"
+    ),
 }
 
 
