@@ -824,3 +824,96 @@ def test_tolerance_boundary_is_ieee_not_wishful(spark):
     after = spark.createDataFrame([(4, 4.03)], ["k", "amt"])
     got = diff(before, after, ["k"], tolerances={"amt": 0.03}).collect()[0]
     assert got.AMT == (0 if abs(4.03 - 4.0) <= 0.03 else 1) == 1
+
+
+@given(_docs_strategy, _docs_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_contamination_frac_matches_python_mirror(spark, corpus, bench):
+    """Graded contamination vs an independent python mirror: per-doc
+    distinct-trigram overlap fraction against the union of the bench
+    set's trigrams, including the whole-doc fallback under 3 words."""
+    from checkatron_spark.selection import contamination_frac
+
+    def grams(text):
+        w = text.split(" ")
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    bench_grams = set().union(*(grams(t) for t in bench))
+    cdf = spark.createDataFrame(list(enumerate(corpus)), ["doc_id", "text"])
+    bdf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_frac(cdf, bdf, "text", "doc_id").collect()
+    }
+    assert set(out) == set(range(len(corpus)))
+    for i, t in enumerate(corpus):
+        g = grams(t)
+        matched = len(g & bench_grams)
+        assert out[i]["n_grams"] == len(g)
+        assert out[i]["n_matched"] == matched
+        pct = round(100.0 * matched / len(g), 4)
+        assert out[i]["pct_matched"] == pct
+        want = "drop" if pct >= 70.0 else ("flag" if pct >= 20.0 else "clean")
+        assert out[i]["verdict"] == want
+
+
+@given(_docs_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_novelty_profile_matches_python_mirror(spark, texts):
+    """First-seer novelty vs an independent python mirror over random
+    corpora (shared grams, whole-doc fallbacks, 100%-novel singletons)."""
+    from checkatron_spark.corpus import novelty_profile
+
+    def grams(text):
+        w = text.split(" ")
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    first = {}
+    for i, t in enumerate(texts):
+        for g in grams(t):
+            first.setdefault(g, i)
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in novelty_profile(docs).collect()}
+    assert set(out) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        g = grams(t)
+        novel = sum(1 for x in g if first[x] == i)
+        assert out[i]["n_grams"] == len(g)
+        assert out[i]["n_novel"] == novel
+
+
+@given(
+    st.lists(st.sampled_from(_WORDS), min_size=2, max_size=6),
+    st.integers(1, 5),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_tf_monotonicity(spark, filler, reps):
+    """BM25 invariant: with one query term and equal doc lengths, the doc
+    with MORE term occurrences never ranks below the doc with fewer."""
+    from checkatron_spark.selection import bm25_topk
+
+    pad = " ".join(filler)
+    hi = " ".join(["join"] * (reps + 1)) + " " + pad
+    lo = " ".join(["join"] * reps) + " x " + pad  # same token count
+    docs = spark.createDataFrame([(1, hi), (2, lo)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bm25_topk(docs, ("join",), k=5).collect()}
+    assert out[1]["score_micro"] > out[2]["score_micro"]
+    assert out[1]["rnk"] < out[2]["rnk"]
