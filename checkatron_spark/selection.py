@@ -470,6 +470,81 @@ GROUP BY doc_id
 # SemDeDup
 # ---------------------------------------------------------------------------
 
+def _semdedup_drop_kernel(threshold: float, id_field):
+    """Per-cluster Arrow kernel for the SemDeDup pair stage: marks every
+    vector with a LOWER-id clustermate at cosine >= threshold.
+
+    FP determinism (the _allpairs_cosine_numpy contract,
+    operators/similarity.py:187-192): dots and norms are accumulated with
+    one vectorized add PER DIMENSION — the sequential left fold
+    ((0+p1)+p2)+..., bit-identical to Catalyst ``aggregate`` and DuckDB
+    ``list_reduce`` — then one norm-product, one divide. numpy's own
+    np.dot/np.matmul would use pairwise/BLAS orders and break the oracle.
+    Row-tiled so peak memory is TILE x |cluster| doubles."""
+    import numpy as np
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StructField,
+        StructType,
+    )
+
+    integral = isinstance(
+        id_field.dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+    out_schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType),
+            StructField("cluster_id", IntegerType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+
+    def fn(pdf):
+        import pandas as pd
+
+        ids = pdf["_kid"].to_numpy(
+            dtype=np.int64 if integral else object
+        )
+        vals = pdf["_kv"].tolist()
+        if len({len(v) for v in vals}) > 1:
+            # mixed dims would need zip_with's NULL-padding semantics —
+            # fail fast like decontaminate_semantic's zero-norm guard
+            raise ValueError(
+                "semdedup arrow kernel saw mixed embedding dimensions; "
+                "run embedding_audit first or pass kernel='join'"
+            )
+        V = np.array(vals, dtype=np.float64)
+        n = len(ids)
+        d = V.shape[1]
+        acc = np.zeros(n)
+        for j in range(d):
+            acc = acc + V[:, j] * V[:, j]
+        norm = np.sqrt(acc)
+        dropped = np.zeros(n, dtype=bool)
+        tile = 2048
+        for lo in range(0, n, tile):
+            hi = min(lo + tile, n)
+            dots = np.zeros((hi - lo, n))
+            for j in range(d):
+                dots = dots + V[lo:hi, j][:, None] * V[:, j][None, :]
+            cos = dots / (norm[lo:hi][:, None] * norm[None, :])
+            mask = (cos >= threshold) & (ids[None, :] < ids[lo:hi, None])
+            dropped[lo:hi] |= mask.any(axis=1)
+        return pd.DataFrame(
+            {
+                id_field.name: pdf["_kid"],
+                "cluster_id": pdf["_kc"],
+                "kept": ~dropped,
+            }
+        )
+
+    return fn, out_schema
+
+
 def semdedup(
     emb: DataFrame,
     *,
@@ -479,6 +554,7 @@ def semdedup(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication restricted to
     k-means clusters — cluster the embeddings, compare pairs ONLY within a
@@ -496,12 +572,18 @@ def semdedup(
     100 TB plan: clustering IS the scale lever — pair work is
     sum(|cluster|^2), so k grows with the corpus to keep clusters bounded
     (the paper runs k~11k on LAION; the declared query's k=8 matches the
-    kmeans_domains contract at fixture scale). The pair stage is a
-    cluster-equality hash self-join (never all-pairs over the corpus),
-    the drop set is a per-id distinct, and the verdict is one broadcast-
-    size left join back. Exactness: the cosine is the sequential-fold dot
-    product shared with the ANN operators (bit-identical to the oracle's
-    list_reduce), compared UNROUNDED on both engines — the
+    kmeans_domains contract at fixture scale). The pair stage never
+    leaves the cluster: ``kernel='arrow'`` (default) runs one
+    applyInPandas group per cluster — a row-tiled numpy kernel whose
+    per-dimension accumulation IS the sequential fold (bit-identical to
+    the oracle's list_reduce; the exact-kmeans Arrow-kernel precedent,
+    measured ~8x over the interpreted higher-order fold at 20k vectors)
+    and needs each CLUSTER (not the corpus) to fit a worker — given the
+    k ∝ corpus lever, that is the same boundedness production already
+    requires. ``kernel='join'`` keeps the pure-DataFrame cluster-equality
+    hash self-join: memory-unbounded streaming pairs, any cluster size,
+    same output bit-for-bit (equivalence pytest-pinned). Exactness under
+    BOTH kernels: cosine compared UNROUNDED on both engines — the
     neardup_embedding_cosine precedent."""
     from checkatron_spark.operators.kmeans import kmeans_assign
     from checkatron_spark.operators.similarity import _safe_div, dot, l2_norm
@@ -514,6 +596,17 @@ def semdedup(
         id_col, "cluster_id"
     )
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if kernel == "arrow":
+        grouped = ok.select(
+            F.col(id_col).alias("_kid"),
+            dv.alias("_kv"),
+        ).join(assign.withColumnRenamed(id_col, "_kid"), "_kid").withColumn(
+            "_kc", F.col("cluster_id").cast("int")
+        )
+        fn, out_schema = _semdedup_drop_kernel(threshold, emb.schema[id_col])
+        return grouped.groupBy("_kc").applyInPandas(fn, out_schema)
+    if kernel != "join":
+        raise ValueError(f"unknown semdedup kernel {kernel!r}")
     v = scratch_persist(
         ok.select(
             F.col(id_col),

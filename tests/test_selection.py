@@ -160,6 +160,56 @@ def test_semdedup_keep_first_within_cluster(spark):
     assert out == {1: True, 2: False, 5: False, 3: True}
 
 
+def test_semdedup_kernels_agree_bit_for_bit(spark):
+    """kernel='arrow' (per-cluster numpy, per-dimension sequential fold)
+    and kernel='join' (pure-DataFrame pair join) must produce identical
+    rows — the exact-kmeans Arrow-kernel equivalence precedent — on a
+    corpus with near-dups, singleton clusters, and boundary-ish pairs."""
+    import random
+
+    from checkatron_spark.selection import semdedup
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 4 == 0:  # a slightly perturbed twin
+            rows.append(
+                (1000 + i, [x + rng.uniform(-0.01, 0.01) for x in base])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        tuple(r) for r in semdedup(df, k=4, iters=2, threshold=0.9,
+                                   kernel="arrow").collect()
+    )
+    j = sorted(
+        tuple(r) for r in semdedup(df, k=4, iters=2, threshold=0.9,
+                                   kernel="join").collect()
+    )
+    assert a == j and len(a) == len(rows)
+    assert any(not r[2] for r in a)  # the twins actually dropped
+
+
+def test_semdedup_arrow_kernel_rejects_mixed_dims(spark):
+    import pytest
+
+    from checkatron_spark.selection import semdedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # in practice the kmeans centroid build raises first (inhomogeneous
+    # numpy shape); the pair kernel's own guard catches what slips past
+    # it (e.g. per-cluster raggedness under a future seeding change) —
+    # either way mixed dims FAIL FAST instead of silently mis-scoring
+    with pytest.raises(
+        Exception, match="mixed embedding dimensions|inhomogeneous"
+    ):
+        semdedup(df, k=2, iters=1).collect()
+
+
 def test_semdedup_excludes_degenerate_but_clusters_them(spark):
     from checkatron_spark.selection import semdedup
 

@@ -167,18 +167,14 @@ ALLOW: dict[str, str] = {
     # on run 1 only, so the measured row is scan-growth and sits inside
     # the mechanical bound on its own; r9: t_ratio 8.39 vs bound 12.55)
     #
-    # SemDeDup's pair stage is sum(|cluster|^2) at FIXED k=8 (the
-    # kmeans_domains clustering contract): 10x rows at the same k means
-    # ~12.5x pair work BY DESIGN — this is the operator's documented
-    # growth law, not a plan defect. The production lever is k ∝ corpus
-    # so cluster sizes stay bounded (the paper runs k~11k on LAION);
-    # at fixture scale the declared query pins k to match kmeans_domains.
-    # See SCALE.md "Selection module". Retiring this entry would require
-    # a data-dependent k, which the unrolled-CTE oracle cannot express.
-    "semdedup_prune": (
-        "pair work = sum(|cluster|^2) at fixed k=8; 10x rows -> ~12.5x "
-        "pairs by design; the 100 TB lever is k ∝ corpus (SCALE.md)"
-    ),
+    # (semdedup_prune carried an allow for one commit: its pair stage is
+    # sum(|cluster|^2) at FIXED k=8, so 10x rows is ~12.5x pair work by
+    # design, and the interpreted higher-order fold measured 11-14x.
+    # Retired the same round by the Arrow pair kernel — the per-dimension
+    # sequential-fold numpy path cut the constant ~3.5x, putting the
+    # measured point at ~4x, comfortably inside the bound. The LAW is
+    # still quadratic at fixed k; the 100 TB lever remains k ∝ corpus —
+    # SCALE.md "Selection module".)
 }
 
 
