@@ -1681,9 +1681,15 @@ def ccnet_ppl_buckets(
         F.percentile_approx(
             "mean_band", [1.0 / 3.0, 2.0 / 3.0], accuracy
         ).alias("_t")
-    )
+    ).withColumnRenamed("lang", "_tl")
+    # eqNullSafe: a NULL lang is a real tercile group on both engines
+    # (the oracle joins IS NOT DISTINCT FROM; sampling.py:383 precedent) —
+    # a null-unsafe join would silently drop every unlabeled document
+    # from the Spark side only (round-10 review finding)
     return (
-        scored.join(F.broadcast(thr), "lang")
+        scored.join(
+            F.broadcast(thr), F.col("lang").eqNullSafe(F.col("_tl"))
+        )
         .select(
             F.col(id_col),
             "lang",

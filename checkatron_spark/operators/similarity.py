@@ -176,6 +176,33 @@ def ann_blocked_topk(
     )
 
 
+def seq_fold_norms(m) -> "np.ndarray":
+    """L2 norms accumulated with one vectorized add PER DIMENSION — the
+    sequential left fold ((0+p1)+p2)+..., bit-identical to Catalyst
+    ``aggregate`` and DuckDB ``list_reduce``. np.linalg.norm / np.einsum
+    would use pairwise/BLAS summation orders and break the oracle. The
+    SINGLE implementation shared by every numpy cosine kernel
+    (_allpairs_cosine_numpy here, selection._semdedup_drop_kernel) so an
+    exactness fix can never miss a copy."""
+    import numpy as np
+
+    acc = np.zeros(m.shape[0])
+    for k in range(m.shape[1]):
+        acc = acc + m[:, k] * m[:, k]
+    return np.sqrt(acc)
+
+
+def nan_ge(cos, threshold: float):
+    """``cos >= threshold`` under SPARK/DUCKDB comparison semantics: both
+    engines order NaN LARGER than every number, so a NaN cosine (NaN/Inf
+    embedding elements that survive the norm gate — Spark's NaN > 0.0 is
+    TRUE) must count as a hit; numpy's raw IEEE ``>=`` would silently
+    disagree (round-10 review finding)."""
+    import numpy as np
+
+    return (cos >= threshold) | np.isnan(cos)
+
+
 def _allpairs_cosine_numpy(
     vectors: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
@@ -226,13 +253,7 @@ def _allpairs_cosine_numpy(
     mat = np.array([r._v for r in rows], dtype=np.float64)
     dims = mat.shape[1] if len(rows) else 0
 
-    def seq_norm(m: "np.ndarray") -> "np.ndarray":
-        acc = np.zeros(m.shape[0])
-        for k in range(m.shape[1]):
-            acc = acc + m[:, k] * m[:, k]
-        return np.sqrt(acc)
-
-    norms = seq_norm(mat)
+    norms = seq_fold_norms(mat)
     sc = vectors.sparkSession.sparkContext
     b_ids, b_mat, b_norms = sc.broadcast(ids), sc.broadcast(mat), sc.broadcast(norms)
 
@@ -257,7 +278,7 @@ def _allpairs_cosine_numpy(
             a_ids = pdf["_id"].to_numpy()
             if integral:  # match the broadcast side's vectorizable dtype
                 a_ids = a_ids.astype(np.int64, copy=False)
-            a_norms = seq_norm(A)
+            a_norms = seq_fold_norms(A)
             out_a, out_b, out_c = [], [], []
             for lo in range(0, M.shape[0], tile):
                 Mt = M[lo : lo + tile]
@@ -265,8 +286,8 @@ def _allpairs_cosine_numpy(
                 for k in range(dims):
                     acc = acc + A[:, k][:, None] * Mt[None, :, k]
                 cos = acc / (a_norms[:, None] * N[None, lo : lo + tile])
-                keep = (a_ids[:, None] < I[None, lo : lo + tile]) & (
-                    cos >= threshold
+                keep = (a_ids[:, None] < I[None, lo : lo + tile]) & nan_ge(
+                    cos, threshold
                 )
                 ai, bj = np.nonzero(keep)
                 out_a.append(a_ids[ai])

@@ -474,14 +474,17 @@ def _semdedup_drop_kernel(threshold: float, id_field):
     """Per-cluster Arrow kernel for the SemDeDup pair stage: marks every
     vector with a LOWER-id clustermate at cosine >= threshold.
 
-    FP determinism (the _allpairs_cosine_numpy contract,
-    operators/similarity.py:187-192): dots and norms are accumulated with
-    one vectorized add PER DIMENSION — the sequential left fold
-    ((0+p1)+p2)+..., bit-identical to Catalyst ``aggregate`` and DuckDB
-    ``list_reduce`` — then one norm-product, one divide. numpy's own
-    np.dot/np.matmul would use pairwise/BLAS orders and break the oracle.
+    FP determinism: norms come from the SHARED sequential-fold helper
+    (operators/similarity.py seq_fold_norms — bit-identical to Catalyst
+    ``aggregate`` and DuckDB ``list_reduce``), dots accumulate with the
+    same one-vectorized-add-per-dimension fold, and the threshold compare
+    goes through nan_ge so NaN cosines count as hits exactly like Spark's
+    and DuckDB's NaN-is-largest ordering (round-10 review finding — raw
+    numpy ``>=`` would silently keep NaN twins the join kernel drops).
     Row-tiled so peak memory is TILE x |cluster| doubles."""
     import numpy as np
+
+    from checkatron_spark.operators.similarity import nan_ge, seq_fold_norms
     from pyspark.sql.types import (
         BooleanType,
         ByteType,
@@ -520,10 +523,7 @@ def _semdedup_drop_kernel(threshold: float, id_field):
         V = np.array(vals, dtype=np.float64)
         n = len(ids)
         d = V.shape[1]
-        acc = np.zeros(n)
-        for j in range(d):
-            acc = acc + V[:, j] * V[:, j]
-        norm = np.sqrt(acc)
+        norm = seq_fold_norms(V)
         dropped = np.zeros(n, dtype=bool)
         tile = 2048
         for lo in range(0, n, tile):
@@ -532,7 +532,7 @@ def _semdedup_drop_kernel(threshold: float, id_field):
             for j in range(d):
                 dots = dots + V[lo:hi, j][:, None] * V[:, j][None, :]
             cos = dots / (norm[lo:hi][:, None] * norm[None, :])
-            mask = (cos >= threshold) & (ids[None, :] < ids[lo:hi, None])
+            mask = nan_ge(cos, threshold) & (ids[None, :] < ids[lo:hi, None])
             dropped[lo:hi] |= mask.any(axis=1)
         return pd.DataFrame(
             {
@@ -577,7 +577,7 @@ def semdedup(
     applyInPandas group per cluster — a row-tiled numpy kernel whose
     per-dimension accumulation IS the sequential fold (bit-identical to
     the oracle's list_reduce; the exact-kmeans Arrow-kernel precedent,
-    measured ~8x over the interpreted higher-order fold at 20k vectors)
+    measured ~3.5x over the interpreted higher-order fold at 20k vectors)
     and needs each CLUSTER (not the corpus) to fit a worker — given the
     k ∝ corpus lever, that is the same boundedness production already
     requires. ``kernel='join'`` keeps the pure-DataFrame cluster-equality

@@ -306,3 +306,69 @@ def test_semdedup_parity_on_degenerate_embeddings(spark, duck, tmp_path):
     want = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
     assert got == want
     assert {r[0] for r in got} == {1, 2, 3, 6}
+
+
+def test_semdedup_kernels_agree_on_nan_embeddings(spark):
+    """Round-10 review: Spark and DuckDB order NaN LARGER than any
+    number, so a NaN cosine counts as a near-dup hit; raw numpy >= would
+    disagree. Both kernels must drop the higher-id NaN twin."""
+    import math
+
+    from checkatron_spark.selection import semdedup
+
+    nan = float("nan")
+    rows = [
+        (1, [nan, 1.0, 0.0, 0.0]),   # NaN norm passes the >0 gate (NaN-largest)
+        (2, [nan, 1.0, 0.0, 0.0]),   # cosine vs 1 is NaN -> HIT -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),   # cosine vs NaN rows is NaN -> dropped too
+        (4, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(tuple(r) for r in semdedup(df, k=2, iters=2, kernel="arrow").collect())
+    j = sorted(tuple(r) for r in semdedup(df, k=2, iters=2, kernel="join").collect())
+    assert a == j
+    kept = {r[0] for r in a if r[2]}
+    dropped = {r[0] for r in a if not r[2]}
+    assert 1 in kept         # lowest id always survives
+    assert 2 in dropped      # NaN twin with a lower-id mate
+
+
+def test_ccnet_buckets_keep_null_lang_group(spark, duck, tmp_path):
+    """Round-10 review: NULL lang is a real tercile group. A null-unsafe
+    Spark join would drop every unlabeled doc while the oracle's
+    IS NOT DISTINCT FROM keeps them — pin row-identical output on a
+    corpus that exercises it."""
+    import pandas as pd
+
+    from checkatron_spark.corpus import QUERIES, oracles
+    from checkatron_spark.sampling import hash_uniform
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame([(i,) for i in range(400)], ["doc_id"]).select(
+        "doc_id", hash_uniform(F.col("doc_id"), "lm-ref-v1").alias("u")
+    )
+    us = {r["doc_id"]: r["u"] for r in probe.collect()}
+    ref_ids = [i for i in us if us[i] < 0.1][:3]
+    tgt_ids = [i for i in us if us[i] >= 0.1][:8]
+    assert len(ref_ids) >= 2 and len(tgt_ids) == 8
+
+    rows = [(i, "the cat sat on the mat", "en", "s", 22) for i in ref_ids]
+    for j, i in enumerate(tgt_ids):
+        lang = None if j % 2 == 0 else "en"   # half the targets unlabeled
+        text = "the cat sat here" if j < 4 else "zz qq ww ee"
+        rows.append((i, text, lang, "s", len(text)))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    duck.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    df = QUERIES["ccnet_ppl_buckets"](spark, str(tmp_path))
+    got = sorted(tuple(r) for r in df.collect())
+    res = duck.sql(oracles()["ccnet_ppl_buckets"])
+    idx = [res.columns.index(c) for c in df.columns]
+    want = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
+    assert got == want
+    assert len(got) == 8                       # NULL-lang docs present
+    assert sum(1 for r in got if r[1] is None) == 4
