@@ -999,14 +999,23 @@ def _round_no(fname: str) -> int:
 
 # Forced rotation quota (round 10, VERDICT r9 #3): the K oldest-driver-green
 # fresh queries are promoted into the driver window each round REGARDLESS of
-# staleness, and are exempt from pruning. 75+ queries rely on the
+# staleness, and are exempt from pruning. 150+ queries rely on the
 # fingerprint closure to re-enter the window; a closure blind spot would
 # otherwise keep a changed query driver-unverified indefinitely — the sf0.1
-# sweep covers it locally, but the DRIVER oracle is the hard signal. With
-# K=10 and ~75 ever-green pruned queries, every declared query gets a
-# driver grade at least every ceil(75/10)+1 = 9 rounds (pinned by the
+# sweep covers it locally, but the DRIVER oracle is the hard signal.
+# K SCALES WITH THE CONTRACT (round 11, VERDICT r10 #6): the original fixed
+# K=10 was computed at 75 pruned queries and would silently degrade as the
+# contract grows — max(10, ceil(fresh/8)) bounds every query's grade age at
+# ceil(fresh/K)+1 <= 9 rounds AT ANY CONTRACT SIZE (pinned by the
 # rotation-simulation test in tests/test_entry_contract.py).
-_ROTATE_K = 10
+_ROTATE_K_FLOOR = 10
+_ROTATE_AGE_ROUNDS = 8
+
+
+def _rotate_k(n_fresh: int) -> int:
+    import math
+
+    return max(_ROTATE_K_FLOOR, math.ceil(n_fresh / _ROTATE_AGE_ROUNDS))
 
 
 def _rotation_picks(
@@ -1020,7 +1029,7 @@ def _rotation_picks(
         if n in full and n not in stale and n not in set(_CHECK_FIRST)
     ]
     fresh.sort(key=lambda n: (_round_no(green[n]), n))
-    return fresh[:_ROTATE_K]
+    return fresh[:_rotate_k(len(fresh))]
 
 
 def _prunable(

@@ -1670,12 +1670,17 @@ def ccnet_ppl_buckets(
     doc_id. No added corpus-sized shuffle beyond the score itself."""
     from checkatron_spark.session import scratch_persist
 
+    # LEFT join: the docstring promises output for every target doc, and
+    # a NULL lang already forms a real tercile group downstream (eqNullSafe
+    # + the oracle's IS NOT DISTINCT FROM) — an inner join would silently
+    # drop any doc missing from lang_by_id (ADVICE r10; the declared query
+    # passes a total mapping, so its output is unchanged)
     scored = scratch_persist(
         lm_bigram_coverage(
             target, reference, text_col=text_col, id_col=id_col
         )
         .select(id_col, "mean_band")
-        .join(lang_by_id, id_col)
+        .join(lang_by_id, id_col, "left")
     )
     thr = scored.groupBy("lang").agg(
         F.percentile_approx(

@@ -461,3 +461,29 @@ def test_ccnet_buckets_cut_per_language(spark):
     assert bucket[0] == "head" and bucket[30] == "head"
     assert bucket[4] == bucket[5] == "tail"
     assert bucket[34] == bucket[35] == "tail"
+
+
+def test_ccnet_buckets_keep_docs_missing_from_lang_map(spark):
+    """ADVICE r10: the docstring promises output for EVERY target doc —
+    a doc absent from lang_by_id must surface in the NULL-lang tercile
+    group (LEFT join + eqNullSafe), not vanish."""
+    from checkatron_spark.corpus import ccnet_ppl_buckets
+
+    ref = spark.createDataFrame(
+        [(100 + i, "x1 x2") for i in range(4)], ["doc_id", "text"]
+    )
+    tgt = spark.createDataFrame(
+        [(1, "x1 x2"), (2, "x1 x2 q unk1"), (3, "unk1 unk2"),
+         (4, "x1 x2"), (5, "unk3 unk4"), (6, "x1 x2 q q")],
+        ["doc_id", "text"],
+    )
+    # the lang map covers only half the targets
+    lang = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "en")], ["doc_id", "lang"]
+    )
+    out = {r["doc_id"]: r for r in ccnet_ppl_buckets(tgt, ref, lang).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    assert all(out[i]["lang"] is None for i in (4, 5, 6))
+    # the unmapped docs form their own tercile group: distinct scores
+    # split across buckets within the NULL-lang group
+    assert {out[i]["bucket"] for i in (4, 5, 6)} > {"tail"}

@@ -195,11 +195,12 @@ def test_forced_rotation_of_evergreen_queries():
     if not green:
         assert rotate == []
         return
-    assert len(rotate) == min(
-        entrymod._ROTATE_K,
-        len([n for n in green if n in full and n not in stale
-             and n not in set(entrymod._CHECK_FIRST)]),
-    )
+    n_fresh = len([n for n in green if n in full and n not in stale
+                   and n not in set(entrymod._CHECK_FIRST)])
+    # round 11 (VERDICT r10 #6): the quota scales with the contract —
+    # max(floor, ceil(fresh/8)) — so the grade-age bound holds as the
+    # declared set grows instead of silently degrading past 80 queries
+    assert len(rotate) == min(entrymod._rotate_k(n_fresh), n_fresh)
     # the picks are exactly the oldest greens (age, then name)
     ages = [entrymod._round_no(green[n]) for n in rotate]
     others = [
@@ -228,26 +229,35 @@ def test_forced_rotation_of_evergreen_queries():
 
 
 def test_rotation_simulation_bounds_grade_age():
-    """Simulate the round-robin: N ever-green queries, K rotated per round
-    — every query must receive a driver grade at least every
-    ceil(N/K) + 1 rounds (the verdict's bound), indefinitely."""
+    """Simulate the round-robin AT THREE CONTRACT SIZES (round 11,
+    VERDICT r10 #6): N ever-green queries, k(N) rotated per round — every
+    query must receive a driver grade at least every
+    ceil(N/k) + 1 <= _ROTATE_AGE_ROUNDS + 1 rounds, indefinitely, no
+    matter how large the declared contract grows. N=300 exercises the
+    scaled branch (k=38), N=80 the floor (k=10); the CURRENT contract
+    size is simulated too so the pinned bound tracks reality."""
     import math
 
-    K = entrymod._ROTATE_K
-    N = 80
-    full = {f"q{i:03d}": None for i in range(N)}
-    green = {f"q{i:03d}": "CORRECTNESS_r01.json" for i in range(N)}
-    bound = math.ceil(N / K) + 1
-    last_graded = {n: 1 for n in full}
-    for rnd in range(2, 40):
-        picks = entrymod._rotation_picks(full, green, stale=set())
-        assert len(picks) == K
-        for n in picks:
-            green[n] = f"CORRECTNESS_r{rnd:02d}.json"
-            last_graded[n] = rnd
-        worst = max(rnd - r for r in last_graded.values())
-        if rnd > bound:
-            assert worst <= bound, (rnd, worst, bound)
+    sizes = [80, 300, len(entrymod._queries_unordered())]
+    for N in sizes:
+        K = entrymod._rotate_k(N)
+        assert K >= entrymod._ROTATE_K_FLOOR
+        bound = math.ceil(N / K) + 1
+        # the contract-size-independent promise: grade age never exceeds
+        # AGE_ROUNDS + 1 regardless of N
+        assert bound <= entrymod._ROTATE_AGE_ROUNDS + 1
+        full = {f"q{i:03d}": None for i in range(N)}
+        green = {f"q{i:03d}": "CORRECTNESS_r01.json" for i in range(N)}
+        last_graded = {n: 1 for n in full}
+        for rnd in range(2, 40):
+            picks = entrymod._rotation_picks(full, green, stale=set())
+            assert len(picks) == K
+            for n in picks:
+                green[n] = f"CORRECTNESS_r{rnd:02d}.json"
+                last_graded[n] = rnd
+            worst = max(rnd - r for r in last_graded.values())
+            if rnd > bound:
+                assert worst <= bound, (N, rnd, worst, bound)
 
 
 def test_every_query_has_an_oracle():
@@ -505,6 +515,37 @@ def test_latest_sf1_probe_is_scale_clean():
             for n, r in sorted(bad.items())
         )
     )
+
+
+def test_probe_classify_is_self_explaining():
+    """Round 11 (VERDICT r10 #5): the probe's raw-OR-adjusted pass rule is
+    self-explaining — ok_via names the carrying criterion, and a raw-pass
+    row with a sub-ADJ_FLOOR small side nulls the (noise) adjusted ratio
+    instead of printing an over-bound number inside a green row."""
+    import importlib.util
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "sweep_sf1_probe_c", repo / "tools" / "sweep_sf1_probe.py"
+    )
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+
+    assert probe.ADJ_FLOOR == 0.5
+    # the r10 dedup_exact shape: raw 6.15 passes, adj 17.22 over bound 12,
+    # t_small 0.33 < floor -> ok via raw, adj reported null
+    ok, via, adj = probe.classify(6.15, 17.22, 12.0, 0.33)
+    assert (ok, via, adj) == (True, "raw", None)
+    # adj is the carrying criterion -> it must be reported even sub-floor
+    ok, via, adj = probe.classify(20.0, 4.0, 12.0, 0.4)
+    assert (ok, via, adj) == (True, "adj", 4.0)
+    # above the floor both numbers print
+    ok, via, adj = probe.classify(6.0, 17.0, 12.0, 2.0)
+    assert (ok, via, adj) == (True, "raw", 17.0)
+    # genuine super-linear: not ok, no carrying criterion
+    ok, via, adj = probe.classify(20.0, 18.0, 12.0, 2.0)
+    assert (ok, via, adj) == (False, None, 18.0)
 
 
 def test_bench_and_probe_batteries_reference_declared_queries():

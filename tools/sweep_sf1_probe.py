@@ -61,6 +61,28 @@ SF01 = "/root/testdata/sf0.1"
 REAL_SMALL = "/tmp/sfreal01"
 REAL_BIG = "/tmp/sfreal1"
 
+# Below this small-side wall-clock the overhead-adjusted ratio divides by
+# its 0.1 s floor and measures scheduling noise, not growth — rows that
+# pass on the RAW ratio report adj_ratio null("sub-floor") instead of an
+# alarming number (VERDICT r10 #5; pinned in tests/test_entry_contract.py)
+ADJ_FLOOR = 0.5
+
+
+def classify(ratio: float, adj: float, bound: float, t_small: float):
+    """The probe's growth verdict, self-explaining (VERDICT r10 #5):
+    returns (ok, ok_via, adj_out). ok stays the documented OR — raw OR
+    overhead-adjusted ratio inside the bound — but ok_via names which
+    criterion carried the row, and a raw-pass row whose small side sits
+    under ADJ_FLOOR reports adj_out None: under the floor the adjustment
+    divides by its 0.1 s denominator floor and the number is noise that
+    reads like a violation inside a green row. When adj is the carrying
+    criterion it is always reported (it is the row's justification)."""
+    ok = ratio <= bound or adj <= bound
+    ok_via = "raw" if ratio <= bound else ("adj" if adj <= bound else None)
+    adj_out = None if (t_small < ADJ_FLOOR and ok_via == "raw") \
+        else round(adj, 2)
+    return ok, ok_via, adj_out
+
 # tiled-fixture batch 1: streams, embeddings, non-doc heavies
 PROBE = [
     "stream_patch_apply",
@@ -248,7 +270,7 @@ def main() -> None:
         # by the 0.1 s floor and would flag trivially-linear operators
         adj = (t_big - 0.3) / max(t_small - 0.3, 0.1)
         bound = max(copies, rratio) * 1.2
-        ok = ratio <= bound or adj <= bound
+        ok, ok_via, adj_out = classify(ratio, adj, bound, t_small)
         note = "OK" if ok else ("ALLOW" if name in ALLOW else "SUPER-LINEAR")
         print(
             f"{name:28s} {t_small:6.2f}s {t_big:7.2f}s {ratio:7.1f}x "
@@ -264,12 +286,14 @@ def main() -> None:
                 "t_small": round(t_small, 3),
                 "t_big": round(t_big, 3),
                 "t_ratio": round(ratio, 2),
-                "adj_ratio": round(adj, 2),
+                "adj_ratio": adj_out,
+                "adj_note": ("sub-floor" if adj_out is None else None),
                 "rows_small": n_small,
                 "rows_big": n_big,
                 "r_ratio": round(rratio, 2),
                 "bound": round(bound, 2),
                 "ok": ok,
+                "ok_via": ok_via,
                 "allowed": name in ALLOW,
                 "allow_reason": ALLOW.get(name),
             }, separators=(",", ":")) + "\n")
