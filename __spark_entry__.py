@@ -228,19 +228,10 @@ _CHECK_FIRST: list[str] = [
 # round-4 backlog plus the ~16 round-5 additions) fits in one 50-slot
 # window regardless of internal order, so no pinning is needed.
 _CHECK_LAST: list[str] = [
-    # round 10: the per-source adaptive quality floor pair is new this
-    # round — never checked, so it enters the window after any older
-    # never-checked backlog (there is none this round)
-    "quality_floor_by_source",
-    "quality_floor_kept",
-    # round 10 (late batch): the selection module — BM25 retrieval,
-    # graded contamination policy, DSIR importance weights
-    "bm25_topk",
-    "contamination_frac",
-    "dsir_importance",
-    "semdedup_prune",
-    "novelty_profile",
-    "ccnet_ppl_buckets",
+    # round 11: multi-profile BM25 (one posting-filtered corpus scan,
+    # two-phase per-query top-k) and the canonical-key pre-dedup stage
+    "bm25_multiquery",
+    "dedup_canonical",
 ]
 
 

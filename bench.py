@@ -124,6 +124,11 @@ HEADLINE = [
     "bm25_topk",
     "contamination_frac",
     "dsir_importance",
+    # round 11: multi-profile BM25 (one posting-filtered scan, broadcast
+    # (query, term) fan-out, two-phase per-query top-k) and canonical-key
+    # recrawl collapse (the CCNet/RefinedWeb stage-0 groupBy + semi join)
+    "bm25_multiquery",
+    "dedup_canonical",
     # SemDeDup: kmeans (Arrow kernel) + within-cluster pair join composed
     "semdedup_prune",
     # first-seer novelty (gram min + join-back, the dup_ngram shape) and

@@ -22,6 +22,7 @@ from checkatron_spark.operators.asof import asof_join
 from checkatron_spark.operators.dedup import (
     connected_components,
     decontaminate,
+    dedup_canonical,
     dedup_corpus,
     dedup_incremental,
     fuzzy_pairs_blocked,
@@ -131,6 +132,7 @@ __all__ = [
     "scratch_cache",
     "scratch_persist",
     "decontaminate",
+    "dedup_canonical",
     "dedup_corpus",
     "substring_dup_pairs",
     "dedup_incremental",

@@ -1762,17 +1762,42 @@ SELECT s.* FROM surv s JOIN keep k ON s.doc_id = k.doc_id
 
 def q_dedup_corpus_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged near-dup removal (operators/dedup.py dedup_corpus_staged,
-    round 6): exact-duplicate collapse by content hash FIRST, then the
-    pair-graph pipeline over representatives only — the C4/RefinedWeb
-    staging that removes the quadratic exact-dup-clique term from the
-    pair stage (the blowup the sf1 probe measured). Output is provably
-    identical to dedup_corpus_e2e, so it grades against the SAME
+    round 6): canonical-key (source, fp) collapse FIRST (round 11,
+    VERDICT r10 #8 — the CCNet/RefinedWeb stage 0), then the
+    exact-duplicate collapse by content hash, then the pair-graph
+    pipeline over representatives only — the staging that removes the
+    quadratic exact-dup-clique term from the pair stage (the blowup the
+    sf1 probe measured). Output is provably identical to
+    dedup_corpus_e2e, so all THREE stages grade against the SAME
     recursive-CTE oracle — a cross-implementation equality check, not
     just row counts."""
     return D.dedup_corpus_staged(
         load_table(spark, "documents", sf_dir), "text", "doc_id",
-        n=3, threshold=0.8,
+        n=3, threshold=0.8, canonical_cols=("source",),
     )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-key exact dedup (operators/dedup.py dedup_canonical,
+    round 11): keep one doc per (source, content-fp) identity — the
+    standard FIRST stage of web-corpus dedup (recrawl collapse), ahead
+    of exact and near-dup text stages. One (key, fp, id) shuffle +
+    semi join; text never shuffles."""
+    return D.dedup_canonical(
+        load_table(spark, "documents", sf_dir), "text", "doc_id"
+    )
+
+
+DEDUP_CANONICAL_SQL = """
+WITH keep AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM (
+        SELECT doc_id, source, md5(coalesce(text, '')) AS fp FROM documents
+    )
+    GROUP BY source, fp
+)
+SELECT d.* FROM documents d JOIN keep USING (doc_id)
+"""
 
 
 def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3252,6 +3277,7 @@ QUERIES = {
     "neardup_triangles": q_neardup_triangles,
     "source_lang_entropy": q_source_lang_entropy,
     "dedup_corpus_staged": q_dedup_corpus_staged,
+    "dedup_canonical": q_dedup_canonical,
     "substring_dup_pairs": q_substring_dup_pairs,
     "decontaminate_semantic": q_decontaminate_semantic,
     "quality_linear_score": q_quality_linear,
@@ -3331,6 +3357,7 @@ def oracles() -> dict[str, str]:
         # them quotients the same components; min-of-group-mins == global
         # min) — the match IS the cross-implementation equality grade
         "dedup_corpus_staged": DEDUP_CORPUS_E2E_SQL,
+        "dedup_canonical": DEDUP_CANONICAL_SQL,
         "substring_dup_pairs": SUBSTRING_DUP_SQL,
         "decontaminate_semantic": DECONTAMINATE_SEMANTIC_SQL,
         "quality_linear_score": QUALITY_LINEAR_SQL,

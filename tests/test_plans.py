@@ -189,6 +189,9 @@ def test_no_cartesian_in_any_query(spark):
         # broadcast against the query-term posting table (tfidf precedent;
         # df itself rides a broadcast equi-join on token)
         "bm25_topk",
+        # same scalar stats crossJoin; the (query, term) fan-out and df
+        # both ride broadcast equi-joins on token
+        "bm25_multiquery",
         # scalar shape: the 1-row (tt, tr) side-totals aggregate broadcast
         # against the <=256-row bucket-count table; the gram passes are
         # hash aggregations and a broadcast equi-join on bucket

@@ -65,6 +65,65 @@ def test_bm25_null_text_does_not_poison_stats(spark):
     assert [r["doc_id"] for r in rows] == [1]
 
 
+def test_bm25_multiquery_scores_per_profile(spark):
+    """Round 11 (VERDICT r10 #4): each profile ranks independently, a
+    term shared between profiles fans its postings to both, and the
+    per-(query, doc) score equals the single-query scorer's for an
+    identical term set (same df/stats — the corpus is shared)."""
+    from checkatron_spark.selection import bm25_multiquery
+
+    docs = spark.createDataFrame(
+        [
+            (1, "join join join filler filler"),
+            (2, "join filler filler filler filler"),
+            (3, "vector stream stream other words"),
+        ],
+        ["doc_id", "text"],
+    )
+    profiles = {"qa": ("join",), "qb": ("vector", "stream"),
+                "qc": ("join", "vector")}
+    out = bm25_multiquery(docs, profiles, k=10).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r
+    # qa: docs 1,2 score; doc 3 absent. qb: only doc 3.
+    assert set(by_q["qa"]) == {1, 2} and set(by_q["qb"]) == {3}
+    assert by_q["qa"][1]["rnk"] == 1 and by_q["qa"][2]["rnk"] == 2
+    # the shared-term profile reproduces qa's scores on docs 1-2 exactly
+    # (same postings, same df) and additionally scores doc 3 via vector
+    assert set(by_q["qc"]) == {1, 2, 3}
+    for d in (1, 2):
+        assert (by_q["qc"][d]["score_micro"]
+                == by_q["qa"][d]["score_micro"])
+    # single-query equivalence: bm25_topk with qa's term set gives the
+    # same micro scores (one corpus, same df/stats)
+    single = {r["doc_id"]: r["score_micro"]
+              for r in bm25_topk(docs, ("join",), k=10).collect()}
+    assert {d: r["score_micro"] for d, r in by_q["qa"].items()} == single
+
+
+def test_bm25_multiquery_topk_is_global_per_query(spark):
+    """The two-phase top-k (per-partition heaps, then a bounded final
+    window) must equal the true global per-query top-k regardless of
+    how rows were partitioned."""
+    from checkatron_spark.selection import bm25_multiquery
+
+    # 40 docs with increasing tf of 'join' -> the true top-3 is the
+    # 3 highest-tf docs, ties impossible
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["join"] * (1 + i % 7) + ["pad"] * 5))
+            for i in range(40)
+        ],
+        ["doc_id", "text"],
+    ).repartition(8)
+    out = bm25_multiquery(docs, {"q": ("join",)}, k=3).collect()
+    assert len(out) == 3
+    assert [r["rnk"] for r in sorted(out, key=lambda r: r["rnk"])] == [1, 2, 3]
+    # highest tf wins: tf = 1 + i%7 peaks at i%7==6, lowest doc_id first
+    assert sorted(r["doc_id"] for r in out) == [6, 13, 20]
+
+
 def test_contamination_frac_verdict_thresholds(spark):
     bench = spark.createDataFrame(
         [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]

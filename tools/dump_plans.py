@@ -77,10 +77,12 @@ HEADLINERS = [
     ("quality_floor_by_source", "per-source adaptive quality floor (round 10): one percentile-sketch aggregate per source, thresholds broadcast back; no corpus shuffle"),
     ("bm25_topk", "BM25 retrieval (round 10): term filter BEFORE the posting aggregate; df + corpus stats broadcast; global top-k is TakeOrderedAndProject"),
     ("contamination_frac", "graded contamination (round 10): eval gram set broadcasts, one corpus scan, broadcast LEFT join keeps zero-overlap docs"),
-    ("dsir_importance", "DSIR weights (round 10): Arrow bigram-bucket kernel; bucket counts map-side combined to <=256 rows; log-ratio table broadcast back"),
-    ("semdedup_prune", "SemDeDup (round 10): kmeans Arrow kernel + cluster-equality pair self-join; drop set distinct + verdict left join"),
+    ("dsir_importance", "DSIR weights (round 10; r11: JVM gram kernel — bigram pairs via native arrays_zip/slice, md5 digest in codegen, grams persisted once for both consumers); bucket counts map-side combined to <=256 rows; log-ratio table broadcast back"),
+    ("semdedup_prune", "SemDeDup (round 10): kmeans Arrow kernel + per-cluster Arrow pair kernel (applyInPandas; r11: cluster-size fail-fast, k=None derives k from the corpus)"),
     ("novelty_profile", "first-seer novelty (round 10): gram min-doc_id groupBy + join-back + doc re-aggregate — the dup_ngram shape"),
     ("ccnet_ppl_buckets", "CCNet buckets (round 10): LM-coverage join + per-language tercile sketch broadcast back"),
+    ("bm25_multiquery", "multi-profile BM25 (round 11): ONE posting-filtered corpus scan for N query profiles; broadcast (query, term) fan-out; two-phase per-query top-k — no single-reducer window"),
+    ("dedup_canonical", "canonical-key dedup (round 11): (source, fp) groupBy map-side combined + id semi join; text never shuffles"),
 ]
 
 

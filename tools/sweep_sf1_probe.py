@@ -137,6 +137,9 @@ PROBE2 = [
     # vocabulary, so the posting filter actually selects; growth tracks
     # matching-posting volume, never the corpus
     "bm25_topk",
+    # round 11: multi-profile BM25 — same posting discipline, growth
+    # tracks matching postings x profile fan-out, never the corpus
+    "bm25_multiquery",
 ]
 
 # realistic-duplication batch: every pair/cluster/corpus-shaped operator
@@ -176,6 +179,11 @@ PROBE_DOCS = [
     # lm_bigram_coverage join + a |langs|-row sketch pass
     "novelty_profile",
     "ccnet_ppl_buckets",
+    # round 11: canonical-key stage-0 dedup — one (source, fp) groupBy +
+    # semi join; growth is the scan term (the realistic fixture's dups
+    # are token-level perturbations, so the collapse itself is ~empty
+    # and the row measures pure stage cost)
+    "dedup_canonical",
 ]
 
 
