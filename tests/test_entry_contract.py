@@ -338,7 +338,9 @@ def test_sweep_allow_audit_is_banded_not_blanket():
     sweep = (repo / "tools" / "sweep_sf01.sh").read_text()
     import re
 
-    m = re.search(r"--allow\s+(\S+)", sweep)
+    m = re.search(r'ALLOW="([^"]+)"', sweep) or re.search(
+        r"--allow\s+([\w,]+)", sweep
+    )
     assert m, "sweep_sf01.sh no longer passes --allow?"
     for name in m.group(1).split(","):
         assert name in sc._ALLOW_AUDITS, (
@@ -360,6 +362,65 @@ def test_sweep_allow_audit_is_banded_not_blanket():
     # group present on one side only -> FAIL
     ok, msg = audit(cols, [("b", 100.0, 7)], cols, [("a", 100, 7)])
     assert not ok
+
+
+def test_sweep_merge_reassembles_sharded_output():
+    """Round 11 (VERDICT r10 #7): the sharded sweep must merge back to
+    the byte-deterministic single-report format — records regrouped
+    (multi-line FAIL details stay attached), sorted by query name,
+    per-shard summaries SUMMED into one line, and a crashed worker
+    (missing summary) must invalidate the merge rather than read as a
+    short-but-green sweep."""
+    import importlib.util
+    from pathlib import Path
+
+    import pytest
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "sweep_merge_t", repo / "tools" / "sweep_merge.py"
+    )
+    sm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sm)
+
+    shard0 = (
+        "OK    zeta_query: 10 rows [1.0s]\n"
+        "FAIL  alpha_query: value mismatch at sorted row 3:\n"
+        "      spark: (1,)\n"
+        "      duck : (2,)\n"
+        "\n1/2 passed\n"
+        "failing: alpha_query\n"
+    )
+    shard1 = (
+        "ALLOW beta_query: checked: estimates within 0.5% of exact\n"
+        "rows  gamma_query: 5 rows (no oracle) [0.2s]\n"
+        "\n2/2 passed\n"
+    )
+    records, passed, total, failing = sm.merge([shard0, shard1])
+    assert [name for name, _ in records] == [
+        "alpha_query", "beta_query", "gamma_query", "zeta_query"
+    ]
+    # the FAIL record kept its detail lines attached
+    fail_rec = dict(records)["alpha_query"]
+    assert "duck : (2,)" in fail_rec
+    assert (passed, total, failing) == (3, 4, ["alpha_query"])
+    # shard order must not matter (byte determinism)
+    assert sm.merge([shard1, shard0])[0] == records
+    # a crashed worker (no summary line) invalidates the merge
+    with pytest.raises(SystemExit, match="no 'X/Y passed'"):
+        sm.merge(["OK    q: 1 rows [0.1s]\n"])
+    # the shard slices are disjoint and complete over any name list
+    names = sorted(f"q{i}" for i in range(17))
+    n = 3
+    slices = [
+        [q for i, q in enumerate(names) if i % n == k] for k in range(n)
+    ]
+    flat = sorted(q for s in slices for q in s)
+    assert flat == names
+    assert all(
+        not (set(a) & set(b))
+        for i, a in enumerate(slices) for b in slices[i + 1:]
+    )
 
 
 def test_latest_sweep_covers_current_contract():

@@ -166,6 +166,13 @@ def main() -> int:
                          "this SF (e.g. the HLL sketches outside their "
                          "set/coupon regime, see SCALE.md 'Aggregation'); "
                          "a mismatch is reported ALLOW, not FAIL")
+    ap.add_argument("--shard", default=None, metavar="K/N",
+                    help="run only queries where sorted-index %% N == K — "
+                         "the parallel-sweep partition (round 11, VERDICT "
+                         "r10 #7): deterministic (names are sorted before "
+                         "slicing), disjoint, and complete across the N "
+                         "shards; tools/sweep_sf01.sh fans out N worker "
+                         "processes and merges with tools/sweep_merge.py")
     args = ap.parse_args()
     allowed = set(args.allow.split(",")) if args.allow else set()
 
@@ -181,6 +188,11 @@ def main() -> int:
     names = sorted(qs)
     if args.only:
         names = [n for n in names if n in set(args.only.split(","))]
+    if args.shard:
+        k, n = (int(x) for x in args.shard.split("/"))
+        if not (0 <= k < n):
+            raise SystemExit(f"--shard {args.shard}: need 0 <= K < N")
+        names = [q for i, q in enumerate(names) if i % n == k]
 
     con = duckdb.connect(":memory:")
     for t in TABLES:

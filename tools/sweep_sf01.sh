@@ -9,7 +9,39 @@
 # of the oracle's exact counts (and every non-sketch column still matches
 # exactly), printing ALLOW(checked: ...) or FAILing outside the band.
 #
+# Round 11 (VERDICT r10 #7): the sweep is SHARDED — $SWEEP_SHARDS worker
+# processes (default 3, each its own Spark session on CPUS/N cores) run
+# disjoint deterministic slices (selfcheck.py --shard K/N over the sorted
+# name list) and tools/sweep_merge.py reassembles the byte-deterministic
+# single-report format with ONE combined "N/N passed" line. Set
+# SWEEP_SHARDS=1 for the old single-process behavior.
+#
 # Usage: sh tools/sweep_sf01.sh | tee SWEEP_r<N>_sf01.txt
 cd "$(dirname "$0")/.." || exit 1
-exec python tools/selfcheck.py --sf /root/testdata/sf0.1 --exact \
-    --allow sketch_users_daily,approx_distincts "$@"
+ALLOW="sketch_users_daily,approx_distincts"
+SHARDS="${SWEEP_SHARDS:-3}"
+if [ "$SHARDS" -le 1 ]; then
+    exec python tools/selfcheck.py --sf /root/testdata/sf0.1 --exact \
+        --allow "$ALLOW" "$@"
+fi
+CPUS="${SPARK_GRAFT_CPUS:-32}"
+PER=$((CPUS / SHARDS))
+[ "$PER" -lt 4 ] && PER=4
+tmp="$(mktemp -d)" || exit 1
+trap 'rm -rf "$tmp"' EXIT
+i=0
+pids=""
+while [ "$i" -lt "$SHARDS" ]; do
+    SPARK_GRAFT_CPUS="$PER" python tools/selfcheck.py \
+        --sf /root/testdata/sf0.1 --exact --allow "$ALLOW" \
+        --shard "$i/$SHARDS" "$@" \
+        > "$tmp/shard$i.txt" 2> "$tmp/shard$i.err" &
+    pids="$pids $!"
+    i=$((i + 1))
+done
+rc=0
+for p in $pids; do
+    wait "$p" || rc=1
+done
+python tools/sweep_merge.py "$tmp"/shard*.txt || rc=1
+exit $rc
