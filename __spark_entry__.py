@@ -59,6 +59,24 @@ def _q_diff_orders_faithful(spark, sf_dir):
     return W.diff_orders(spark, sf_dir, faithful=True)
 
 
+def _q_diff_orders_sqlmacro(spark, sf_dir):
+    """SURVEY §4.2 stretch: the flagship diff written as SQL through the
+    DIFF(...) table macro (plans/sqlmacro.py) — expansion builds the SAME
+    single full-outer-join operator, so this grades the macro path
+    against the identical rendered-SQL oracle as diff_orders (a
+    cross-surface equality check, not a new semantics). Plan-identical to
+    diff_orders, so it is deliberately NOT double-counted in the bench
+    HEADLINE or probe batteries."""
+    from checkatron_spark.plans.sqlmacro import sql
+
+    W.orders_before(spark, sf_dir).createOrReplaceTempView("__macro_before")
+    W.orders_after(spark, sf_dir).createOrReplaceTempView("__macro_after")
+    return sql(
+        spark,
+        "SELECT * FROM DIFF(__macro_before, __macro_after, KEYS(o_orderkey))",
+    )
+
+
 def _q_diff_orders_summary(spark, sf_dir):
     return diff_summary(W.diff_orders(spark, sf_dir))
 
@@ -229,9 +247,11 @@ _CHECK_FIRST: list[str] = [
 # window regardless of internal order, so no pinning is needed.
 _CHECK_LAST: list[str] = [
     # round 11: multi-profile BM25 (one posting-filtered corpus scan,
-    # two-phase per-query top-k) and the canonical-key pre-dedup stage
+    # two-phase per-query top-k), the canonical-key pre-dedup stage, and
+    # the DIFF(...) SQL macro surface (graded against diff_orders' oracle)
     "bm25_multiquery",
     "dedup_canonical",
+    "diff_orders_sqlmacro",
 ]
 
 
@@ -1118,6 +1138,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "diff_orders": _q_diff_orders,
         "diff_orders_faithful": _q_diff_orders_faithful,
+        "diff_orders_sqlmacro": _q_diff_orders_sqlmacro,
         "diff_orders_summary": _q_diff_orders_summary,
         "diff_orders_drilldown": _q_diff_orders_drilldown,
         "diff_orders_decode": _q_diff_orders_decode,
@@ -1180,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "diff_orders": diff_sql,
         "diff_orders_faithful": diff_sql,
+        "diff_orders_sqlmacro": diff_sql,
         "diff_orders_summary": render_summary_sql(
             diff_sql, [c.upper() for c in W.AFTER_COLS]
         ),

@@ -80,6 +80,7 @@ from checkatron_spark.operators.dedup import (
     decontaminate_bloom,
 )
 from checkatron_spark.operators.kmeans import kmeans_assign
+from checkatron_spark.plans.sqlmacro import expand_diff_macros, sql
 from checkatron_spark.sampling import mix_budget_plan, shard_manifest
 from checkatron_spark.functions.text import pii_count, pii_scrub
 from checkatron_spark.operators.rangejoin import (
@@ -126,6 +127,8 @@ __all__ = [
     "assert_unique_keys",
     "bucket_checksums",
     "build_sql",
+    "expand_diff_macros",
+    "sql",
     "connected_components",
     "decode_status",
     "release_scratch",

@@ -1,0 +1,196 @@
+"""``DIFF(...)`` SQL table-macro — the SURVEY §4.2 "optional stretch".
+
+The reference's user-facing surface is a CLI + rendered SQL
+(/root/reference/checkatron/diffgen.py); SURVEY §4.2 notes that a
+``DIFF(...)`` *SQL syntax* would be a nice-to-have beyond parity. Spark's
+parser can only be extended with JVM-side ``ParserInterface`` plugins, so a
+pure-PySpark engine provides the same ergonomics as a MACRO layer:
+:func:`sql` scans the query text for ``DIFF(...)`` table factors
+(quote-aware — a DIFF inside a string literal is untouched), builds each
+one with the REAL diff operator (:func:`checkatron_spark.diff` — the
+single full-outer null-safe join, every option available), registers the
+result as a temp view, and hands the rewritten text to ``spark.sql``.
+Catalyst therefore optimizes the diff TOGETHER with the surrounding query
+(filters over the macro's view push into the diff's join like any other
+subquery).
+
+Grammar (case-insensitive keywords; table refs are identifiers, dotted
+names allowed)::
+
+    DIFF(before_ref, after_ref, KEYS(k1 [, k2 ...])
+         [, BEFORE_WHERE => '<sql predicate>']
+         [, AFTER_WHERE  => '<sql predicate>']
+         [, FAITHFUL] [, PRESENCE_FIX])
+
+Example::
+
+    sql(spark, '''
+        SELECT _row_status, COUNT(*) AS n
+        FROM DIFF(prod.orders_old, prod.orders_new, KEYS(o_orderkey))
+        WHERE _row_status IS NOT NULL
+        GROUP BY _row_status
+    ''')
+
+Reference parity note: the reference has no SQL-function surface — this is
+the one SURVEY §4.2 stretch item, built on the operator the engine already
+verifies; the declared ``diff_orders_sqlmacro`` query grades the macro
+path against the SAME rendered-SQL oracle as ``diff_orders``, so the
+expansion is value-checked end to end, not just parsed.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["sql", "expand_diff_macros"]
+
+_DIFF_HEAD = re.compile(r"\bDIFF\s*\(", re.IGNORECASE)
+_IDENT = re.compile(r"^[A-Za-z_][\w$]*(\.[A-Za-z_][\w$]*)*$")
+
+
+def _scan_string(text: str, i: int) -> int:
+    """Given text[i] == "'", return the index just past the closing quote
+    (SQL '' escapes honored)."""
+    i += 1
+    while i < len(text):
+        if text[i] == "'":
+            if i + 1 < len(text) and text[i + 1] == "'":
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    raise ValueError("unterminated string literal in SQL text")
+
+
+def _find_calls(text: str):
+    """Yield (start, end, inner) spans of top-level DIFF(...) calls,
+    skipping any that sit inside string literals."""
+    spans = []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            i = _scan_string(text, i)
+            continue
+        m = _DIFF_HEAD.match(text, i)
+        # a word boundary before DIFF: not preceded by ident char
+        if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_$")):
+            depth = 1
+            j = m.end()
+            while j < len(text) and depth:
+                if text[j] == "'":
+                    j = _scan_string(text, j)
+                    continue
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError("unbalanced parentheses in DIFF(...)")
+            spans.append((i, j, text[m.end(): j - 1]))
+            i = j
+            continue
+        i += 1
+    return spans
+
+
+def _split_args(inner: str) -> list[str]:
+    """Split on top-level commas, respecting parens and strings."""
+    out, buf, depth, i = [], [], 0, 0
+    while i < len(inner):
+        ch = inner[i]
+        if ch == "'":
+            j = _scan_string(inner, i)
+            buf.append(inner[i:j])
+            i = j
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(buf).strip())
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    if "".join(buf).strip():
+        out.append("".join(buf).strip())
+    return out
+
+
+def _parse_call(inner: str) -> dict:
+    args = _split_args(inner)
+    if len(args) < 3:
+        raise ValueError(
+            "DIFF(...) needs at least (before_ref, after_ref, KEYS(...))"
+        )
+    before_ref, after_ref = args[0], args[1]
+    for ref in (before_ref, after_ref):
+        if not _IDENT.match(ref):
+            raise ValueError(
+                f"DIFF table ref {ref!r} is not an identifier "
+                "(dotted names allowed; register frames as temp views)"
+            )
+    mkeys = re.match(r"(?is)^KEYS\s*\((.*)\)$", args[2].strip())
+    if not mkeys:
+        raise ValueError("DIFF's third argument must be KEYS(k1 [, k2 ...])")
+    keys = [k.strip() for k in mkeys.group(1).split(",") if k.strip()]
+    if not keys or not all(_IDENT.match(k) for k in keys):
+        raise ValueError(f"bad KEYS list in DIFF(...): {mkeys.group(1)!r}")
+    opts: dict = {"keys": keys, "before": before_ref, "after": after_ref}
+    for extra in args[3:]:
+        mkw = re.match(r"(?is)^(BEFORE_WHERE|AFTER_WHERE)\s*=>\s*'(.*)'$",
+                       extra.strip())
+        if mkw:
+            opts[mkw.group(1).lower()] = mkw.group(2).replace("''", "'")
+            continue
+        flag = extra.strip().upper()
+        if flag in ("FAITHFUL", "PRESENCE_FIX"):
+            opts[flag.lower()] = True
+            continue
+        raise ValueError(f"unknown DIFF(...) argument: {extra!r}")
+    return opts
+
+
+def expand_diff_macros(
+    spark: SparkSession, query: str, *, column_case: str = "upper"
+) -> str:
+    """Expand every DIFF(...) call in ``query`` into a registered temp
+    view and return the rewritten SQL. Exposed for inspection/testing;
+    :func:`sql` is the run-it form."""
+    from checkatron_spark.operators.diff import diff
+
+    spans = _find_calls(query)
+    out, last = [], 0
+    for n, (start, end, inner) in enumerate(spans):
+        o = _parse_call(inner)
+        d = diff(
+            spark.table(o["before"]),
+            spark.table(o["after"]),
+            o["keys"],
+            before_where=o.get("before_where"),
+            after_where=o.get("after_where"),
+            faithful=o.get("faithful", False),
+            presence_fix=o.get("presence_fix", False),
+            column_case=column_case,
+        )
+        view = f"__diff_macro_{n}"
+        d.createOrReplaceTempView(view)
+        out.append(query[last:start])
+        out.append(view)
+        last = end
+    out.append(query[last:])
+    return "".join(out)
+
+
+def sql(
+    spark: SparkSession, query: str, *, column_case: str = "upper"
+) -> DataFrame:
+    """``spark.sql`` with the ``DIFF(...)`` table macro (module docstring
+    for the grammar). Queries without a DIFF call pass through verbatim."""
+    return spark.sql(expand_diff_macros(spark, query, column_case=column_case))

@@ -1,0 +1,110 @@
+"""DIFF(...) SQL table-macro (plans/sqlmacro.py — the SURVEY §4.2
+optional-stretch surface). The declared diff_orders_sqlmacro query grades
+the macro against the rendered-SQL oracle; these tests pin the parser
+(quote-awareness, options, error shapes) and the composition semantics
+(the expanded view optimizes WITH the outer query)."""
+
+from __future__ import annotations
+
+import pytest
+
+from checkatron_spark.plans.sqlmacro import (
+    _find_calls,
+    _parse_call,
+    expand_diff_macros,
+    sql,
+)
+
+
+def _views(spark):
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["k", "v", "amt"],
+    ).createOrReplaceTempView("m_before")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)],
+        ["k", "v", "amt"],
+    ).createOrReplaceTempView("m_after")
+
+
+def test_macro_matches_operator_output(spark):
+    from checkatron_spark.operators.diff import diff
+
+    _views(spark)
+
+    def norm(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((x is None, str(x)) for x in t),
+        )
+
+    got = norm(
+        sql(spark, "SELECT * FROM DIFF(m_before, m_after, KEYS(k))")
+    )
+    want = norm(
+        diff(spark.table("m_before"), spark.table("m_after"), ["k"])
+    )
+    assert got == want and len(got) == 4
+
+
+def test_macro_composes_with_outer_sql(spark):
+    _views(spark)
+    rows = sql(
+        spark,
+        "SELECT _row_status, COUNT(*) AS n "
+        "FROM DIFF(m_before, m_after, KEYS(k)) "
+        "WHERE _row_status IS NOT NULL GROUP BY _row_status ORDER BY 1",
+    ).collect()
+    # key 4 only-after -> MISSING_IN_BEFORE (4); key 3 only-before -> 5
+    assert [(r["_row_status"], r["n"]) for r in rows] == [(4, 1), (5, 1)]
+
+
+def test_macro_options_and_two_calls(spark):
+    _views(spark)
+    out = sql(
+        spark,
+        "SELECT a._row_status AS sa, b._row_status AS sb "
+        "FROM DIFF(m_before, m_after, KEYS(k), BEFORE_WHERE => 'k <> 3') a "
+        "JOIN DIFF(m_before, m_after, KEYS(k), FAITHFUL) b "
+        "ON a.K_K = b.K_K WHERE a.K_K = 4",
+    ).collect()
+    # key 4 exists only in the after side -> MISSING_IN_BEFORE (4) under
+    # both the default single-join and the FAITHFUL 3-CTE expansion
+    assert [(r["sa"], r["sb"]) for r in out] == [(4, 4)]
+
+
+def test_macro_ignores_diff_inside_string_literals(spark):
+    _views(spark)
+    rows = sql(
+        spark,
+        "SELECT 'use DIFF(a, b, KEYS(k)) here' AS hint, COUNT(*) AS n "
+        "FROM DIFF(m_before, m_after, KEYS(k)) GROUP BY 1",
+    ).collect()
+    assert rows[0]["n"] == 4 and "DIFF(a, b" in rows[0]["hint"]
+
+
+def test_macro_passthrough_without_diff(spark):
+    assert sql(spark, "SELECT 1 AS one").collect()[0]["one"] == 1
+    # and the expansion is the identity on such queries
+    assert expand_diff_macros(spark, "SELECT 1") == "SELECT 1"
+
+
+def test_macro_parser_errors(spark):
+    _views(spark)
+    with pytest.raises(ValueError, match="KEYS"):
+        sql(spark, "SELECT * FROM DIFF(m_before, m_after)")
+    with pytest.raises(ValueError, match="identifier"):
+        sql(spark, "SELECT * FROM DIFF('lit', m_after, KEYS(k))")
+    with pytest.raises(ValueError, match="unknown DIFF"):
+        sql(spark, "SELECT * FROM DIFF(m_before, m_after, KEYS(k), BOGUS)")
+    with pytest.raises(ValueError, match="unbalanced"):
+        sql(spark, "SELECT * FROM DIFF(m_before, m_after, KEYS(k)")
+
+
+def test_macro_scanner_spans():
+    spans = _find_calls(
+        "SELECT * FROM DIFF(a, b, KEYS(k)) x, 'DIFF(nope)' y"
+    )
+    assert len(spans) == 1 and spans[0][2] == "a, b, KEYS(k)"
+    o = _parse_call("s.t1, s.t2, KEYS(k1, k2), AFTER_WHERE => 'v = ''x'''")
+    assert o["keys"] == ["k1", "k2"] and o["after_where"] == "v = 'x'"
