@@ -1017,16 +1017,28 @@ def _round_no(fname: str) -> int:
 # K SCALES WITH THE CONTRACT (round 11, VERDICT r10 #6): the original fixed
 # K=10 was computed at 75 pruned queries and would silently degrade as the
 # contract grows — max(10, ceil(fresh/8)) bounds every query's grade age at
-# ceil(fresh/K)+1 <= 9 rounds AT ANY CONTRACT SIZE (pinned by the
-# rotation-simulation test in tests/test_entry_contract.py).
+# ceil(fresh/K)+1 <= 9 rounds while the picks still FIT the 50-slot driver
+# window. That window is the binding constraint (review r11): picks beyond
+# it are never graded, so K is CAPPED at the slot budget the window can
+# realistically give rotation (50 minus the ~13 fronted queries minus
+# headroom for never-checked/stale re-grades, which rightfully outrank
+# rotation). Consequence, stated honestly: the <= 9-round bound holds up to
+# fresh = 8 x 30 = 240 fresh greens (the current contract is ~200); past
+# that the bound grows as ceil(fresh/30)+1 — the window size, not this
+# quota, is then what must scale. Pinned (including the window truncation)
+# by the rotation-simulation test in tests/test_entry_contract.py.
 _ROTATE_K_FLOOR = 10
 _ROTATE_AGE_ROUNDS = 8
+_ROTATE_WINDOW_BUDGET = 30
 
 
 def _rotate_k(n_fresh: int) -> int:
     import math
 
-    return max(_ROTATE_K_FLOOR, math.ceil(n_fresh / _ROTATE_AGE_ROUNDS))
+    return min(
+        max(_ROTATE_K_FLOOR, math.ceil(n_fresh / _ROTATE_AGE_ROUNDS)),
+        _ROTATE_WINDOW_BUDGET,
+    )
 
 
 def _rotation_picks(

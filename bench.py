@@ -231,10 +231,16 @@ def main() -> None:
         # over-round delta is attributable to code vs local[32] noise.
         # Per-query spreads live in the side file — the stdout JSON line
         # must stay under the driver's bounded tail (round-1 lesson).
+        # "spread" stays min-of-3-comparable across rounds: it is computed
+        # over the FIRST 3 runs only (extra escalation runs can only widen
+        # max-min, which would inflate spread_total exactly on the noisy
+        # queries the escalation targets — review r11); the full run list
+        # including escalations is recorded alongside
         detail[name] = {
             "runs": [round(r, 3) for r in runs],
             "min": timings[name],
-            "spread": round(max(runs) - min(runs), 3),
+            "spread": round(max(runs[:3]) - min(runs[:3]), 3),
+            "escalated": len(runs) > 3,
         }
         total += timings[name]
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)

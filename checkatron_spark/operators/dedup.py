@@ -1094,7 +1094,7 @@ def dedup_corpus_staged(
     (canonical_cols..., content fp) — before the exact collapse. Output
     is STILL provably unchanged: the global min-id of an exact-dup class
     is the min of its own canonical subgroup, so it survives stage 0 and
-    stage 1 re-elects exactly it (pinned in tests/test_dedup.py; the
+    stage 1 re-elects exactly it (pinned in tests/test_corpus.py; the
     declared query runs all three stages against the unstaged oracle).
     What stage 0 buys at 100 TB is the cheapest possible first cut — a
     groupBy on (key, fp) with map-side combine, before even the exact
@@ -1149,7 +1149,7 @@ def dedup_canonical(
     stage ahead of the exact collapse provably changes nothing: the
     global min-id of an exact-dup class is also the min of its own
     canonical subgroup, hence survives this stage and is re-elected by
-    the next (pinned in tests/test_dedup.py)."""
+    the next (pinned in tests/test_corpus.py)."""
     fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
     keep = (
         docs.select(

@@ -64,15 +64,46 @@ def _scan_string(text: str, i: int) -> int:
     raise ValueError("unterminated string literal in SQL text")
 
 
+def _skip_inert(text: str, i: int) -> int:
+    """If text[i] opens a region the macro scanner must not look inside —
+    a single-/double-quoted string, a backtick identifier, a ``--`` line
+    comment, or a ``/* */`` block comment — return the index just past
+    it; else return i. (Review r11: the first cut lexed only
+    single-quoted strings, so an apostrophe in a comment crashed the
+    scanner and a DIFF inside a comment or double-quoted literal was
+    expanded.)"""
+    ch = text[i]
+    if ch == "'":
+        return _scan_string(text, i)
+    if ch in ('"', "`"):
+        j = text.find(ch, i + 1)
+        # doubled-quote escapes ("" / ``) inside quoted identifiers
+        while j != -1 and j + 1 < len(text) and text[j + 1] == ch:
+            j = text.find(ch, j + 2)
+        if j == -1:
+            raise ValueError(f"unterminated {ch}-quoted section in SQL text")
+        return j + 1
+    if ch == "-" and text[i:i + 2] == "--":
+        j = text.find("\n", i)
+        return len(text) if j == -1 else j + 1
+    if ch == "/" and text[i:i + 2] == "/*":
+        j = text.find("*/", i + 2)
+        if j == -1:
+            raise ValueError("unterminated /* */ comment in SQL text")
+        return j + 2
+    return i
+
+
 def _find_calls(text: str):
     """Yield (start, end, inner) spans of top-level DIFF(...) calls,
-    skipping any that sit inside string literals."""
+    skipping any that sit inside string literals, quoted identifiers, or
+    comments."""
     spans = []
     i = 0
     while i < len(text):
-        ch = text[i]
-        if ch == "'":
-            i = _scan_string(text, i)
+        j = _skip_inert(text, i)
+        if j != i:
+            i = j
             continue
         m = _DIFF_HEAD.match(text, i)
         # a word boundary before DIFF: not preceded by ident char
@@ -80,8 +111,9 @@ def _find_calls(text: str):
             depth = 1
             j = m.end()
             while j < len(text) and depth:
-                if text[j] == "'":
-                    j = _scan_string(text, j)
+                j2 = _skip_inert(text, j)
+                if j2 != j:
+                    j = j2
                     continue
                 if text[j] == "(":
                     depth += 1
@@ -102,8 +134,8 @@ def _split_args(inner: str) -> list[str]:
     out, buf, depth, i = [], [], 0, 0
     while i < len(inner):
         ch = inner[i]
-        if ch == "'":
-            j = _scan_string(inner, i)
+        j = _skip_inert(inner, i)
+        if j != i:
             buf.append(inner[i:j])
             i = j
             continue

@@ -101,6 +101,33 @@ def test_macro_parser_errors(spark):
         sql(spark, "SELECT * FROM DIFF(m_before, m_after, KEYS(k)")
 
 
+def test_macro_scanner_skips_comments_and_double_quotes(spark):
+    """Review r11: the scanner must lex SQL comments and double-/backtick-
+    quoted sections, not just single-quoted strings — an apostrophe in a
+    comment crashed the first cut, and a DIFF inside a comment or quoted
+    literal was expanded."""
+    # apostrophe inside a line comment: valid SQL, must not crash
+    assert sql(spark, "SELECT 1 AS one -- don't do it").collect()[0][
+        "one"
+    ] == 1
+    # DIFF inside a line comment / block comment / double-quoted literal
+    # must NOT expand (expansion would fail on spark.table('a'))
+    q1 = "SELECT 1 AS one -- DIFF(a, b, KEYS(k))"
+    assert expand_diff_macros(spark, q1) == q1
+    q2 = "SELECT 1 AS one /* DIFF(a, b, KEYS(k)) */"
+    assert expand_diff_macros(spark, q2) == q2
+    q3 = 'SELECT "DIFF(a, b, KEYS(k))" FROM t'
+    assert expand_diff_macros(spark, q3) == q3
+    # and a real call AFTER a comment still expands
+    _views(spark)
+    rows = sql(
+        spark,
+        "-- compare the two snapshots, don't trust either\n"
+        "SELECT COUNT(*) AS n FROM DIFF(m_before, m_after, KEYS(k))",
+    ).collect()
+    assert rows[0]["n"] == 4
+
+
 def test_macro_scanner_spans():
     spans = _find_calls(
         "SELECT * FROM DIFF(a, b, KEYS(k)) x, 'DIFF(nope)' y"

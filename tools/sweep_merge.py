@@ -33,34 +33,37 @@ def merge(texts: list[str]):
     failing: list[str] = []
     for text in texts:
         cur_name, cur_lines, summed = None, [], False
+
+        def close():
+            nonlocal cur_name, cur_lines
+            if cur_name is not None:
+                # rstrip: the pre-summary blank separator is cosmetic, but
+                # interior blank lines (Spark exception text in a FAIL
+                # diagnostic routinely contains them — review r11) belong
+                # to the record and are preserved
+                records.append((cur_name, "\n".join(cur_lines).rstrip()))
+            cur_name, cur_lines = None, []
+
         for line in text.splitlines():
             m = _REC.match(line)
             s = _SUM.match(line.strip())
             if m:
-                if cur_name is not None:
-                    records.append((cur_name, "\n".join(cur_lines)))
+                close()
                 cur_name, cur_lines = m.group(2), [line]
             elif s:
-                if cur_name is not None:
-                    records.append((cur_name, "\n".join(cur_lines)))
-                    cur_name, cur_lines = None, []
+                close()
                 passed += int(s.group(1))
                 total += int(s.group(2))
                 summed = True
             elif line.startswith("failing:"):
+                close()
                 failing += [
                     x.strip() for x in line[len("failing:"):].split(",")
                     if x.strip()
                 ]
-            elif not line.strip():
-                # blank line (the pre-summary separator) ends any record
-                if cur_name is not None:
-                    records.append((cur_name, "\n".join(cur_lines)))
-                    cur_name, cur_lines = None, []
             elif cur_name is not None:
-                cur_lines.append(line)  # FAIL detail lines
-        if cur_name is not None:
-            records.append((cur_name, "\n".join(cur_lines)))
+                cur_lines.append(line)  # FAIL detail lines, blanks included
+        close()
         if not summed:
             raise SystemExit(
                 "a shard output has no 'X/Y passed' summary — the worker "

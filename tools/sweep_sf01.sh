@@ -44,4 +44,13 @@ for p in $pids; do
     wait "$p" || rc=1
 done
 python tools/sweep_merge.py "$tmp"/shard*.txt || rc=1
+# on ANY failure, surface the per-shard stderr tails BEFORE the trap
+# removes $tmp — a crashed worker's traceback lives only there
+# (review r11: the first cut deleted the evidence it told you to read)
+if [ "$rc" -ne 0 ]; then
+    for err in "$tmp"/shard*.err; do
+        echo "=== $(basename "$err") (last 40 lines) ===" >&2
+        tail -40 "$err" >&2
+    done
+fi
 exit $rc
