@@ -214,12 +214,15 @@ def main() -> None:
             dt = time.perf_counter() - t0
             runs.append(dt)
             best = dt if best is None else min(best, dt)
-        # round 11 (VERDICT r10 #1): a min-of-3 spread past 20% of min
-        # means the 3 runs haven't settled (JIT tail / scheduler
-        # contention) — take 2 extra runs so the recorded min is a real
-        # floor, not the luckiest of a noisy trio. min-of-5 <= min-of-3,
-        # so round-over-round comparability still holds.
-        if (max(runs) - best) > SPREAD_FRAC_FOR_EXTRA_RUNS * best:
+        # round 11 (VERDICT r10 #1): when the runs haven't settled, take 2
+        # extra so the recorded min is a real floor, not the luckiest of a
+        # noisy trio (min-of-5 <= min-of-3, so round-over-round
+        # comparability of the min holds). The trigger looks at runs 2-3
+        # ONLY: run 1 always carries plan-construction/JIT overhead, so a
+        # full-3 spread exceeds 20% on ~96% of queries (measured) and
+        # would degenerate the rule to min-of-5 everywhere; two post-warm
+        # runs disagreeing by >20% of min is the actual noise signal.
+        if (max(runs[1:]) - min(runs[1:])) > SPREAD_FRAC_FOR_EXTRA_RUNS * best:
             for _ in range(2):
                 t0 = time.perf_counter()
                 _force(qs[name](spark, SF_DIR))
