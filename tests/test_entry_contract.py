@@ -444,6 +444,57 @@ def test_sweep_merge_reassembles_sharded_output():
     )
 
 
+def test_sweep_merge_property_shard_invariance():
+    """Property: for any record multiset and any partition of it into
+    shards, merge() returns the same sorted records and summed counts —
+    the guarantee that lets the sharded sweep claim byte-determinism."""
+    import importlib.util
+    import random
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "sweep_merge_p", repo / "tools" / "sweep_merge.py"
+    )
+    sm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sm)
+
+    rng = random.Random(1107)
+    for trial in range(30):
+        n = rng.randint(1, 24)
+        recs = []
+        for i in range(n):
+            name = f"q{rng.randint(0, 999):03d}_{i}"
+            if rng.random() < 0.25:
+                recs.append((name, False,
+                             f"FAIL  {name}: boom\n  detail {i}\n\n  more"))
+            else:
+                recs.append((name, True, f"OK    {name}: {i} rows [0.1s]"))
+        k = rng.randint(1, 4)
+        shards = [[] for _ in range(k)]
+        for r in recs:
+            shards[rng.randrange(k)].append(r)
+        texts = []
+        for srecs in shards:
+            ok = sum(1 for _, good, _ in srecs if good)
+            body = "\n".join(t for _, _, t in srecs)
+            fails = [nm for nm, good, _ in srecs if not good]
+            tail = f"\n\n{ok}/{len(srecs)} passed\n"
+            if fails:
+                tail += "failing: " + ", ".join(fails) + "\n"
+            texts.append(body + tail)
+        merged, passed, total, failing = sm.merge(texts)
+        assert [nm for nm, _ in merged] == sorted(r[0] for r in recs)
+        assert total == n and passed == sum(1 for _, g, _ in recs if g)
+        assert failing == sorted(nm for nm, g, _ in recs if not g)
+        # interior FAIL detail lines survive (blank line inside record)
+        for nm, good, _ in recs:
+            if not good:
+                assert "  more" in dict(merged)[nm]
+        # shard order must not matter
+        assert sm.merge(list(reversed(texts)))[0] == merged
+
+
 def test_latest_sweep_covers_current_contract():
     """VERDICT r6 item 6: the sf0.1 full-contract sweep is the honesty
     gate over the driver's 50-query window, and it must stay mechanical —

@@ -128,6 +128,43 @@ def test_macro_scanner_skips_comments_and_double_quotes(spark):
     assert rows[0]["n"] == 4
 
 
+def test_macro_scanner_property_inert_regions():
+    """Property: wherever a DIFF(...) call is embedded inside an inert
+    region (string / double-quoted / backtick / line comment / block
+    comment), _find_calls must not see it; outside one, it must. Built
+    from composed random fragments so region boundaries land in varied
+    adjacency (comment before string, string before call, etc.)."""
+    import random
+
+    rng = random.Random(1106)
+    call = "DIFF(tab_a, tab_b, KEYS(k))"
+    inert_wrappers = [
+        lambda c: f"'{c}'",
+        lambda c: f'"{c}"',
+        lambda c: f"`{c}`",
+        lambda c: f"-- {c}\n",
+        lambda c: f"/* {c} */",
+    ]
+    filler = ["SELECT x", "FROM t", "WHERE a = 'it''s'", "-- note\n",
+              "/* multi\nline */", "'str -- not comment'", '"dq (x"']
+    for trial in range(60):
+        parts, expect = [], 0
+        for _ in range(rng.randint(2, 8)):
+            roll = rng.random()
+            if roll < 0.25:
+                parts.append(rng.choice(inert_wrappers)(call))
+            elif roll < 0.45:
+                parts.append(call)
+                expect += 1
+            else:
+                parts.append(rng.choice(filler))
+        text = " ".join(parts)
+        spans = _find_calls(text)
+        assert len(spans) == expect, (trial, text)
+        # every reported span really is the call's argument list
+        assert all(s[2].strip() == "tab_a, tab_b, KEYS(k)" for s in spans)
+
+
 def test_macro_scanner_spans():
     spans = _find_calls(
         "SELECT * FROM DIFF(a, b, KEYS(k)) x, 'DIFF(nope)' y"
