@@ -82,7 +82,7 @@ from checkatron_spark.operators.dedup import (
 from checkatron_spark.operators.kmeans import kmeans_assign
 from checkatron_spark.plans.sqlmacro import expand_diff_macros, sql
 from checkatron_spark.sampling import mix_budget_plan, shard_manifest
-from checkatron_spark.functions.text import pii_count, pii_scrub
+from checkatron_spark.functions.text import canonical_url, pii_count, pii_scrub
 from checkatron_spark.operators.rangejoin import (
     interval_overlap_join,
     range_join_binned,
@@ -150,6 +150,7 @@ __all__ = [
     "strip_boilerplate",
     "repetition_profile",
     "vocab_coverage",
+    "canonical_url",
     "pii_count",
     "pii_scrub",
     "diff",

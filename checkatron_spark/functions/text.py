@@ -20,6 +20,7 @@ __all__ = [
     "tokens",
     "token_count",
     "word_token_count",
+    "canonical_url",
     "stopword_ratio",
     "punct_ratio",
     "quality_score",
@@ -79,6 +80,49 @@ def word_token_count(col: Column) -> Column:
     return F.regexp_count(
         col, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\r\f]")
     )
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical URL key for recrawl dedup — the production form of the
+    canonical identity :func:`checkatron_spark.dedup_canonical` groups on
+    (the fixtures carry ``source`` instead of a url column, so the
+    declared query uses that; this function is the drop-in key when a
+    real crawl table has one). CCNet/RefinedWeb-style normalization:
+
+    - scheme and host lowercased; the port is DROPPED (Spark's
+      ``try_parse_url(..., 'HOST')`` excludes it — ``:80`` vs ``:8080``
+      variants of one host collapse, the usual crawl-frontier choice);
+    - fragment dropped; trailing slash runs stripped from the path;
+    - tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``,
+      ``ref``) and the SURVIVING query params sorted, so param-order
+      permutations collapse;
+    - NULL/unparseable (no scheme or host) -> NULL, so a groupBy key of
+      NULL urls stays one explicit group.
+
+    Pure JVM expressions. The param filter/sort are higher-order lambdas
+    (interpreted per element) over the QUERY-STRING params only — a
+    handful of elements per row, not a per-token hot path, so the
+    arrow-kernel rule doesn't bite."""
+    proto = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
+    path = F.regexp_replace(
+        F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit("")),
+        "/+$", "",
+    )
+    q = F.coalesce(F.try_parse_url(col, F.lit("QUERY")), F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda p: (p != "")
+            & ~p.rlike("^(utm_[^=]*|gclid|fbclid|ref)(=|$)"),
+        )
+    )
+    qs = F.array_join(params, "&")
+    out = F.concat(
+        proto, F.lit("://"), host, path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when(proto.isNull() | host.isNull(), F.lit(None)).otherwise(out)
 
 
 def stopword_ratio(col: Column) -> Column:

@@ -1132,7 +1132,10 @@ def dedup_canonical(
     web-corpus order (CCNet/RefinedWeb: canonical-key dedup BEFORE text
     near-dup; VERDICT r10 #8): group documents by their canonical
     identity — the ``key_cols`` (URL/source/shard in production; the
-    fixtures carry ``source``) plus the md5 content fingerprint — and
+    fixtures carry ``source``, and
+    :func:`checkatron_spark.functions.text.canonical_url` supplies the
+    normalized key when a real crawl table has a url column) plus the
+    md5 content fingerprint — and
     keep the minimum-id representative of each group. Two crawls of the
     same source page collapse here for the price of one hash groupBy,
     BEFORE any shingling exists; the same text mirrored across DIFFERENT

@@ -894,3 +894,34 @@ def test_exotic_whitespace_parity_spark_vs_oracle(spark, duck, tmp_path):
         )
         assert got == want, (qfn.__name__, got[:4], want[:4])
     assert len(got) >= 1  # the pair query emitted real rows, not vacuous
+
+
+def test_canonical_url_normalizes_recrawl_variants(spark):
+    """Round 11: the production canonical key for dedup_canonical —
+    scheme/host case, tracking params, param order, trailing slash, and
+    fragments all collapse; distinct content locations stay distinct;
+    unparseable urls go to the explicit NULL group."""
+    from checkatron_spark import canonical_url
+
+    rows = [
+        (1, "HTTP://Example.COM/a/b/?utm_source=x&b=2&a=1#frag"),
+        (2, "http://example.com/a/b?a=1&b=2"),          # same canonical
+        (3, "http://example.com/a/b?a=1&b=2&gclid=zz"),  # same canonical
+        (4, "http://example.com/a/b?a=1&b=3"),           # DIFFERENT param
+        (5, "https://example.com/a/b?a=1&b=2"),          # different scheme
+        (6, "https://Example.com/"),
+        (7, "https://example.com"),                      # same as 6
+        (8, "not a url at all"),                         # -> NULL
+        (9, None),                                        # -> NULL
+        (10, "http://example.com/x?utm_campaign=only"),   # tracking-only qs
+        (11, "http://example.com/x"),                     # same as 10
+    ]
+    df = spark.createDataFrame(rows, ["i", "u"])
+    got = {r["i"]: r["c"] for r in df.select(
+        "i", canonical_url(df["u"]).alias("c")).collect()}
+    assert got[1] == got[2] == got[3] == "http://example.com/a/b?a=1&b=2"
+    assert got[4] == "http://example.com/a/b?a=1&b=3" != got[2]
+    assert got[5].startswith("https://") and got[5] != got[2]
+    assert got[6] == got[7] == "https://example.com"
+    assert got[8] is None and got[9] is None
+    assert got[10] == got[11] == "http://example.com/x"
