@@ -1725,8 +1725,11 @@ def ccnet_ppl_buckets_sql() -> str:
     return f"""
 WITH base AS (SELECT doc_id, mean_band FROM ({LM_BIGRAM_SQL}) s),
 scored AS (
+    -- LEFT mirrors the engine's keep-missing-docs join (ADVICE r11): a doc
+    -- absent from the lang map stays scored with a NULL lang and the
+    -- NULL-lang tercile group below, exactly like ccnet_ppl_buckets
     SELECT b.doc_id, b.mean_band, d.lang
-    FROM base b JOIN documents d USING (doc_id)
+    FROM base b LEFT JOIN documents d USING (doc_id)
 ),
 thr AS (
     SELECT lang, quantile_disc(mean_band, 1.0/3.0) AS t1,

@@ -82,7 +82,16 @@ def word_token_count(col: Column) -> Column:
     )
 
 
-def canonical_url(col: Column) -> Column:
+# Default query params stripped by canonical_url. 'ref' is included for the
+# crawl-dedup default (referrer tags are the single most common alias source
+# after utm_*), but it IS content-addressing on some sites (?ref=branch on
+# code forges) — callers on such crawls pass their own list (ADVICE r11).
+TRACKING_PARAMS: tuple[str, ...] = ("utm_[^=]*", "gclid", "fbclid", "ref")
+
+
+def canonical_url(
+    col: Column, tracking_params: tuple[str, ...] = TRACKING_PARAMS
+) -> Column:
     """Canonical URL key for recrawl dedup — the production form of the
     canonical identity :func:`checkatron_spark.dedup_canonical` groups on
     (the fixtures carry ``source`` instead of a url column, so the
@@ -93,9 +102,11 @@ def canonical_url(col: Column) -> Column:
       ``try_parse_url(..., 'HOST')`` excludes it — ``:80`` vs ``:8080``
       variants of one host collapse, the usual crawl-frontier choice);
     - fragment dropped; trailing slash runs stripped from the path;
-    - tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``,
-      ``ref``) and the SURVIVING query params sorted, so param-order
-      permutations collapse;
+    - tracking parameters removed (``tracking_params`` — regex name
+      alternatives, default :data:`TRACKING_PARAMS`; tune per crawl when
+      a param like ``ref`` is content-addressing on the target sites)
+      and the SURVIVING query params sorted, so param-order permutations
+      collapse;
     - NULL/unparseable (no scheme or host) -> NULL, so a groupBy key of
       NULL urls stays one explicit group.
 
@@ -110,11 +121,11 @@ def canonical_url(col: Column) -> Column:
         "/+$", "",
     )
     q = F.coalesce(F.try_parse_url(col, F.lit("QUERY")), F.lit(""))
+    strip_re = "^(" + "|".join(tracking_params) + ")(=|$)"
     params = F.array_sort(
         F.filter(
             F.split(q, "&"),
-            lambda p: (p != "")
-            & ~p.rlike("^(utm_[^=]*|gclid|fbclid|ref)(=|$)"),
+            lambda p: (p != "") & ~p.rlike(strip_re),
         )
     )
     qs = F.array_join(params, "&")

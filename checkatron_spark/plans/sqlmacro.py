@@ -106,8 +106,18 @@ def _find_calls(text: str):
             i = j
             continue
         m = _DIFF_HEAD.match(text, i)
-        # a word boundary before DIFF: not preceded by ident char
-        if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_$")):
+        # a word boundary before DIFF: not preceded by an identifier char,
+        # and not a qualified reference like catalog.DIFF(...) — a dotted
+        # name is the user's own function/table in some namespace, which
+        # Spark's resolver must handle (ADVICE r11: rewriting it produced
+        # invalid `catalog.__diff_macro_N` SQL instead of a clear error)
+        prev_non_space = next(
+            (text[p] for p in range(i - 1, -1, -1) if not text[p].isspace()),
+            "",
+        )
+        if m and (
+            i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_$")
+        ) and prev_non_space != ".":
             depth = 1
             j = m.end()
             while j < len(text) and depth:
@@ -189,17 +199,24 @@ def _parse_call(inner: str) -> dict:
     return opts
 
 
-def expand_diff_macros(
+# Monotonic per-process id for macro view names (ADVICE r11): fixed
+# __diff_macro_0/1/... names collided across interleaved sql() calls on one
+# session and could clobber a user view of the same name. The counter makes
+# every expansion's views unique for the session's lifetime; :func:`sql`
+# additionally DROPS its views right after analysis so nothing leaks into
+# the catalog.
+_VIEW_SEQ = [0]
+
+
+def _expand(
     spark: SparkSession, query: str, *, column_case: str = "upper"
-) -> str:
-    """Expand every DIFF(...) call in ``query`` into a registered temp
-    view and return the rewritten SQL. Exposed for inspection/testing;
-    :func:`sql` is the run-it form."""
+) -> tuple[str, list[str]]:
+    """Rewrite + register; returns (rewritten_sql, registered_view_names)."""
     from checkatron_spark.operators.diff import diff
 
     spans = _find_calls(query)
-    out, last = [], 0
-    for n, (start, end, inner) in enumerate(spans):
+    out, last, views = [], 0, []
+    for start, end, inner in spans:
         o = _parse_call(inner)
         d = diff(
             spark.table(o["before"]),
@@ -211,18 +228,39 @@ def expand_diff_macros(
             presence_fix=o.get("presence_fix", False),
             column_case=column_case,
         )
-        view = f"__diff_macro_{n}"
+        view = f"__diff_macro_{_VIEW_SEQ[0]}"
+        _VIEW_SEQ[0] += 1
         d.createOrReplaceTempView(view)
+        views.append(view)
         out.append(query[last:start])
         out.append(view)
         last = end
     out.append(query[last:])
-    return "".join(out)
+    return "".join(out), views
+
+
+def expand_diff_macros(
+    spark: SparkSession, query: str, *, column_case: str = "upper"
+) -> str:
+    """Expand every DIFF(...) call in ``query`` into a registered temp
+    view and return the rewritten SQL. Exposed for inspection/testing —
+    the views STAY registered (the caller runs the rewritten text later);
+    :func:`sql` is the run-it form and cleans its views up itself."""
+    return _expand(spark, query, column_case=column_case)[0]
 
 
 def sql(
     spark: SparkSession, query: str, *, column_case: str = "upper"
 ) -> DataFrame:
     """``spark.sql`` with the ``DIFF(...)`` table macro (module docstring
-    for the grammar). Queries without a DIFF call pass through verbatim."""
-    return spark.sql(expand_diff_macros(spark, query, column_case=column_case))
+    for the grammar). Queries without a DIFF call pass through verbatim.
+
+    The macro temp views are dropped right after ``spark.sql`` returns:
+    analysis is eager, so the returned DataFrame's resolved plan no longer
+    needs the catalog entries — nothing leaks into the session."""
+    rewritten, views = _expand(spark, query, column_case=column_case)
+    try:
+        return spark.sql(rewritten)
+    finally:
+        for v in views:
+            spark.catalog.dropTempView(v)

@@ -219,6 +219,23 @@ WHERE rnk <= {k}
 """
 
 
+def _dedup_profiles(profiles: dict[str, tuple]) -> dict[str, tuple]:
+    """Validate + canonicalize query profiles (ADVICE r11): a term listed
+    twice inside one profile would emit duplicate (query_id, token) qmap
+    rows and silently DOUBLE-COUNT that term's score; empty profiles made
+    ``isin(*[])`` raise a confusing TypeError. Terms de-duplicate per
+    profile (sorted, so qmap row order is deterministic); empty input is
+    a clear ValueError."""
+    if not profiles:
+        raise ValueError("bm25_multiquery: profiles must be non-empty")
+    out = {q: tuple(sorted(set(ts))) for q, ts in profiles.items()}
+    if not any(out.values()):
+        raise ValueError(
+            "bm25_multiquery: every profile has an empty term set"
+        )
+    return out
+
+
 def bm25_multiquery(
     docs: DataFrame,
     profiles: dict[str, tuple] = None,
@@ -254,6 +271,7 @@ def bm25_multiquery(
         profiles = BM25_QUERY_PROFILES
     from pyspark.sql import Window
 
+    profiles = _dedup_profiles(profiles)
     all_terms = sorted({t for ts in profiles.values() for t in ts})
     toks = _tokens(F.col(text_col))
     base = docs.select(
@@ -318,6 +336,7 @@ def bm25_multiquery_sql(
 ) -> str:
     if profiles is None:
         profiles = BM25_QUERY_PROFILES
+    profiles = _dedup_profiles(profiles)
     all_terms = sorted({t for ts in profiles.values() for t in ts})
     terms = ", ".join(f"'{t}'" for t in all_terms)
     qvals = ", ".join(

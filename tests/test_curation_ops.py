@@ -925,3 +925,29 @@ def test_canonical_url_normalizes_recrawl_variants(spark):
     assert got[6] == got[7] == "https://example.com"
     assert got[8] is None and got[9] is None
     assert got[10] == got[11] == "http://example.com/x"
+
+
+def test_canonical_url_tracking_params_tunable(spark):
+    """ADVICE r11: 'ref' is content-addressing on code forges — a caller
+    can narrow the strip list so ?ref=branch variants stay distinct,
+    while the default still collapses them."""
+    from checkatron_spark import canonical_url
+
+    rows = [
+        (1, "https://forge.example/repo/file?ref=main"),
+        (2, "https://forge.example/repo/file?ref=dev"),
+        (3, "https://forge.example/repo/file?ref=main&utm_source=x"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "u"])
+    default = {r["i"]: r["c"] for r in df.select(
+        "i", canonical_url(df["u"]).alias("c")).collect()}
+    assert default[1] == default[2]  # default strips ref
+    narrowed = {r["i"]: r["c"] for r in df.select(
+        "i",
+        canonical_url(
+            df["u"], tracking_params=("utm_[^=]*", "gclid", "fbclid")
+        ).alias("c"),
+    ).collect()}
+    assert narrowed[1] != narrowed[2]            # branches stay distinct
+    assert narrowed[1] == narrowed[3]            # utm_* still stripped
+    assert narrowed[1].endswith("?ref=main")

@@ -124,6 +124,35 @@ def test_bm25_multiquery_topk_is_global_per_query(spark):
     assert sorted(r["doc_id"] for r in out) == [6, 13, 20]
 
 
+def test_bm25_multiquery_duplicate_terms_and_empty_profiles(spark):
+    """ADVICE r11: a term duplicated inside one profile must not
+    double-count its score (profiles canonicalize to sorted term sets),
+    and empty input raises a clear ValueError instead of a TypeError
+    from isin(*[])."""
+    import pytest
+
+    from checkatron_spark.selection import bm25_multiquery
+
+    docs = spark.createDataFrame(
+        [(1, "join join filler"), (2, "join filler filler")],
+        ["doc_id", "text"],
+    )
+    dup = {r["doc_id"]: r["score_micro"] for r in bm25_multiquery(
+        docs, {"q": ("join", "join")}, k=10).collect()}
+    clean = {r["doc_id"]: r["score_micro"] for r in bm25_multiquery(
+        docs, {"q": ("join",)}, k=10).collect()}
+    assert dup == clean
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_multiquery(docs, {}, k=10)
+    with pytest.raises(ValueError, match="empty term set"):
+        bm25_multiquery(docs, {"q": ()}, k=10)
+    # the SQL twin canonicalizes identically (no duplicate qmap VALUES)
+    from checkatron_spark.selection import bm25_multiquery_sql
+
+    assert bm25_multiquery_sql({"q": ("join", "join")}) == \
+        bm25_multiquery_sql({"q": ("join",)})
+
+
 def test_contamination_frac_verdict_thresholds(spark):
     bench = spark.createDataFrame(
         [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]

@@ -101,6 +101,54 @@ def test_macro_parser_errors(spark):
         sql(spark, "SELECT * FROM DIFF(m_before, m_after, KEYS(k)")
 
 
+def test_macro_skips_qualified_diff_references(spark):
+    """ADVICE r11: catalog.DIFF(...) is a qualified reference to the
+    user's own function/table — the macro must leave it to Spark's
+    resolver (pass-through), not rewrite it into invalid
+    catalog.__diff_macro_N SQL."""
+    q = "SELECT * FROM cat.DIFF(a, b, KEYS(k))"
+    assert expand_diff_macros(spark, q) == q
+    # whitespace between the dot and DIFF is still qualified
+    q2 = "SELECT * FROM cat.  DIFF(a, b, KEYS(k))"
+    assert expand_diff_macros(spark, q2) == q2
+    # but an unqualified call right after a dotted EXPRESSION elsewhere
+    # in the text still expands
+    _views(spark)
+    rows = sql(
+        spark,
+        "SELECT t.k, COUNT(*) AS n "
+        "FROM DIFF(m_before, m_after, KEYS(k)) t GROUP BY t.k",
+    ).collect()
+    assert sum(r["n"] for r in rows) == 4
+
+
+def test_macro_views_unique_and_dropped(spark):
+    """ADVICE r11: sql() drops its macro views after analysis (no catalog
+    leak, no collision with a user view named __diff_macro_0), and
+    repeated calls never reuse a live view name."""
+    _views(spark)
+    before = {t.name for t in spark.catalog.listTables()}
+    df1 = sql(spark, "SELECT COUNT(*) AS n FROM DIFF(m_before, m_after, KEYS(k))")
+    df2 = sql(spark, "SELECT COUNT(*) AS n FROM DIFF(m_before, m_after, KEYS(k))")
+    after = {t.name for t in spark.catalog.listTables()}
+    assert after == before  # nothing leaked
+    # both results still evaluate after their views were dropped
+    assert df1.collect()[0]["n"] == df2.collect()[0]["n"] == 4
+    # expand_diff_macros (inspection form) keeps its views but the names
+    # are unique per expansion — two calls never clobber each other
+    r1 = expand_diff_macros(
+        spark, "SELECT * FROM DIFF(m_before, m_after, KEYS(k))"
+    )
+    r2 = expand_diff_macros(
+        spark, "SELECT * FROM DIFF(m_before, m_after, KEYS(k))"
+    )
+    v1 = r1.split("FROM ")[1].strip()
+    v2 = r2.split("FROM ")[1].strip()
+    assert v1 != v2
+    for v in (v1, v2):
+        spark.catalog.dropTempView(v)
+
+
 def test_macro_scanner_skips_comments_and_double_quotes(spark):
     """Review r11: the scanner must lex SQL comments and double-/backtick-
     quoted sections, not just single-quoted strings — an apostrophe in a
