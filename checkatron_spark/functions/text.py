@@ -202,6 +202,59 @@ def lang_id(col: Column) -> Column:
 
 ROLL_BASE = 31
 ROLL_MOD = (1 << 31) - 1  # Mersenne prime: products stay well under 2^63
+_ROLL_INV = pow(ROLL_BASE, ROLL_MOD - 2, ROLL_MOD)  # modular inverse of 31
+
+# lazily-grown power tables for the numpy kernels: _POW[j] = 31^j mod M,
+# _IPOW[j] = 31^{-j} mod M. Grown per worker process, read-only after.
+_POW_CACHE: dict[str, "object"] = {}
+
+
+def _pow_tables(n: int):
+    """(pow, inv_pow) int64 numpy tables of length >= n+1."""
+    import numpy as np
+
+    tab = _POW_CACHE.get("t")
+    if tab is None or len(tab[0]) <= n:
+        size = max(n + 1, 4096)
+        pw = [1] * size
+        ip = [1] * size
+        for j in range(1, size):
+            pw[j] = (pw[j - 1] * ROLL_BASE) % ROLL_MOD
+            ip[j] = (ip[j - 1] * _ROLL_INV) % ROLL_MOD
+        tab = (np.array(pw, dtype=np.int64), np.array(ip, dtype=np.int64))
+        _POW_CACHE["t"] = tab
+    return tab
+
+
+def _prefix_mod(codes, pows):
+    """Prefix sums of ``codes[i] * pows[i]`` mod ROLL_MOD, vectorized with
+    chunked carries: each term is < 2^21 * 2^31 = 2^52, so a 1024-term
+    cumsum stays < 2^62 (int64-safe); the carry re-enters < 2^31. Returns
+    an int64 array W with W[i] = sum of the first i terms mod M (len+1)."""
+    import numpy as np
+
+    terms = codes * pows
+    n = len(terms)
+    out = np.empty(n + 1, dtype=np.int64)
+    out[0] = 0
+    carry = 0
+    for i in range(0, n, 1024):
+        c = np.cumsum(terms[i : i + 1024]) + carry
+        np.mod(c, ROLL_MOD, out=out[i + 1 : i + 1 + len(c)])
+        carry = int(out[i + len(c)])
+    return out
+
+
+def _poly_hash_one(s: str, np) -> int:
+    """Whole-string polynomial hash, vectorized: equals the per-char fold
+    ``acc = (acc*31 + ord(c)) mod M`` exactly (same polynomial, same mod)."""
+    if not s:
+        return 0
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    pw, _ = _pow_tables(len(s))
+    return int(_prefix_mod(codes, pw[len(s) - 1 :: -1])[-1])
 
 
 def rolling_hash(col: Column) -> Column:
@@ -210,17 +263,19 @@ def rolling_hash(col: Column) -> Column:
 
     Pure integer arithmetic -> exactly reproducible in any engine (the
     DuckDB oracle folds ascii codes with the same recurrence). Arrow-
-    batched pandas UDF: O(n) per document, no Catalyst HOF interpretation.
-    """
+    batched pandas UDF; the per-char Python fold was the slowest
+    per-byte path left (VERDICT r11 #3) — the round-12 kernel is the
+    numpy ord-array + chunked-modular-fold pattern (codepoints via
+    utf-32-le frombuffer, term products < 2^52 so 1024-term cumsums are
+    int64-exact), pinned bit-identical to the fold in
+    tests/test_winnow.py."""
     @F.pandas_udf(LongType())
     def _rh(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            acc = 0
-            for ch in (t or ""):
-                acc = (acc * ROLL_BASE + ord(ch)) % ROLL_MOD
-            out.append(acc)
-        return pd.Series(out, dtype="int64")
+        import numpy as np
+
+        return pd.Series(
+            [_poly_hash_one(t or "", np) for t in texts], dtype="int64"
+        )
 
     return _rh(col)
 
@@ -228,33 +283,39 @@ def rolling_hash(col: Column) -> Column:
 def winnow_min_hash(col: Column, k: int = 16) -> Column:
     """Winnowing-style fingerprint: the MINIMUM rolling hash over all
     k-character grams (the degenerate single-window case of the winnowing
-    scheme — enough to detect shared k-grams across documents). True
-    O(n) rolling update per gram; documents shorter than k fall back to
-    the whole-text hash."""
-    pow_k = pow(ROLL_BASE, k - 1, ROLL_MOD)
+    scheme — enough to detect shared k-grams across documents). Documents
+    shorter than k fall back to the whole-text hash.
+
+    Numpy kernel (round 12): gram hash g_i = (W[i+k] - W[i]) * 31^{-(L-i-k)}
+    mod M, where W is the chunked-modular prefix table over descending
+    powers — every gram hash lands in one vectorized pass, equal to the
+    classic rolling update bit-for-bit (same polynomial mod the same
+    Mersenne prime; products < 2^62 stay int64-exact), then one
+    vectorized min. Pinned against the per-char fold in
+    tests/test_winnow.py."""
 
     @F.pandas_udf(LongType())
     def _wmh(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
         out = []
         for t in texts:
             s = t or ""
-            if len(s) < k:
-                acc = 0
-                for ch in s:
-                    acc = (acc * ROLL_BASE + ord(ch)) % ROLL_MOD
-                out.append(acc)
+            L = len(s)
+            if L < k:
+                out.append(_poly_hash_one(s, np))
                 continue
-            h = 0
-            for ch in s[:k]:
-                h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
-            best = h
-            for i in range(1, len(s) - k + 1):
-                h = (
-                    (h - ord(s[i - 1]) * pow_k) * ROLL_BASE + ord(s[i + k - 1])
-                ) % ROLL_MOD
-                if h < best:
-                    best = h
-            out.append(best)
+            codes = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            pw, ip = _pow_tables(L)
+            W = _prefix_mod(codes, pw[L - 1 :: -1])
+            ng = L - k + 1
+            # (W[i+k] - W[i]) mod M in [0, M); * inv-power product < 2^62
+            d = (W[k : k + ng] - W[:ng]) % ROLL_MOD
+            # inverse powers 31^{-(L-k)} ... 31^{-0}: exactly ng entries
+            g = (d * ip[L - k :: -1]) % ROLL_MOD
+            out.append(int(g.min()))
         return pd.Series(out, dtype="int64")
 
     return _wmh(col)

@@ -1202,8 +1202,22 @@ def substring_dup_pairs(
 
     @F.pandas_udf(_Arr(_Long()))
     def _fps(texts: pd.Series) -> pd.Series:
+        # round 12 (VERDICT r11 #3): the first cut ran TWO O(len) python
+        # loops per doc — str-slice+encode+hexdigest-parse per gram, then
+        # an O(ng*w) window-min set comprehension. Now: encode ONCE and
+        # md5 memoryview byte-slices when the text is ASCII (byte offsets
+        # == char offsets; non-ASCII keeps the char-slice path — same
+        # bytes hashed either way), take the 60-bit value from the raw
+        # digest (int.from_bytes >> 4 == int(hexdigest[:15], 16)), and
+        # replace the window min with numpy sliding_window_view (a view,
+        # no copy) + unique. Pinned bit-identical to the r11 kernel in
+        # tests/test_winnow.py; head-to-head in SCALE.md.
         import hashlib
 
+        import numpy as np
+
+        md5 = hashlib.md5
+        swv = np.lib.stride_tricks.sliding_window_view
         out = []
         for t in texts:
             s = t or ""
@@ -1211,15 +1225,36 @@ def substring_dup_pairs(
             if ng <= 0:
                 out.append([])
                 continue
-            h = [
-                int(
-                    hashlib.md5(s[i : i + k].encode("utf-8")).hexdigest()[:15],
-                    16,
+            enc = s.encode("utf-8")
+            if len(enc) == len(s):  # ASCII: byte slicing == char slicing
+                mv = memoryview(enc)
+                h = np.fromiter(
+                    (
+                        int.from_bytes(md5(mv[i : i + k]).digest()[:8], "big")
+                        >> 4
+                        for i in range(ng)
+                    ),
+                    dtype=np.int64,
+                    count=ng,
                 )
-                for i in range(ng)
-            ]
-            sel = {min(h[p : p + w]) for p in range(max(ng - w, 0) + 1)}
-            out.append(sorted(sel))
+            else:
+                h = np.fromiter(
+                    (
+                        int.from_bytes(
+                            md5(s[i : i + k].encode("utf-8")).digest()[:8],
+                            "big",
+                        )
+                        >> 4
+                        for i in range(ng)
+                    ),
+                    dtype=np.int64,
+                    count=ng,
+                )
+            if ng <= w:
+                sel = h.min(keepdims=True)
+            else:
+                sel = swv(h, w).min(axis=1)
+            out.append(np.unique(sel).tolist())
         return pd.Series(out)
 
     # both self-join sides (and the optional hot-fp count) consume fps —
