@@ -138,3 +138,63 @@ def test_mllib_minhash_parity_row_identical_vs_banded(spark):
         ).collect()
     }
     assert mllib == banded and len(banded) > 0
+
+
+def test_hot_shingle_literal_vs_broadcast_antijoin_paths(spark, monkeypatch):
+    """VERDICT r11 #6: past _HOT_SHINGLE_LITERAL_MAX distinct hot shingles
+    the guard switches from an in-plan literal array to a broadcast anti
+    join — both paths must produce bit-identical shingle arrays (order
+    preserved, all-hot docs collapse to []), pinned on an adversarial
+    corpus where EVERY shingle of some docs is over the cap."""
+    from checkatron_spark.operators import dedup as D
+
+    # 10 groups x 6 identical docs: every shingle of every doc has doc
+    # frequency 6 > cap 2 -> ALL 30 distinct shingles are hot (an all-hot
+    # adversarial corpus), well past the monkeypatched literal bound.
+    rows = [
+        (10 * g + j, f"a{g} b{g} c{g} d{g} e{g}")
+        for g in range(10)
+        for j in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        F.col("doc_id").alias("_id"),
+        D.shingles(F.col("text"), 3).alias("_sh"),
+    )
+    lit_out = {
+        r["_id"]: r["_sh"]
+        for r in D._drop_hot_shingles(docs, 2).collect()
+    }
+    monkeypatch.setattr(D, "_HOT_SHINGLE_LITERAL_MAX", 5)
+    join_out = {
+        r["_id"]: r["_sh"]
+        for r in D._drop_hot_shingles(docs, 2).collect()
+    }
+    assert lit_out == join_out
+    assert len(lit_out) == 60
+    # every shingle has freq 6 > 2 -> every doc rebuilt to the EMPTY array
+    assert all(v == [] for v in join_out.values())
+
+    # a mixed corpus: shared group head (hot, freq 6) + unique per-doc
+    # tail (freq 1, survives) — order preserved on both paths
+    rows2 = [
+        (10 * g + j, f"a{g} b{g} c{g} u{10 * g + j} v{10 * g + j}")
+        for g in range(10)
+        for j in range(6)
+    ]
+    docs2 = spark.createDataFrame(rows2, ["doc_id", "text"]).select(
+        F.col("doc_id").alias("_id"),
+        D.shingles(F.col("text"), 3).alias("_sh"),
+    )
+    monkeypatch.setattr(D, "_HOT_SHINGLE_LITERAL_MAX", 0)  # force join path
+    join2 = {
+        r["_id"]: r["_sh"] for r in D._drop_hot_shingles(docs2, 2).collect()
+    }
+    monkeypatch.setattr(D, "_HOT_SHINGLE_LITERAL_MAX", 1000)
+    lit2 = {
+        r["_id"]: r["_sh"] for r in D._drop_hot_shingles(docs2, 2).collect()
+    }
+    assert join2 == lit2
+    # each doc keeps its two unique tail shingles, in original order
+    for (i, _t) in rows2:
+        g = i // 10
+        assert lit2[i] == [f"b{g} c{g} u{i}", f"c{g} u{i} v{i}"]
