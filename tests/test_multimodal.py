@@ -45,12 +45,12 @@ def test_media_stats_hashes(media):
         assert got[doc_id].n_bytes == len(text.encode())
 
 
-def test_decode_real_path_raises(media):
+def test_decode_real_path_rejects_unknown_format(media):
+    # round 12: text payloads are not BMP/PNG — the REAL decoder refuses
+    # them with a clear ValueError (the r11 NotImplementedError is gone)
     with pytest.raises(Exception) as exc_info:
         M.media_decode(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
-    )
+    assert "unsupported payload format" in str(exc_info.value)
 
 
 def test_decode_fake_deterministic(media):
@@ -97,3 +97,172 @@ def test_dedup_by_content_hash(spark, media):
     by_keep = {r.keep_id: r.n for r in dups}
     assert by_keep[1] == 2  # docs 1 and 2 share content
     assert by_keep[3] == 1 and by_keep[4] == 1
+
+
+# ---------------------------------------------------------------------------
+# round 12: REAL stdlib codecs (VERDICT r11 #2)
+# ---------------------------------------------------------------------------
+
+def _rand_img(rng, w, h):
+    return bytes(rng.randrange(256) for _ in range(w * h * 3))
+
+
+def test_bmp_roundtrip_random():
+    import random
+
+    rng = random.Random(12)
+    for w, h in [(1, 1), (2, 2), (3, 5), (4, 4), (5, 3), (7, 2), (33, 27)]:
+        rgb = _rand_img(rng, w, h)
+        data = M.encode_bmp(w, h, rgb)
+        assert data[:2] == b"BM"
+        got = M.decode_bmp(data)
+        assert (got["width"], got["height"], got["channels"]) == (w, h, 3)
+        assert got["pixels"] == rgb, f"BMP roundtrip failed at {w}x{h}"
+
+
+def test_png_roundtrip_every_filter():
+    import random
+
+    rng = random.Random(13)
+    for ft in range(5):
+        for w, h in [(1, 1), (3, 4), (8, 8), (17, 5)]:
+            rgb = _rand_img(rng, w, h)
+            data = M.encode_png(w, h, rgb, filter_of=lambda y, f=ft: f)
+            got = M.decode_png(data)
+            assert (got["width"], got["height"], got["channels"]) == (w, h, 3)
+            assert got["pixels"] == rgb, f"PNG filter {ft} failed at {w}x{h}"
+    # mixed filters per row (the fixture generator's y % 5 pattern)
+    rgb = _rand_img(rng, 11, 13)
+    data = M.encode_png(11, 13, rgb, filter_of=lambda y: y % 5)
+    assert M.decode_png(data)["pixels"] == rgb
+
+
+def test_bmp_golden_bytes_hand_built():
+    """A 2x2 BMP built BYTE BY BYTE in the test (independent of
+    encode_bmp): bottom-up rows, BGR order, 2-byte row padding. Pixels
+    (top-down RGB): (255,0,0) (0,255,0) / (0,0,255) (9,8,7)."""
+    import struct
+
+    row_bottom = bytes([255, 0, 0]) + bytes([7, 8, 9]) + b"\x00\x00"  # BGR!
+    row_top = bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"
+    data = (
+        struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0)
+        + row_bottom + row_top  # bottom-up: last image row first
+    )
+    got = M.decode_bmp(data)
+    assert (got["width"], got["height"], got["channels"]) == (2, 2, 3)
+    # bottom-up + BGR normalize to top-down RGB:
+    expected = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 8, 7])
+    assert got["pixels"] == expected, got["pixels"]
+
+
+def test_bmp_top_down_negative_height():
+    rgb = bytes(range(2 * 2 * 3))
+    import struct
+
+    # build top-down (height = -2): rows in image order, no flip
+    row0 = bytes([rgb[2], rgb[1], rgb[0], rgb[5], rgb[4], rgb[3]]) + b"\x00\x00"
+    row1 = bytes([rgb[8], rgb[7], rgb[6], rgb[11], rgb[10], rgb[9]]) + b"\x00\x00"
+    data = (
+        struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, 16, 0, 0, 0, 0)
+        + row0 + row1
+    )
+    got = M.decode_bmp(data)
+    assert got["height"] == 2 and got["pixels"] == rgb
+
+
+def test_png_golden_bytes_hand_built():
+    """A 2x1 PNG built chunk by chunk in the test with raw zlib (filter 0
+    only), independent of encode_png."""
+    import struct
+    import zlib
+
+    rgb = bytes([10, 20, 30, 40, 50, 60])
+    raw = b"\x00" + rgb  # one row, filter 0
+    def chunk(t, p):
+        return struct.pack(">I", len(p)) + t + p + struct.pack(
+            ">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = M.decode_png(data)
+    assert (got["width"], got["height"]) == (2, 1)
+    assert got["pixels"] == rgb
+
+
+def test_codec_error_paths():
+    rgb = bytes(27)
+    png = M.encode_png(3, 3, rgb)
+    bmp = M.encode_bmp(3, 3, rgb)
+    # dispatch picks the right decoder by magic
+    assert M.decode_payload(png, "image")["pixels"] == rgb
+    assert M.decode_payload(bmp, "image")["pixels"] == rgb
+    with pytest.raises(ValueError, match="unsupported payload format"):
+        M.decode_payload(b"RIFF....WEBP", "image")
+    # CRC corruption is detected
+    bad = bytearray(png)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|bad|inflate|Error"):
+        M.decode_png(bytes(bad))
+    # truncated BMP pixel array
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_bmp(bmp[:-4])
+    # non-24bpp rejected
+    bad_bmp = bytearray(bmp)
+    bad_bmp[28] = 32
+    with pytest.raises(ValueError, match="24bpp"):
+        M.decode_bmp(bytes(bad_bmp))
+
+
+def test_media_decode_px_matches_formula(spark):
+    """The full Spark pipeline — synthesize real BMP/PNG bytes, decode
+    with the stdlib codecs, reduce pixel stats — matches the closed-form
+    generation rule per doc (both parities: even=BMP, odd=PNG)."""
+    docs = spark.createDataFrame([(d,) for d in range(24)], ["doc_id"])
+    got = {
+        r["media_id"]: r
+        for r in M.media_decode_px(M.synthesize_media(docs)).collect()
+    }
+    assert len(got) == 24
+    for d in range(24):
+        w, h = 4 + d % 29, 4 + (d * 7) % 23
+        s = ys = 0
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    v = (d + x + 3 * y + 5 * c) % 256
+                    s += v
+                    ys += (y + 1) * v
+        r = got[d]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert (r["px_sum"], r["px_ysum"]) == (s, ys), d
+
+
+def test_media_decode_real_vs_duckdb_oracle(spark, duck, tmp_path):
+    """Cross-engine: the declared media_decode query (REAL codecs) equals
+    the DuckDB closed-form oracle row for row — the driver's grade,
+    reproduced at unit scale."""
+    import pandas as pd
+
+    from tests.conftest import assert_same_rows
+
+    pd.DataFrame({"doc_id": list(range(40))}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    df = M.QUERIES["media_decode"](spark, str(tmp_path))
+    res = duck.sql(M.oracles()["media_decode"])
+    idx = [res.columns.index(c) for c in df.columns]
+    assert_same_rows(
+        df,
+        [tuple(row[i] for i in idx) for row in res.fetchall()],
+        duck_cols=df.columns,
+    )
