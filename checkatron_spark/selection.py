@@ -66,8 +66,10 @@ __all__ = [
     "contamination_frac",
     "dsir_importance",
     "semdedup",
+    "token_count_bpe",
     "BM25_TERMS",
     "BM25_QUERY_PROFILES",
+    "SUBWORD_VOCAB",
     "QUERIES",
     "oracles",
 ]
@@ -982,6 +984,146 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# greedy-subword token counting (VERDICT r11 #8 stretch)
+# ---------------------------------------------------------------------------
+
+# A small PUBLIC subword vocabulary: the high-frequency English character
+# units every published BPE/WordPiece merge table learns first (classic
+# merge outcomes — 'th'+'e', 'in'+'g', 'a'+'tion', ...). Fixed and
+# deterministic, so tokenization is exactly reproducible in ANSI SQL; a
+# production deployment swaps in its model's real merge vocabulary and the
+# operator/plan are unchanged.
+SUBWORD_VOCAB: tuple[str, ...] = (
+    "ation", "ther", "tion", "ing", "ent", "ion", "and", "the", "ed",
+    "er", "es", "re", "ti", "in", "on", "st", "en", "at", "nd", "or",
+    "te", "of", "ar", "to", "an", "al", "is", "it", "ou", "as", "ha",
+    "se", "le", "ve", "me", "co", "de", "hi", "ri", "ro", "ic", "ne",
+    "ea", "ra", "ce", "li", "ch", "ll",
+)
+
+
+def token_count_bpe(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: tuple[str, ...] = SUBWORD_VOCAB,
+) -> DataFrame:
+    """Greedy longest-match subword token counts — the BPE/WordPiece
+    INFERENCE rule (at each position, consume the longest vocabulary unit
+    that prefixes the remaining word; no match consumes one character as
+    its own token) over a fixed public merge vocabulary. This is what
+    makes token budgets (pack_sequences_budget, mix_budget_plan)
+    meaningful in LLM terms instead of whitespace terms: the subword
+    count, not the word count, is what fills a context window.
+
+    Returns one row per input document: (id_col, n_words,
+    n_subword_tokens) — blank/NULL text counts (0, 0). Words lowercase
+    before matching; greedy longest-match is deterministic, so the DuckDB
+    oracle reproduces it exactly with a recursive CTE (one chain per
+    DISTINCT word, longest matching prefix via max(len)).
+
+    100 TB plan: the Arrow kernel runs per DISTINCT lowercased word, not
+    per occurrence — zipf economics make the distinct-word table orders
+    of magnitude smaller than the corpus token stream. One shuffle builds
+    it (groupBy word), the per-word counts join back on the word key
+    (broadcast when small, AQE decides), and the per-doc rollup is a
+    map-side-combined sum of exact BIGINTs. The vocabulary rides the
+    task closure (bytes, like the Bloom masks)."""
+    by_first: dict[str, list[str]] = {}
+    for t in sorted(vocab, key=len, reverse=True):
+        by_first.setdefault(t[0], []).append(t)
+
+    @F.pandas_udf(LongType())
+    def _bpe_n(ws: pd.Series) -> pd.Series:
+        out = []
+        for w in ws:
+            p, n, L = 0, 0, len(w)
+            while p < L:
+                for t in by_first.get(w[p], ()):
+                    if w.startswith(t, p):
+                        p += len(t)
+                        break
+                else:
+                    p += 1
+                n += 1
+            out.append(n)
+        return pd.Series(out, dtype="int64")
+
+    words = (
+        docs.select(
+            F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_w")
+        )
+        .filter(F.col("_w") != "")
+        .select(id_col, F.lower(F.col("_w")).alias("_w"))
+    )
+    counts = (
+        words.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .withColumn("_n", _bpe_n(F.col("_w")))
+    )
+    perdoc = (
+        words.join(counts.select("_w", "_n"), "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("_n").cast("bigint").alias("n_subword_tokens"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(perdoc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("bigint").alias(
+                "n_words"
+            ),
+            F.coalesce(F.col("n_subword_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_subword_tokens"),
+        )
+    )
+
+
+def token_count_bpe_sql(vocab: tuple[str, ...] = SUBWORD_VOCAB) -> str:
+    vals = ", ".join(f"('{t}', {len(t)})" for t in vocab)
+    return f"""
+WITH RECURSIVE
+vocab(tok, len) AS (VALUES {vals}),
+words AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS word FROM documents
+),
+dw AS (SELECT DISTINCT lower(word) AS w FROM words WHERE word <> ''),
+steps(w, rest, cnt) AS (
+  SELECT w, w, 0 FROM dw
+  UNION ALL
+  SELECT s.w,
+         substr(s.rest, 1 + coalesce((SELECT max(v.len) FROM vocab v
+                                      WHERE substr(s.rest, 1, v.len) = v.tok),
+                                     1)),
+         s.cnt + 1
+  FROM steps s WHERE s.rest <> ''
+),
+counts AS (SELECT w, max(cnt) AS n FROM steps WHERE rest = '' GROUP BY w),
+perdoc AS (
+  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(c.n) AS BIGINT) AS n_subword_tokens
+  FROM words w JOIN counts c ON lower(w.word) = c.w
+  WHERE w.word <> ''
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(p.n_subword_tokens, 0) AS BIGINT) AS n_subword_tokens
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count_bpe(load_table(spark, "documents", sf_dir))
+
+
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table, on the SAME clustering contract
     as kmeans_domains (k=8, 3 rounds, 1e4 grid). threshold=0.3 is
@@ -997,6 +1139,7 @@ QUERIES = {
     "contamination_frac": q_contamination_frac,
     "dsir_importance": q_dsir_importance,
     "semdedup_prune": q_semdedup_prune,
+    "token_count_bpe": q_token_count_bpe,
 }
 
 
@@ -1007,4 +1150,5 @@ def oracles() -> dict[str, str]:
         "contamination_frac": contamination_frac_sql(),
         "dsir_importance": dsir_importance_sql(),
         "semdedup_prune": semdedup_sql(),
+        "token_count_bpe": token_count_bpe_sql(),
     }
