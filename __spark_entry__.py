@@ -219,25 +219,40 @@ def _q_orders_filtered(spark, sf_dir):
 # that are already green AND unchanged can be pruned each round; leaving
 # them costs a window slot, nothing else.
 _CHECK_FIRST: list[str] = [
-    # round 10: queries whose BEHAVIOR changed this round must re-grade in
-    # THIS round's window, ahead of the conservatively-stale backlog —
-    # the flagship diff family (selectExpr plan-construction rewrite,
-    # output pinned identical), pmi + the text/tokenize family (the
-    # explicit [ \t\n\r\f] whitespace contract replacing Java/python \s),
-    # and the shingle consumers (python-side strip(" ") + class split)
-    "diff_orders",
-    "diff_orders_faithful",
-    "diff_lineitem_multikey",
-    "pmi_collocations",
-    "text_stats",
-    "source_lang_entropy",
-    "neardup_ngram_jaccard",
-    "neardup_minhash_lsh",
-    "neardup_simhash",
-    "decontaminate_corpus",
-    "mix_budget_plan",
-    "events_range_join",
-    "sessions_overlap_promos",
+    # round 12 (VERDICT r11 #4): the 28-query cohort whose latest driver
+    # green is ROUND 3 hits the <=9-round age bound THIS round, and the
+    # automatic rotation quota (max(10, ceil(fresh/8)) ~ 26) cannot cover
+    # all 28 in one window — front the whole cohort so CORRECTNESS_r12
+    # re-grades every one of them (events/temporal family, media family,
+    # sampling splits, the r3 TPC-H trio, streams).
+    "events_asof_join",
+    "events_ewma",
+    "events_interarrival",
+    "events_json_extract",
+    "events_pit_join",
+    "events_resample_gapfill",
+    "events_session_window",
+    "events_sessionize",
+    "events_windowed",
+    "label_centroids",
+    "media_decode_fake",
+    "media_dedup_exact",
+    "media_features",
+    "media_frame_sample",
+    "media_resize",
+    "media_stats",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "quantize_embeddings_int8",
+    "sample_deterministic",
+    "sample_stratified",
+    "sample_weighted",
+    "sketch_users_daily",
+    "split_train_val_test",
+    "stream_dedup",
+    "stream_ivm_totals",
+    "stream_patch_apply",
 ]
 
 # Queries declared in the CURRENT round sit at the END of the never-checked
@@ -246,12 +261,10 @@ _CHECK_FIRST: list[str] = [
 # round-4 backlog plus the ~16 round-5 additions) fits in one 50-slot
 # window regardless of internal order, so no pinning is needed.
 _CHECK_LAST: list[str] = [
-    # round 11: multi-profile BM25 (one posting-filtered corpus scan,
-    # two-phase per-query top-k), the canonical-key pre-dedup stage, and
-    # the DIFF(...) SQL macro surface (graded against diff_orders' oracle)
-    "bm25_multiquery",
-    "dedup_canonical",
-    "diff_orders_sqlmacro",
+    # round 12: REAL media decode (stdlib BMP/PNG codecs, pixel-stat
+    # oracle) and greedy-subword token counting (recursive-CTE oracle)
+    "media_decode",
+    "token_count_bpe",
 ]
 
 

@@ -83,6 +83,8 @@ HEADLINERS = [
     ("ccnet_ppl_buckets", "CCNet buckets (round 10): LM-coverage join + per-language tercile sketch broadcast back"),
     ("bm25_multiquery", "multi-profile BM25 (round 11): ONE posting-filtered corpus scan for N query profiles; broadcast (query, term) fan-out; two-phase per-query top-k — no single-reducer window"),
     ("dedup_canonical", "canonical-key dedup (round 11): (source, fp) groupBy map-side combined + id semi join; text never shuffles"),
+    ("media_decode", "REAL media decode (round 12): mapInPandas stdlib BMP/PNG codecs over synthesized real image bytes — two chained Python stages, no shuffle, stats reduced per image in numpy"),
+    ("token_count_bpe", "greedy-subword token counts (round 12): distinct-word groupBy -> Arrow kernel on the word TABLE (not the token stream) -> join back on word -> map-combined per-doc sum"),
 ]
 
 

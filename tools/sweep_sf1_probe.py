@@ -184,6 +184,12 @@ PROBE_DOCS = [
     # are token-level perturbations, so the collapse itself is ~empty
     # and the row measures pure stage cost)
     "dedup_canonical",
+    # round 12: REAL media decode — per-doc encode+decode through the
+    # stdlib codecs, pure map work, growth = the scan term; and greedy-
+    # subword counting — growth tracks token volume + the (sub-linear,
+    # zipf) distinct-word table
+    "media_decode",
+    "token_count_bpe",
 ]
 
 
