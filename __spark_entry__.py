@@ -219,12 +219,14 @@ def _q_orders_filtered(spark, sf_dir):
 # that are already green AND unchanged can be pruned each round; leaving
 # them costs a window slot, nothing else.
 _CHECK_FIRST: list[str] = [
-    # round 12 (VERDICT r11 #4): the 28-query cohort whose latest driver
-    # green is ROUND 3 hits the <=9-round age bound THIS round, and the
-    # automatic rotation quota (max(10, ceil(fresh/8)) ~ 26) cannot cover
-    # all 28 in one window — front the whole cohort so CORRECTNESS_r12
-    # re-grades every one of them (events/temporal family, media family,
-    # sampling splits, the r3 TPC-H trio, streams).
+    # round 12 (VERDICT r11 #4): the cohort whose latest driver green is
+    # ROUND 3 hits the <=9-round age bound THIS round. Its 9 stale members
+    # (media family + streams — this round's edits touched them) re-enter
+    # at the HEAD of the stale segment automatically now that stale orders
+    # oldest-green-first; the 19 still-fresh members are fronted here so
+    # the whole cohort grades in the r12 window. (Deliberately <= 20
+    # entries: the rotation gate needs 50 - len(_CHECK_FIRST) >= the
+    # 30-pick quota cap — test_rotation_simulation_bounds_grade_age.)
     "events_asof_join",
     "events_ewma",
     "events_interarrival",
@@ -235,12 +237,6 @@ _CHECK_FIRST: list[str] = [
     "events_sessionize",
     "events_windowed",
     "label_centroids",
-    "media_decode_fake",
-    "media_dedup_exact",
-    "media_features",
-    "media_frame_sample",
-    "media_resize",
-    "media_stats",
     "q1_pricing_summary",
     "q5_region_revenue",
     "q6_forecast_revenue",
@@ -250,9 +246,6 @@ _CHECK_FIRST: list[str] = [
     "sample_weighted",
     "sketch_users_daily",
     "split_train_val_test",
-    "stream_dedup",
-    "stream_ivm_totals",
-    "stream_patch_apply",
 ]
 
 # Queries declared in the CURRENT round sit at the END of the never-checked
@@ -1121,13 +1114,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (n for n in rest if n in green and n not in stale and n not in rot),
         key=lambda n: (_round_no(green[n]), n),
     )
+    # stale re-grades order OLDEST GREEN FIRST (round 12): a mass-stale
+    # round (this one edits text/selection/media/dedup modules at once)
+    # produces more stale entries than window slots, and declaration order
+    # would let an arbitrary module's recent stales crowd out a stale
+    # query whose last proof is many rounds old — age urgency, same key
+    # as the rotation quota
+    stale_ordered = sorted(
+        (n for n in rest if n in stale),
+        key=lambda n: (_round_no(green[n]) if n in green else -1, n),
+    )
     ordered_names = (
         front
         # never green -> into the window, oldest-declared before this
         # round's additions (_CHECK_LAST)
         + [n for n in rest if n not in green and n not in last]
         + [n for n in rest if n not in green and n in last]
-        + [n for n in rest if n in stale]  # changed since green -> re-grade
+        + stale_ordered  # changed since green -> re-grade, oldest first
         + [n for n in rotate if n in rest]  # forced rotation quota
         + fresh_rest  # proven, oldest green first
     )
