@@ -255,9 +255,11 @@ _CHECK_FIRST: list[str] = [
 # window regardless of internal order, so no pinning is needed.
 _CHECK_LAST: list[str] = [
     # round 12: REAL media decode (stdlib BMP/PNG codecs, pixel-stat
-    # oracle) and greedy-subword token counting (recursive-CTE oracle)
+    # oracle), greedy-subword token counting (recursive-CTE oracle), and
+    # PQ-compressed ANN (exact-integer ADC, unrolled per-subspace oracle)
     "media_decode",
     "token_count_bpe",
+    "ann_pq_adc_topk",
 ]
 
 

@@ -137,10 +137,12 @@ HEADLINE = [
     "ccnet_ppl_buckets",
     # round 12: REAL media decode (stdlib BMP/PNG codecs through Arrow —
     # the heaviest per-row Python stage, benched so codec cost is a
-    # recorded number) and greedy-subword token counting (distinct-word
-    # kernel + join-back)
+    # recorded number), greedy-subword token counting (distinct-word
+    # kernel + join-back), and PQ ANN (fit + encode + ADC — the whole
+    # compressed-index lifecycle per run)
     "media_decode",
     "token_count_bpe",
+    "ann_pq_adc_topk",
 ]
 
 

@@ -1,0 +1,311 @@
+"""Product quantization (PQ) for embedding compression + ADC top-k search.
+
+The 100 TB ANN memory path (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — the FAISS IVF-PQ building block): split each
+vector into ``m`` contiguous subspaces, k-means each subspace independently
+(codebook of ``k`` centroids per subspace), and store every vector as ``m`` small
+integer codes — 64 float32 dims (256 bytes) compress to m=4 bytes, so a
+corpus whose raw embeddings need a cluster's worth of RAM fits its PQ codes
+in one executor's cache. Search uses ASYMMETRIC DISTANCE COMPUTATION (ADC):
+the query stays exact, a per-query table of query-subvector-to-centroid
+distances is built once (m·k entries), and every corpus vector's distance is
+m table lookups — no float math per candidate.
+
+Exact-arithmetic formulation (the oracle-checkable twin of MLlib-style
+float PQ, same design as operators/kmeans.py): vectors quantize once to a
+BIGINT grid, per-subspace Lloyd runs the integer argmin with the
+``min(dist·k + cid)`` encoding and deterministic lowest-id seeding, and ADC
+scores are exact BIGINT sums — every code and every distance reproduces
+bit-for-bit in ANSI SQL (unrolled per-subspace CTE chains), so the DuckDB
+oracle grades the whole index+search pipeline, not a recall proxy.
+
+Scale shape:
+- fit: per subspace per iteration, one map-side-combined (cluster, dim)
+  groupBy; the codebooks are m·k·(dims/m) integers on the driver — the
+  same bounded-collect contract as the kmeans centroid loop.
+- encode: one Arrow-batched kernel pass over the corpus (codebooks ride
+  the task closure), emitting (id, subspace, code) rows — no joins.
+- search: the per-query distance tables (|Q|·m·k rows — tiny) BROADCAST;
+  corpus codes join on (subspace, code) equality, partial-aggregated per
+  (query, vector), then the two-phase per-query top-k (per-partition
+  row_number, then the bounded final window — the bm25_multiquery
+  discipline, no single-reducer window).
+
+Reference parity note: the reference (simbo1905/checkatron) has no vector
+surface — this module belongs to the large-scale training-data mandate
+(similarity search over embedding columns at corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["fit_pq_codebooks", "pq_encode", "pq_adc_topk"]
+
+
+def _quantized(df: DataFrame, id_col: str, vec_col: str, scale: int):
+    """(id, _x array<bigint>) on the BIGINT grid, degenerate embeddings
+    (NULL / element-NULL / zero-norm) excluded — Spark's sequential fold
+    poisons the norm to NULL on one NULL element, so the single norm
+    filter implements the oracle's explicit _EMB_OK clause set."""
+    norm = F.expr(
+        f"sqrt(aggregate({vec_col}, 0.0D, "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    grid = F.expr(
+        f"transform({vec_col}, v -> "
+        f"CAST(floor(CAST(v AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT))"
+    )
+    return (
+        df.filter(norm > F.lit(0.0))
+        .select(F.col(id_col), grid.alias("_x"))
+    )
+
+
+def _subspace_bounds(dims: int, m: int) -> list[tuple[int, int]]:
+    if dims % m:
+        raise ValueError(
+            f"pq: dims ({dims}) must divide evenly into m={m} subspaces"
+        )
+    sub = dims // m
+    return [(s * sub + 1, sub) for s in range(m)]  # (1-based lo, length)
+
+
+def _vector_dims(xq: DataFrame) -> int:
+    sizes = [r[0] for r in xq.select(F.size("_x")).distinct().collect()]
+    if len(sizes) != 1:
+        raise ValueError(
+            f"pq: ragged embedding dimensions {sorted(sizes)} — fix the "
+            "corpus (mixed-dim codes would silently mis-rank)"
+        )
+    return sizes[0]
+
+
+def fit_pq_codebooks(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 10000,
+) -> list[list[list[int]]]:
+    """Train the m per-subspace codebooks (exact integer Lloyd, same grid
+    and rules as operators/kmeans.py: lowest-id seeding, min(dist·k+cid)
+    argmin, one IEEE division + floor(+0.5) per re-quantized component,
+    emptied clusters keep their previous centroid). Returns
+    ``codebooks[s][cid] -> list[int]`` of length dims/m."""
+    from checkatron_spark.session import scratch_persist
+
+    xq = _quantized(vectors, id_col, vec_col, scale).transform(
+        scratch_persist
+    )
+    dims = _vector_dims(xq)
+    bounds = _subspace_bounds(dims, m)
+    seed_rows = xq.orderBy(F.col(id_col).asc()).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"pq: need at least k={k} non-degenerate vectors to seed"
+        )
+    codebooks: list[list[list[int]]] = []
+    for lo, sub in bounds:
+        cents = [list(r._x[lo - 1 : lo - 1 + sub]) for r in seed_rows]
+        sx = xq.select(id_col, F.expr(f"slice(_x, {lo}, {sub})").alias("_s"))
+        for it in range(iters - 1):
+            assigned = _argmin_code(sx, "_s", cents, k)
+            refit = (
+                assigned.select(
+                    "_code", F.posexplode("_s").alias("_j", "_v")
+                )
+                .groupBy("_code", "_j")
+                .agg(F.sum("_v").alias("_sum"), F.count(F.lit(1)).alias("_n"))
+                .select(
+                    "_code",
+                    "_j",
+                    F.expr(
+                        "CAST(floor(CAST(_sum AS DOUBLE) / "
+                        "CAST(_n AS DOUBLE) + 0.5) AS BIGINT)"
+                    ).alias("_m"),
+                )
+                .collect()
+            )
+            by_cid: dict[int, dict[int, int]] = {}
+            for r in refit:
+                by_cid.setdefault(r._code, {})[r._j] = r._m
+            cents = [
+                [by_cid[cid][j] for j in range(sub)]
+                if cid in by_cid
+                else prev
+                for cid, prev in enumerate(cents)
+            ]
+        codebooks.append(cents)
+    return codebooks
+
+
+def _argmin_code(sx: DataFrame, col: str, cents: list, k: int) -> DataFrame:
+    """Nearest-centroid code for one subspace via the integer
+    min(dist·k + cid) encoding over centroid literals (broadcast shape —
+    k rows ride the plan; exact BIGINT grid arithmetic)."""
+    spark = sx.sparkSession
+    cdf = spark.createDataFrame(
+        list(enumerate(cents)), "cid int, _m array<bigint>"
+    )
+    dist = F.expr(
+        "aggregate(zip_with(" + col + ", _m, (a, b) -> (a - b) * (a - b)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    return (
+        sx.join(F.broadcast(cdf))
+        .select(*sx.columns, (dist * k + F.col("cid")).alias("_key"))
+        .groupBy(*sx.columns)
+        .agg(F.min("_key").alias("_key"))
+        .select(
+            *sx.columns,
+            (F.col("_key") % k).cast("int").alias("_code"),
+        )
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[int]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10000,
+) -> DataFrame:
+    """Corpus codes in LONG form: (id_col, s, code) — one Arrow-friendly
+    row per (vector, subspace). Long form is deliberate: ADC joins on
+    (s, code) equality, so the encode output is directly the join's build
+    side with no array poking in the hot path."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    cents = np.array(codebooks, dtype=np.int64)  # (m, k, sub)
+    xq = _quantized(vectors, id_col, vec_col, scale)
+    id_type = dict(xq.dtypes)[id_col]
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([list(v) for v in pdf["_x"]], dtype=np.int64)
+            if X.shape[1] != m * sub:
+                raise ValueError(
+                    f"pq_encode: vector dims {X.shape[1]} != codebook "
+                    f"dims {m * sub}"
+                )
+            amax = max(int(np.abs(X).max(initial=0)),
+                       int(np.abs(cents).max(initial=0)))
+            if sub * (2 * amax) ** 2 >= (2**63 - 1) // max(k, 1):
+                raise ValueError(
+                    "pq_encode: BIGINT grid bound exceeded — lower `scale`"
+                )
+            n = len(X)
+            ids = np.repeat(np.asarray(pdf[id_col]), m)
+            ss = np.tile(np.arange(m, dtype=np.int32), n)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                diff = Xs[:, None, :] - cents[s][None, :, :]
+                key = np.einsum("nkd,nkd->nk", diff, diff) * k + np.arange(k)
+                codes[:, s] = (key.min(axis=1) % k).astype(np.int32)
+            yield pd.DataFrame(
+                {id_col: ids, "s": ss, "code": codes.reshape(-1)}
+            )
+
+    return xq.mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, s int, code int"
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 10000,
+    topk: int = 3,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """PQ + ADC top-k: fit (or reuse) the codebooks, encode the corpus,
+    and rank each query's neighbors by the exact ADC distance
+    ``sum_s dist(query_subvector_s, centroid(code_s))`` — integer
+    arithmetic end to end, so the result is graded value-exact against
+    the unrolled-CTE DuckDB oracle (approximation error vs true distance
+    is PQ's documented property, recall-pinned in tests/test_pq.py, but
+    the COMPUTATION itself is deterministic).
+
+    Returns (query_id, neighbor_id, rank, adc_dist), rank 1..topk per
+    query, ties broken by neighbor id; query vectors never match
+    themselves. Plan: per-query distance tables (|Q|·m·k rows) broadcast
+    against the long-form code table, partial-aggregated per (query,
+    neighbor), two-phase per-query top-k."""
+    from checkatron_spark.session import scratch_persist
+
+    if codebooks is None:
+        codebooks = fit_pq_codebooks(
+            vectors, id_col=id_col, vec_col=vec_col, m=m, k=k,
+            iters=iters, scale=scale,
+        )
+    m = len(codebooks)
+    codes = pq_encode(
+        vectors, codebooks, id_col=id_col, vec_col=vec_col, scale=scale
+    ).withColumnRenamed(id_col, "neighbor_id")
+    qx = _quantized(queries, id_col, vec_col, scale).withColumnRenamed(
+        id_col, "query_id"
+    ).transform(scratch_persist)
+    sub = len(codebooks[0][0])
+    # distance tables: query x (s, cid) — |Q| * m * k rows, broadcast side
+    flat = [
+        (s, cid, list(map(int, cent)))
+        for s, book in enumerate(codebooks)
+        for cid, cent in enumerate(book)
+    ]
+    cdf = qx.sparkSession.createDataFrame(
+        flat, "s int, code int, _m array<bigint>"
+    )
+    qd = (
+        qx.crossJoin(cdf)
+        .select(
+            "query_id",
+            "s",
+            "code",
+            F.expr(
+                "aggregate(zip_with(slice(_x, s * "
+                f"{sub} + 1, {sub}), _m, (a, b) -> (a - b) * (a - b)), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("_d"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(qd), ["s", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_d").alias("adc_dist"))
+    )
+    order = [F.col("adc_dist").asc(), F.col("neighbor_id").asc()]
+    local = Window.partitionBy(
+        "query_id", F.spark_partition_id()
+    ).orderBy(*order)
+    survivors = (
+        scored.withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= topk)
+        .drop("_lrn")
+    )
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )

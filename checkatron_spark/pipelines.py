@@ -2406,6 +2406,125 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_QUANTIZERS: dict = {}
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN (operators/pq.py): 64-dim embeddings quantize to
+    4 subspace codes (16 centroids each — 4 bytes per vector, 64x smaller
+    than raw float32), queries rank neighbors by exact-integer ADC
+    distance. Every code and distance reproduces bit-for-bit in the
+    unrolled-CTE oracle, so the driver grades the full index+search
+    computation; recall vs exact brute force is pinned separately in
+    tests/test_pq.py (approximation is PQ's documented trade, not
+    nondeterminism)."""
+    from checkatron_spark.operators.pq import pq_adc_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_adc_topk(
+        emb, queries, m=4, k=16, iters=2, scale=10000, topk=3
+    )
+
+
+def pq_adc_sql(
+    *,
+    dims: int = 64,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 10000,
+    topk: int = 3,
+) -> str:
+    """Unrolled per-subspace Lloyd + encode + ADC rank, mirroring
+    operators/pq.py bit-for-bit (same grid, same lowest-id seeding, same
+    min(dist*k+cid) argmin, same floor(+0.5) re-quantization, same
+    (s, code) join + BIGINT sum). One CTE chain per subspace — compile-time
+    m/k/iters, the _kmeans_sql contract."""
+    if dims % m:
+        raise ValueError("pq_adc_sql: dims must divide by m")
+    sub = dims // m
+    parts = [
+        f"""xq AS (
+  SELECT vec_id,
+         list_transform(embedding, v ->
+             CAST(floor(CAST(v AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS x
+  FROM embeddings WHERE {_EMB_OK}
+),
+seed AS (SELECT vec_id, x FROM xq ORDER BY vec_id LIMIT {k})"""
+    ]
+    dist = (
+        "CAST(list_sum(list_transform(range(1, {sub} + 1), "
+        "i -> (t.sx[i] - mm[i]) * (t.sx[i] - mm[i]))) AS BIGINT)"
+    ).format(sub=sub)
+    for s in range(m):
+        lo = s * sub + 1
+        sl = (
+            f"list_transform(range({lo}, {lo + sub}), i -> x[i])"
+        )
+        parts.append(f"""sx_{s} AS (SELECT vec_id, {sl} AS sx FROM xq),
+c_{s}_0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         {sl} AS mm
+  FROM seed
+)""")
+        for it in range(iters - 1):
+            parts.append(f"""a_{s}_{it} AS (
+  SELECT t.vec_id, t.sx, min({dist} * {k} + cid) AS key
+  FROM sx_{s} t CROSS JOIN c_{s}_{it} GROUP BY t.vec_id, t.sx
+),
+f_{s}_{it} AS (
+  SELECT CAST(key % {k} AS INTEGER) AS cid, p.j,
+         CAST(floor(CAST(SUM(sx[p.j]) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS mv
+  FROM a_{s}_{it} CROSS JOIN
+       (SELECT unnest(range(1, {sub} + 1)) AS j) p
+  GROUP BY 1, 2
+),
+c_{s}_{it + 1} AS (
+  SELECT c.cid, COALESCE(n.mm, c.mm) AS mm
+  FROM c_{s}_{it} c LEFT JOIN
+       (SELECT cid, list(mv ORDER BY j) AS mm FROM f_{s}_{it} GROUP BY cid) n
+       USING (cid)
+)""")
+        parts.append(f"""codes_{s} AS (
+  SELECT t.vec_id, CAST({s} AS INTEGER) AS s,
+         CAST(min({dist} * {k} + cid) % {k} AS INTEGER) AS code
+  FROM sx_{s} t CROSS JOIN c_{s}_{iters - 1} GROUP BY t.vec_id
+)""")
+    codes_union = " UNION ALL ".join(
+        f"SELECT * FROM codes_{s}" for s in range(m)
+    )
+    cents_union = " UNION ALL ".join(
+        f"SELECT CAST({s} AS INTEGER) AS s, cid, mm FROM c_{s}_{iters - 1}"
+        for s in range(m)
+    )
+    parts.append(f"""codes AS ({codes_union}),
+cents AS ({cents_union}),
+q AS (SELECT vec_id AS query_id, x FROM xq WHERE vec_id % 50 = 0),
+qd AS (
+  SELECT query_id, s, cid AS code,
+         CAST(list_sum(list_transform(range(1, {sub} + 1),
+             i -> (x[s * {sub} + i] - mm[i]) * (x[s * {sub} + i] - mm[i])))
+             AS BIGINT) AS d
+  FROM q CROSS JOIN cents
+),
+scored AS (
+  SELECT qd.query_id, codes.vec_id AS neighbor_id,
+         CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+  FROM codes JOIN qd ON codes.s = qd.s AND codes.code = qd.code
+  WHERE qd.query_id <> codes.vec_id
+  GROUP BY 1, 2
+)""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, adc_dist
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {topk}
+"""
+
+
 def _emb_cache_key(sf_dir: str) -> str | None:
     """Disk-cache key for the IVF quantizer (VERDICT r11 #5): the
     embeddings parquet's identity — realpath + mtime + size — so a changed
@@ -3314,6 +3433,7 @@ QUERIES = {
     "neardup_embedding_cosine": q_neardup_embedding,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_pq_adc_topk": q_ann_pq,
     "events_windowed": q_events_windowed,
     "events_json_extract": q_events_json,
     "events_sessionize": q_events_sessionize,
@@ -3393,6 +3513,7 @@ def oracles() -> dict[str, str]:
         "neardup_hybrid_semantic": neardup_hybrid_sql(),
         "ann_lsh_topk": ANN_BRUTEFORCE_SQL,
         "ann_ivf_topk": ANN_BRUTEFORCE_SQL,
+        "ann_pq_adc_topk": pq_adc_sql(),
         "sketch_users_daily": SKETCH_USERS_SQL,
         "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
         "ann_label_filtered_topk": ANN_LABEL_FILTERED_SQL,

