@@ -260,6 +260,11 @@ _CHECK_LAST: list[str] = [
     "media_decode",
     "token_count_bpe",
     "ann_pq_adc_topk",
+    # round 12, late batch: two-stage PQ refine, sign-bit Hamming ANN,
+    # and the mixture planner counted in subword tokens
+    "ann_pq_rerank_topk",
+    "ann_hamming_topk",
+    "mix_budget_plan_bpe",
 ]
 
 

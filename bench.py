@@ -143,6 +143,10 @@ HEADLINE = [
     "media_decode",
     "token_count_bpe",
     "ann_pq_adc_topk",
+    # round 12, late batch: PQ shortlist + exact refine (the two-stage
+    # deployment), and the pure-codegen sign-bit Hamming scan
+    "ann_pq_rerank_topk",
+    "ann_hamming_topk",
 ]
 
 

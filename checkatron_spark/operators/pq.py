@@ -42,7 +42,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["fit_pq_codebooks", "pq_encode", "pq_adc_topk"]
+__all__ = [
+    "fit_pq_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_adc_rerank_topk",
+]
 
 
 def _quantized(df: DataFrame, id_col: str, vec_col: str, scale: int):
@@ -308,4 +313,61 @@ def pq_adc_topk(
         survivors.withColumn("rank", F.row_number().over(final).cast("int"))
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def pq_adc_rerank_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 10000,
+    shortlist: int = 10,
+    topk: int = 3,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """PQ search with EXACT re-ranking — the standard two-stage deployment
+    (FAISS's IVF-PQ + refine): the compressed index shortlists
+    ``shortlist`` candidates per query by ADC, then ONLY those candidates
+    are re-scored with the exact squared distance on the full-precision
+    grid and the top ``topk`` returned. Re-rank cost is |Q|·shortlist
+    exact folds — independent of corpus size — while recall recovers the
+    within-cell detail quantization discarded (recall-vs-raw-ADC pinned
+    in tests/test_pq.py).
+
+    Integer-exact end to end like everything in this module. Returns
+    (query_id, neighbor_id, rank, exact_dist)."""
+    short = pq_adc_topk(
+        vectors, queries, id_col=id_col, vec_col=vec_col, m=m, k=k,
+        iters=iters, scale=scale, topk=shortlist, codebooks=codebooks,
+    ).select("query_id", "neighbor_id")
+    nx = _quantized(vectors, id_col, vec_col, scale).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_x").alias("_nx")
+    )
+    qx = _quantized(queries, id_col, vec_col, scale).select(
+        F.col(id_col).alias("query_id"), F.col("_x").alias("_qx")
+    )
+    exact = (
+        short.join(nx, "neighbor_id")
+        .join(qx, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(_qx, _nx, (a, b) -> (a - b) * (a - b)), "
+                "0L, (acc, v) -> acc + v)"
+            ).alias("exact_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "exact_dist")
     )

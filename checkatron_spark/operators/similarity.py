@@ -32,10 +32,12 @@ __all__ = [
     "cosine",
     "ann_bruteforce_topk",
     "ann_blocked_topk",
+    "ann_hamming_topk",
     "neardup_embedding_cosine",
     "ann_lsh_topk",
     "ivf_topk",
     "fit_ivf_quantizer",
+    "sign_hash_codes",
     "decontaminate_semantic",
 ]
 
@@ -66,6 +68,89 @@ def _safe_div(num: Column, den: Column) -> Column:
     order, so a partial division can throw on a row the filter was about
     to drop (measured on pyspark 4.1.2; review r9)."""
     return num / F.when(den > 0.0, den)
+
+
+def sign_hash_codes(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit binarization (Charikar hyperplane hashing degenerate to the
+    axis planes): bit_i = 1 iff v[i] > 0, packed MSB-first into 32-bit
+    words riding an ``array<bigint>`` — a 64-dim float32 vector (256 B)
+    becomes 2 longs the JVM compares with xor+bit_count in whole-stage
+    codegen. 32-bit words are deliberate: the fold value stays < 2^32, so
+    the SAME ``acc*2 + bit`` recurrence is overflow-free BIGINT arithmetic
+    on Spark and DuckDB alike (no sign/two's-complement seam to keep in
+    parity). Degenerate embeddings (NULL / element-NULL / zero-norm) are
+    dropped — the family's _EMB_OK contract; v=0 packs as bit 0 (strict
+    >). Returns (id_col, codes array<bigint>)."""
+    norm = F.expr(
+        f"sqrt(aggregate({vec_col}, 0.0D, "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    codes = F.expr(
+        f"transform(sequence(0, CAST(ceil(size({vec_col}) / 32.0) AS INT)"
+        f" - 1), w -> aggregate(slice({vec_col}, w * 32 + 1, 32), 0L, "
+        "(acc, v) -> shiftleft(acc, 1) | IF(v > 0, 1L, 0L)))"
+    )
+    return vectors.filter(norm > F.lit(0.0)).select(
+        F.col(id_col), codes.alias("codes")
+    )
+
+
+def ann_hamming_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Binary-code top-k by Hamming distance over the sign-hash codes —
+    the memory-floor ANN path (64x smaller than raw float32; the standard
+    first-pass filter in front of exact re-ranking). Scoring is ONE
+    xor+bit_count per 32 dims inside whole-stage codegen — no Python, no
+    per-dimension float fold — so the brute scan's per-pair cost is ~2
+    ALU ops and the broadcast of |Q| query codes is bytes.
+
+    Fully integer-exact (bit packing + popcount), so the DuckDB oracle
+    reproduces every distance; ties (Hamming is coarse: 0..dims) break by
+    ascending neighbor id — deterministic on both engines. Returns
+    (query_id, neighbor_id, rank, hamming)."""
+    c = sign_hash_codes(vectors, id_col=id_col, vec_col=vec_col)
+    q = sign_hash_codes(queries, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("codes").alias("_qc")
+    )
+    ham = F.expr(
+        "aggregate(zip_with(_qc, codes, (a, b) -> bit_count(a ^ b)), 0, "
+        "(acc, v) -> acc + v)"
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+    order = [F.col("hamming").asc(), F.col("neighbor_id").asc()]
+    local = Window.partitionBy(
+        "query_id", F.spark_partition_id()
+    ).orderBy(*order)
+    survivors = (
+        scored.withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= k)
+        .drop("_lrn")
+    )
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )
 
 
 def ann_bruteforce_topk(

@@ -2432,12 +2432,15 @@ def pq_adc_sql(
     iters: int = 2,
     scale: int = 10000,
     topk: int = 3,
+    rerank_shortlist: int | None = None,
 ) -> str:
     """Unrolled per-subspace Lloyd + encode + ADC rank, mirroring
     operators/pq.py bit-for-bit (same grid, same lowest-id seeding, same
     min(dist*k+cid) argmin, same floor(+0.5) re-quantization, same
     (s, code) join + BIGINT sum). One CTE chain per subspace — compile-time
-    m/k/iters, the _kmeans_sql contract."""
+    m/k/iters, the _kmeans_sql contract. With ``rerank_shortlist`` the
+    ADC ranking becomes the shortlist and the final top-k re-ranks it by
+    the EXACT grid squared distance (pq_adc_rerank_topk's twin)."""
     if dims % m:
         raise ValueError("pq_adc_sql: dims must divide by m")
     sub = dims // m
@@ -2513,13 +2516,102 @@ scored AS (
   WHERE qd.query_id <> codes.vec_id
   GROUP BY 1, 2
 )""")
-    ctes = ",\n".join(parts)
-    return f"""WITH {ctes}
+    if rerank_shortlist is None:
+        ctes = ",\n".join(parts)
+        return f"""WITH {ctes}
 SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, adc_dist
 FROM (
   SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
   FROM scored
+)
+WHERE rnk <= {topk}
+"""
+    parts.append(f"""short AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {rerank_shortlist}
+),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         CAST(list_sum(list_transform(range(1, {dims} + 1),
+             i -> (qv.x[i] - nv.x[i]) * (qv.x[i] - nv.x[i])))
+             AS BIGINT) AS exact_dist
+  FROM short s
+  JOIN xq nv ON nv.vec_id = s.neighbor_id
+  JOIN q qv ON qv.query_id = s.query_id
+)""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, exact_dist
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY exact_dist, neighbor_id) AS rnk
+  FROM exact
+)
+WHERE rnk <= {topk}
+"""
+
+
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ deployment (operators/pq.py pq_adc_rerank_topk): ADC
+    shortlists 10 candidates per query from the compressed index, exact
+    grid distance re-ranks them to a top-3 — the FAISS refine pattern.
+    Re-rank cost is |Q|*10 exact folds regardless of corpus size."""
+    from checkatron_spark.operators.pq import pq_adc_rerank_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_adc_rerank_topk(
+        emb, queries, m=4, k=16, iters=2, scale=10000, shortlist=10,
+        topk=3,
+    )
+
+
+def q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit Hamming ANN (operators/similarity.py ann_hamming_topk):
+    64-dim embeddings binarize to two 32-bit sign words; neighbors rank
+    by xor+bit_count in pure whole-stage codegen — the memory-floor
+    first-pass scan (64x smaller than raw float32)."""
+    from checkatron_spark.operators.similarity import ann_hamming_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_hamming_topk(emb, queries, k=3)
+
+
+def _sign_codes_sql() -> str:
+    """DuckDB twin of sign_hash_codes: MSB-first acc*2+bit fold into
+    32-bit words (BIGINT-safe on both engines — values < 2^32)."""
+    return (
+        "list_transform(range(0, CAST(ceil(len(embedding) / 32.0) AS "
+        "INTEGER)), w -> list_reduce(list_transform(range(w * 32 + 1, "
+        "least(w * 32 + 32, len(embedding)) + 1), i -> CASE WHEN "
+        "embedding[i] > 0 THEN 1::BIGINT ELSE 0::BIGINT END), "
+        "(a, b) -> a * 2 + b))"
+    )
+
+
+def ann_hamming_sql(topk: int = 3) -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE {_EMB_OK}),
+c AS (SELECT vec_id, {_sign_codes_sql()} AS codes FROM v),
+q AS (SELECT vec_id AS query_id, codes AS qc FROM c WHERE vec_id % 50 = 0),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(qc) + 1),
+             i -> bit_count(xor(qc[i], c.codes[i])))) AS INTEGER) AS hamming
+  FROM q CROSS JOIN c
+  WHERE q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, hamming
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rnk
+  FROM s
 )
 WHERE rnk <= {topk}
 """
@@ -3434,6 +3526,8 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
     "ann_pq_adc_topk": q_ann_pq,
+    "ann_pq_rerank_topk": q_ann_pq_rerank,
+    "ann_hamming_topk": q_ann_hamming,
     "events_windowed": q_events_windowed,
     "events_json_extract": q_events_json,
     "events_sessionize": q_events_sessionize,
@@ -3514,6 +3608,8 @@ def oracles() -> dict[str, str]:
         "ann_lsh_topk": ANN_BRUTEFORCE_SQL,
         "ann_ivf_topk": ANN_BRUTEFORCE_SQL,
         "ann_pq_adc_topk": pq_adc_sql(),
+        "ann_pq_rerank_topk": pq_adc_sql(rerank_shortlist=10),
+        "ann_hamming_topk": ann_hamming_sql(),
         "sketch_users_daily": SKETCH_USERS_SQL,
         "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,
         "ann_label_filtered_topk": ANN_LABEL_FILTERED_SQL,

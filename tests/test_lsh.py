@@ -198,3 +198,76 @@ def test_hot_shingle_literal_vs_broadcast_antijoin_paths(spark, monkeypatch):
     for (i, _t) in rows2:
         g = i // 10
         assert lit2[i] == [f"b{g} c{g} u{i}", f"c{g} u{i} v{i}"]
+
+
+def test_sign_hash_codes_match_python_reference(spark):
+    """Round 12: MSB-first 32-bit sign-word packing — pinned against a
+    bit-level python fold on edge vectors (negatives, zeros at the word
+    boundary, non-multiple-of-32 dims)."""
+    from checkatron_spark.operators.similarity import sign_hash_codes
+
+    rows = [
+        (1, [1.0, -1.0, 0.0, 2.0] * 16),          # 64 dims = 2 words
+        (2, [0.5] * 33),                           # 33 dims: 32 + 1
+        (3, [-0.1] * 32 + [3.0]),                  # word 2 = single 1-bit
+        (4, [1e-12] * 64),                         # tiny positives: all 1s
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["vec_id"]: list(r["codes"])
+           for r in sign_hash_codes(df).collect()}
+
+    def ref(vec):
+        out = []
+        for w in range(0, len(vec), 32):
+            acc = 0
+            for v in vec[w : w + 32]:
+                acc = (acc << 1) | (1 if v > 0 else 0)
+            out.append(acc)
+        return out
+
+    for i, vec in rows:
+        assert got[i] == ref(vec), i
+
+
+def test_ann_hamming_matches_duckdb_and_ties_deterministic(spark):
+    """Hamming scan: integer-exact xor+bit_count scoring; ties (coarse
+    0..dims range) break by ascending neighbor id on both engines."""
+    import duckdb
+
+    from checkatron_spark.operators.similarity import ann_hamming_topk
+    from checkatron_spark.pipelines import ann_hamming_sql
+
+    import random
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.choice([-1.0, 1.0]) for _ in range(64)])
+        for i in range(120)
+    ]
+    rows.append((120, None))
+    rows.append((121, [0.0] * 64))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") % 50 == 0)
+    got = sorted(
+        tuple(r) for r in ann_hamming_topk(df, queries, k=3).collect()
+    )
+    import pandas as pd
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "embeddings.parquet")
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(p)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}')")
+        res = con.sql(ann_hamming_sql())
+        cols = ["query_id", "neighbor_id", "rank", "hamming"]
+        idx = [res.columns.index(c) for c in cols]
+        want = sorted(tuple(row[i] for i in idx) for row in res.fetchall())
+    assert got == want
+    assert len(got) == 9  # 3 queries (0, 50, 100) x top-3
+    # within a query, equal-hamming rows are id-ascending
+    by_q = {}
+    for q, n, rk, h in got:
+        by_q.setdefault(q, []).append((rk, h, n))
+    for rs in by_q.values():
+        rs.sort()
+        for (r1, h1, n1), (r2, h2, n2) in zip(rs, rs[1:]):
+            assert (h1, n1) < (h2, n2)

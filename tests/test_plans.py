@@ -204,6 +204,11 @@ def test_no_cartesian_in_any_query(spark):
         # build is the ADC design (tiny both sides: |Q| x 64 rows); the
         # corpus-sized path rides the broadcast EQUI join on (s, code)
         "ann_pq_adc_topk",
+        "ann_pq_rerank_topk",  # inherits the ADC shortlist stage's shape
+        # deliberate brute scan: corpus x |Q| broadcast query CODES —
+        # per-pair cost is xor+bit_count on two longs, the cheapest scan
+        # in the repo; blocking composes on top when |Q| grows
+        "ann_hamming_topk",
     }
     for name, q in entrymod.full_queries().items():
         if name.startswith("stream_"):

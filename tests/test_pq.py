@@ -126,3 +126,50 @@ def test_pq_fail_fasts(spark):
         fit_pq_codebooks(ragged, m=2, k=2)
     with pytest.raises(ValueError, match="at least k"):
         fit_pq_codebooks(_vecs(spark, [(1, [0.1] * 8)]), m=2, k=4)
+
+
+def test_pq_rerank_subset_and_exactness(spark, duck, tmp_path):
+    """The refine stage: re-ranked top-k is drawn from the ADC shortlist,
+    ordered by exact grid distance, and the whole two-stage pipeline
+    matches the DuckDB twin row for row."""
+    import pandas as pd
+
+    from checkatron_spark.operators.pq import pq_adc_rerank_topk, pq_adc_topk
+    from checkatron_spark.pipelines import pq_adc_sql
+    from tests.conftest import assert_same_rows
+
+    rows = _clustered_rows()
+    pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'embeddings.parquet'}')"
+    )
+    emb = _vecs(spark, rows)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    short = pq_adc_topk(emb, queries, m=2, k=4, iters=2, topk=8)
+    rer = pq_adc_rerank_topk(
+        emb, queries, m=2, k=4, iters=2, shortlist=8, topk=3
+    )
+    res = duck.sql(
+        pq_adc_sql(dims=8, m=2, k=4, iters=2, topk=3, rerank_shortlist=8)
+    )
+    idx = [res.columns.index(c) for c in rer.columns]
+    assert_same_rows(
+        rer,
+        [tuple(row[i] for i in idx) for row in res.fetchall()],
+        duck_cols=rer.columns,
+    )
+    shortset = {(r["query_id"], r["neighbor_id"]) for r in short.collect()}
+    got = rer.collect()
+    assert len(got) == 9
+    assert all((r["query_id"], r["neighbor_id"]) in shortset for r in got)
+    # exact re-rank orders by true grid distance within each query
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        dists = [r["exact_dist"] for r in rs]
+        assert dists == sorted(dists)

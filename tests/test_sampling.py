@@ -139,3 +139,46 @@ def test_mix_budget_plan_reports_absent_groups(spark):
     en = out["en"]  # under-supplied: 300 avail vs 500 target -> 2 epochs
     assert (en.avail_tokens, en.target_tokens, en.n_epochs) == (300, 500, 2)
     assert en.shortfall_tokens == 0
+
+
+def test_mix_budget_plan_bpe_counts_subwords(spark, duck, tmp_path):
+    """Round 12: the BPE-counted mixture plan — availability sums greedy
+    subword counts (not whitespace words), graded against the composed
+    recursive-CTE oracle; a lang absent from the corpus still gets its
+    full-shortfall row."""
+    import pandas as pd
+
+    from checkatron_spark.sampling import QUERIES, oracles
+    from tests.conftest import assert_same_rows
+
+    rows = [
+        (1, "the nation ingested data", "en"),
+        (2, "the the the", "en"),
+        (3, "uno dos tres", "es"),
+        (4, None, "de"),
+        (5, "zz qq", None),          # NULL lang keeps a 0-weight row
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    df = QUERIES["mix_budget_plan_bpe"](spark, str(tmp_path))
+    res = duck.sql(oracles()["mix_budget_plan_bpe"])
+    idx = [res.columns.index(c) for c in df.columns]
+    assert_same_rows(
+        df,
+        [tuple(row[i] for i in idx) for row in res.fetchall()],
+        duck_cols=df.columns,
+    )
+    got = {r["lang"]: r for r in df.collect()}
+    # fr/zh have weights but no corpus rows: full-shortfall plan rows
+    assert got["fr"]["avail_tokens"] == 0
+    assert got["fr"]["shortfall_tokens"] == got["fr"]["target_tokens"] > 0
+    # subword counting: en avail = doc1 + doc2. doc1 'the nation
+    # ingested data' greedy over SUBWORD_VOCAB: the=1, n+ation=2,
+    # ing+es+te+d=4, d+at+a=3 -> 10; doc2 'the the the' -> 3. Total 13 —
+    # visibly SUBWORD counts (whitespace would say 7).
+    assert got["en"]["avail_tokens"] == 13

@@ -86,6 +86,9 @@ HEADLINERS = [
     ("media_decode", "REAL media decode (round 12): mapInPandas stdlib BMP/PNG codecs over synthesized real image bytes — two chained Python stages, no shuffle, stats reduced per image in numpy"),
     ("token_count_bpe", "greedy-subword token counts (round 12): distinct-word groupBy -> Arrow kernel on the word TABLE (not the token stream) -> join back on word -> map-combined per-doc sum"),
     ("ann_pq_adc_topk", "PQ ADC search (round 12): Arrow encode kernel (codebooks in the task closure) + broadcast (s, code) EQUI join of the tiny per-query distance tables + two-phase top-k"),
+    ("ann_pq_rerank_topk", "PQ + exact refine (round 12): ADC shortlist then |Q|*10 exact grid folds — re-rank cost independent of corpus size"),
+    ("ann_hamming_topk", "sign-bit Hamming ANN (round 12): 32-bit word packing + xor/bit_count scoring in whole-stage codegen; |Q|-row broadcast"),
+    ("mix_budget_plan_bpe", "mixture plan in SUBWORD tokens (round 12): token_count_bpe distinct-word kernel feeds the same exact-BIGINT planner"),
 ]
 
 

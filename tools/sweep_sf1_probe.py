@@ -105,6 +105,12 @@ PROBE = [
     # sub ints), encode one kernel pass ∝ corpus, search ∝ corpus codes x
     # matching queries; growth should track the scan term
     "ann_pq_adc_topk",
+    # round 12 late batch: the refine stage adds |Q|*shortlist exact
+    # folds on top of ADC (corpus-size independent); Hamming is the
+    # cheapest per-pair scan in the repo — growth tracks |Q| x corpus
+    # with a ~2-ALU-op pair cost
+    "ann_pq_rerank_topk",
+    "ann_hamming_topk",
 ]
 
 # tiled-fixture batch 2: flagship diff + TPC-H/window/events shapes
