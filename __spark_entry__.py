@@ -265,6 +265,9 @@ _CHECK_LAST: list[str] = [
     "ann_pq_rerank_topk",
     "ann_hamming_topk",
     "mix_budget_plan_bpe",
+    # round 12, final batch: the composed FAISS architecture — coarse
+    # cells + residual PQ, exact-integer twin
+    "ann_ivfpq_topk",
 ]
 
 

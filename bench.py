@@ -147,6 +147,9 @@ HEADLINE = [
     # deployment), and the pure-codegen sign-bit Hamming scan
     "ann_pq_rerank_topk",
     "ann_hamming_topk",
+    # the composed FAISS shape: coarse Lloyd + residual PQ + probed ADC —
+    # the heaviest fit-per-run lifecycle in the headline set
+    "ann_ivfpq_topk",
 ]
 
 

@@ -44,9 +44,12 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "fit_pq_codebooks",
+    "fit_codebooks_grid",
     "pq_encode",
+    "pq_encode_grid",
     "pq_adc_topk",
     "pq_adc_rerank_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -103,11 +106,25 @@ def fit_pq_codebooks(
     argmin, one IEEE division + floor(+0.5) per re-quantized component,
     emptied clusters keep their previous centroid). Returns
     ``codebooks[s][cid] -> list[int]`` of length dims/m."""
+    xq = _quantized(vectors, id_col, vec_col, scale)
+    return fit_codebooks_grid(xq, id_col=id_col, m=m, k=k, iters=iters)
+
+
+def fit_codebooks_grid(
+    xq: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+) -> list[list[list[int]]]:
+    """The grid-input fit: ``xq`` is (id_col, _x array<bigint>) already on
+    the BIGINT grid — the seam that lets IVF-PQ train codebooks over
+    RESIDUAL vectors (x − coarse centroid), which are grid integers by
+    construction and must NOT be re-quantized."""
     from checkatron_spark.session import scratch_persist
 
-    xq = _quantized(vectors, id_col, vec_col, scale).transform(
-        scratch_persist
-    )
+    xq = xq.transform(scratch_persist)
     dims = _vector_dims(xq)
     bounds = _subspace_bounds(dims, m)
     seed_rows = xq.orderBy(F.col(id_col).asc()).limit(k).collect()
@@ -186,6 +203,18 @@ def pq_encode(
     row per (vector, subspace). Long form is deliberate: ADC joins on
     (s, code) equality, so the encode output is directly the join's build
     side with no array poking in the hot path."""
+    xq = _quantized(vectors, id_col, vec_col, scale)
+    return pq_encode_grid(xq, codebooks, id_col=id_col)
+
+
+def pq_encode_grid(
+    xq: DataFrame,
+    codebooks: list[list[list[int]]],
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Grid-input encode over (id_col, _x array<bigint>) — the residual
+    seam for IVF-PQ (see :func:`fit_codebooks_grid`)."""
     import numpy as np
     import pandas as pd
 
@@ -193,7 +222,6 @@ def pq_encode(
     k = len(codebooks[0])
     sub = len(codebooks[0][0])
     cents = np.array(codebooks, dtype=np.int64)  # (m, k, sub)
-    xq = _quantized(vectors, id_col, vec_col, scale)
     id_type = dict(xq.dtypes)[id_col]
 
     def kernel(batches):
@@ -370,4 +398,133 @@ def pq_adc_rerank_topk(
         exact.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "rank", "exact_dist")
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 10000,
+    topk: int = 3,
+) -> DataFrame:
+    """IVF-PQ — the full FAISS index architecture, exact-integer twin:
+    a coarse quantizer (full-vector Lloyd on the grid, ``n_cells``)
+    partitions the corpus; per-subspace PQ codebooks train on the
+    RESIDUALS (x − coarse centroid — grid integers by construction, no
+    re-quantization seam); each query probes its ``n_probe`` closest
+    cells and ADC-scores only their members against its per-cell
+    residual distance tables.
+
+    The two scale levers compose: probing bounds the candidate set by
+    cell population (IVF), the residual codes bound per-candidate cost
+    to m table lookups and per-vector memory to m bytes (PQ). Residual
+    coding is why IVF-PQ beats flat PQ at equal bits: within a cell the
+    residual magnitudes are small, so the same k codes cover them
+    finer.
+
+    Every code, probe choice, and distance is exact BIGINT arithmetic
+    (deterministic ties: probe order (dist, cell), ranking (dist,
+    neighbor)), so the DuckDB oracle replays the entire index+search
+    computation. Returns (query_id, neighbor_id, rank, adc_dist) —
+    neighbors in unprobed cells are absent by design."""
+    from checkatron_spark.session import scratch_persist
+
+    xq = _quantized(vectors, id_col, vec_col, scale).transform(
+        scratch_persist
+    )
+    dims = _vector_dims(xq)
+    coarse = fit_codebooks_grid(
+        xq, id_col=id_col, m=1, k=n_cells, iters=iters
+    )[0]
+    spark = xq.sparkSession
+    cdf = spark.createDataFrame(
+        list(enumerate(coarse)), "cell int, _cm array<bigint>"
+    )
+    assigned = _argmin_code(xq, "_x", coarse, n_cells).select(
+        F.col(id_col), "_x", F.col("_code").alias("cell")
+    )
+    res = (
+        assigned.join(F.broadcast(cdf), "cell")
+        .select(
+            F.col(id_col),
+            "cell",
+            F.expr("zip_with(_x, _cm, (a, b) -> a - b)").alias("_x"),
+        )
+        .transform(scratch_persist)
+    )
+    books = fit_codebooks_grid(
+        res.select(id_col, "_x"), id_col=id_col, m=m, k=k, iters=iters
+    )
+    sub = dims // m
+    codes = (
+        pq_encode_grid(res.select(id_col, "_x"), books, id_col=id_col)
+        .join(res.select(id_col, "cell"), id_col)
+        .withColumnRenamed(id_col, "neighbor_id")
+    )
+    qx = _quantized(queries, id_col, vec_col, scale).withColumnRenamed(
+        id_col, "query_id"
+    )
+    cdist = F.expr(
+        "aggregate(zip_with(_x, _cm, (a, b) -> (a - b) * (a - b)), 0L, "
+        "(acc, v) -> acc + v)"
+    )
+    qc = qx.crossJoin(F.broadcast(cdf)).select(
+        "query_id", "cell", "_x", "_cm", cdist.alias("_cd")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_cd").asc(), F.col("cell").asc()
+    )
+    probed = (
+        qc.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            F.expr("zip_with(_x, _cm, (a, b) -> a - b)").alias("_qr"),
+        )
+    )
+    flat = [
+        (s, cid, list(map(int, cent)))
+        for s, book in enumerate(books)
+        for cid, cent in enumerate(book)
+    ]
+    bookdf = spark.createDataFrame(flat, "s int, code int, _m array<bigint>")
+    qd = probed.crossJoin(F.broadcast(bookdf)).select(
+        "query_id",
+        "cell",
+        "s",
+        "code",
+        F.expr(
+            f"aggregate(zip_with(slice(_qr, s * {sub} + 1, {sub}), _m, "
+            "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"
+        ).alias("_d"),
+    )
+    scored = (
+        codes.join(F.broadcast(qd), ["cell", "s", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_d").alias("adc_dist"))
+    )
+    order = [F.col("adc_dist").asc(), F.col("neighbor_id").asc()]
+    local = Window.partitionBy(
+        "query_id", F.spark_partition_id()
+    ).orderBy(*order)
+    survivors = (
+        scored.withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= topk)
+        .drop("_lrn")
+    )
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
     )

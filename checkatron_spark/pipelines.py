@@ -2617,6 +2617,183 @@ WHERE rnk <= {topk}
 """
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/pq.py ivfpq_topk): 8 coarse cells x residual PQ
+    (4 subspaces, 16 codes), 2 cells probed per query — the composed
+    FAISS architecture with both scale levers (candidate set bounded by
+    probed-cell population, per-candidate cost m table lookups). Exact
+    integer end to end, graded against the unrolled coarse+residual CTE
+    oracle."""
+    from checkatron_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivfpq_topk(
+        emb, queries, n_cells=8, n_probe=2, m=4, k=16, iters=2,
+        scale=10000, topk=3,
+    )
+
+
+def ivfpq_sql(
+    *,
+    dims: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 10000,
+    topk: int = 3,
+) -> str:
+    """Unrolled IVF-PQ oracle: full-vector coarse Lloyd chain + cell
+    assignment + residual computation + per-subspace residual Lloyd
+    chains + encode + probed-cell ADC — operators/pq.py ivfpq_topk's
+    twin, rule for rule (lowest-id seeding on each fit's own input
+    frame, min(dist*k+cid) argmins, (cd, cell) probe order)."""
+    if dims % m:
+        raise ValueError("ivfpq_sql: dims must divide by m")
+    sub = dims // m
+    dist_full = (
+        "CAST(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (t.sx[i] - mm[i]) * (t.sx[i] - mm[i]))) AS BIGINT)"
+    ).format(d=dims)
+    dist_sub = (
+        "CAST(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (t.sx[i] - mm[i]) * (t.sx[i] - mm[i]))) AS BIGINT)"
+    ).format(d=sub)
+    parts = [
+        f"""xq AS (
+  SELECT vec_id,
+         list_transform(embedding, v ->
+             CAST(floor(CAST(v AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS x
+  FROM embeddings WHERE {_EMB_OK}
+),
+csx AS (SELECT vec_id, x AS sx FROM xq),
+cc_0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         x AS mm
+  FROM (SELECT vec_id, x FROM xq ORDER BY vec_id LIMIT {n_cells})
+)"""
+    ]
+    for it in range(iters - 1):
+        parts.append(f"""ca_{it} AS (
+  SELECT t.vec_id, t.sx, min({dist_full} * {n_cells} + cid) AS key
+  FROM csx t CROSS JOIN cc_{it} GROUP BY t.vec_id, t.sx
+),
+cf_{it} AS (
+  SELECT CAST(key % {n_cells} AS INTEGER) AS cid, p.j,
+         CAST(floor(CAST(SUM(sx[p.j]) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS mv
+  FROM ca_{it} CROSS JOIN
+       (SELECT unnest(range(1, {dims} + 1)) AS j) p
+  GROUP BY 1, 2
+),
+cc_{it + 1} AS (
+  SELECT c.cid, COALESCE(n.mm, c.mm) AS mm
+  FROM cc_{it} c LEFT JOIN
+       (SELECT cid, list(mv ORDER BY j) AS mm FROM cf_{it} GROUP BY cid) n
+       USING (cid)
+)""")
+    cfin = f"cc_{iters - 1}"
+    parts.append(f"""cells AS (
+  SELECT t.vec_id,
+         CAST(min({dist_full} * {n_cells} + cid) % {n_cells} AS INTEGER)
+             AS cell
+  FROM csx t CROSS JOIN {cfin} GROUP BY t.vec_id
+),
+res AS (
+  SELECT c.vec_id, c.cell,
+         list_transform(range(1, {dims} + 1), i -> xq.x[i] - cm.mm[i]) AS x
+  FROM cells c JOIN xq USING (vec_id) JOIN {cfin} cm ON cm.cid = c.cell
+),
+rseed AS (SELECT vec_id, x FROM res ORDER BY vec_id LIMIT {k})""")
+    for s in range(m):
+        lo = s * sub + 1
+        sl = f"list_transform(range({lo}, {lo + sub}), i -> x[i])"
+        parts.append(f"""rsx_{s} AS (SELECT vec_id, {sl} AS sx FROM res),
+rc_{s}_0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         {sl} AS mm
+  FROM rseed
+)""")
+        for it in range(iters - 1):
+            parts.append(f"""ra_{s}_{it} AS (
+  SELECT t.vec_id, t.sx, min({dist_sub} * {k} + cid) AS key
+  FROM rsx_{s} t CROSS JOIN rc_{s}_{it} GROUP BY t.vec_id, t.sx
+),
+rf_{s}_{it} AS (
+  SELECT CAST(key % {k} AS INTEGER) AS cid, p.j,
+         CAST(floor(CAST(SUM(sx[p.j]) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS mv
+  FROM ra_{s}_{it} CROSS JOIN
+       (SELECT unnest(range(1, {sub} + 1)) AS j) p
+  GROUP BY 1, 2
+),
+rc_{s}_{it + 1} AS (
+  SELECT c.cid, COALESCE(n.mm, c.mm) AS mm
+  FROM rc_{s}_{it} c LEFT JOIN
+       (SELECT cid, list(mv ORDER BY j) AS mm FROM rf_{s}_{it} GROUP BY cid)
+       n USING (cid)
+)""")
+        parts.append(f"""rcodes_{s} AS (
+  SELECT t.vec_id, CAST({s} AS INTEGER) AS s,
+         CAST(min({dist_sub} * {k} + cid) % {k} AS INTEGER) AS code
+  FROM rsx_{s} t CROSS JOIN rc_{s}_{iters - 1} GROUP BY t.vec_id
+)""")
+    codes_union = " UNION ALL ".join(
+        f"SELECT * FROM rcodes_{s}" for s in range(m)
+    )
+    cents_union = " UNION ALL ".join(
+        f"SELECT CAST({s} AS INTEGER) AS s, cid, mm FROM rc_{s}_{iters - 1}"
+        for s in range(m)
+    )
+    parts.append(f"""codes AS ({codes_union}),
+cents AS ({cents_union}),
+q AS (SELECT vec_id AS query_id, x FROM xq WHERE vec_id % 50 = 0),
+qcd AS (
+  SELECT q.query_id, c.cid AS cell, c.mm, q.x,
+         CAST(list_sum(list_transform(range(1, {dims} + 1),
+             i -> (q.x[i] - c.mm[i]) * (q.x[i] - c.mm[i]))) AS BIGINT) AS cd
+  FROM q CROSS JOIN {cfin} c
+),
+probed AS (
+  SELECT query_id, cell,
+         list_transform(range(1, {dims} + 1), i -> x[i] - mm[i]) AS qr
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cd, cell) AS pr
+    FROM qcd
+  ) WHERE pr <= {n_probe}
+),
+qd AS (
+  SELECT query_id, cell, s, cid AS code,
+         CAST(list_sum(list_transform(range(1, {sub} + 1),
+             i -> (qr[s * {sub} + i] - mm[i]) * (qr[s * {sub} + i] - mm[i])))
+             AS BIGINT) AS d
+  FROM probed CROSS JOIN cents
+),
+vcell AS (SELECT vec_id, cell FROM res),
+scored AS (
+  SELECT qd.query_id, codes.vec_id AS neighbor_id,
+         CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+  FROM codes JOIN vcell USING (vec_id)
+  JOIN qd ON vcell.cell = qd.cell AND codes.s = qd.s
+         AND codes.code = qd.code
+  WHERE qd.query_id <> codes.vec_id
+  GROUP BY 1, 2
+)""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, adc_dist
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {topk}
+"""
+
+
 def _emb_cache_key(sf_dir: str) -> str | None:
     """Disk-cache key for the IVF quantizer (VERDICT r11 #5): the
     embeddings parquet's identity — realpath + mtime + size — so a changed
@@ -3527,6 +3704,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf,
     "ann_pq_adc_topk": q_ann_pq,
     "ann_pq_rerank_topk": q_ann_pq_rerank,
+    "ann_ivfpq_topk": q_ann_ivfpq,
     "ann_hamming_topk": q_ann_hamming,
     "events_windowed": q_events_windowed,
     "events_json_extract": q_events_json,
@@ -3609,6 +3787,7 @@ def oracles() -> dict[str, str]:
         "ann_ivf_topk": ANN_BRUTEFORCE_SQL,
         "ann_pq_adc_topk": pq_adc_sql(),
         "ann_pq_rerank_topk": pq_adc_sql(rerank_shortlist=10),
+        "ann_ivfpq_topk": ivfpq_sql(),
         "ann_hamming_topk": ann_hamming_sql(),
         "sketch_users_daily": SKETCH_USERS_SQL,
         "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,

@@ -205,6 +205,10 @@ def test_no_cartesian_in_any_query(spark):
         # corpus-sized path rides the broadcast EQUI join on (s, code)
         "ann_pq_adc_topk",
         "ann_pq_rerank_topk",  # inherits the ADC shortlist stage's shape
+        # coarse-centroid literals BNLJ (kmeans_domains precedent) for
+        # cell assignment + the |Q| x n_cells probe scorer; the corpus
+        # path rides the (cell, s, code) broadcast EQUI join
+        "ann_ivfpq_topk",
         # deliberate brute scan: corpus x |Q| broadcast query CODES —
         # per-pair cost is xor+bit_count on two longs, the cheapest scan
         # in the repo; blocking composes on top when |Q| grows

@@ -173,3 +173,68 @@ def test_pq_rerank_subset_and_exactness(spark, duck, tmp_path):
         rs.sort(key=lambda r: r["rank"])
         dists = [r["exact_dist"] for r in rs]
         assert dists == sorted(dists)
+
+
+def test_ivfpq_matches_duckdb_oracle(spark, duck, tmp_path):
+    """IVF-PQ: the composed coarse+residual pipeline equals the unrolled
+    oracle row for row (degenerate embeddings excluded identically);
+    probed-cell semantics — every reported neighbor shares a probed cell
+    with its query."""
+    import pandas as pd
+
+    from checkatron_spark.operators.pq import ivfpq_topk
+    from checkatron_spark.pipelines import ivfpq_sql
+    from tests.conftest import assert_same_rows
+
+    rows = _clustered_rows()
+    pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'embeddings.parquet'}')"
+    )
+    emb = _vecs(spark, rows)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    df = ivfpq_topk(
+        emb, queries, n_cells=4, n_probe=2, m=2, k=4, iters=2, topk=3
+    )
+    res = duck.sql(
+        ivfpq_sql(dims=8, n_cells=4, n_probe=2, m=2, k=4, iters=2, topk=3)
+    )
+    idx = [res.columns.index(c) for c in df.columns]
+    assert_same_rows(
+        df,
+        [tuple(row[i] for i in idx) for row in res.fetchall()],
+        duck_cols=df.columns,
+    )
+    got = df.collect()
+    assert len(got) == 9
+    assert all(r["query_id"] != r["neighbor_id"] for r in got)
+    # separable clusters + coarse k = n_groups: top-ranked neighbors stay
+    # in the query's own cluster (residual coding must not cross cells)
+    for r in got:
+        if r["rank"] == 1:
+            assert r["query_id"] % 4 == r["neighbor_id"] % 4
+
+
+def test_ivfpq_probe_bounds_candidates(spark):
+    """n_probe=1 returns only own-cell members; widening n_probe can only
+    ADD candidates (monotone candidate sets)."""
+    from checkatron_spark.operators.pq import ivfpq_topk
+
+    rows = [r for r in _clustered_rows() if r[1] is not None
+            and all(v is not None for v in r[1]) and any(r[1])]
+    emb = _vecs(spark, rows)
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    one = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, queries, n_cells=4, n_probe=1, m=2, k=4,
+                            topk=50).collect()
+    }
+    two = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(emb, queries, n_cells=4, n_probe=2, m=2, k=4,
+                            topk=50).collect()
+    }
+    assert one and one <= two and len(two) > len(one)

@@ -89,6 +89,7 @@ HEADLINERS = [
     ("ann_pq_rerank_topk", "PQ + exact refine (round 12): ADC shortlist then |Q|*10 exact grid folds — re-rank cost independent of corpus size"),
     ("ann_hamming_topk", "sign-bit Hamming ANN (round 12): 32-bit word packing + xor/bit_count scoring in whole-stage codegen; |Q|-row broadcast"),
     ("mix_budget_plan_bpe", "mixture plan in SUBWORD tokens (round 12): token_count_bpe distinct-word kernel feeds the same exact-BIGINT planner"),
+    ("ann_ivfpq_topk", "IVF-PQ (round 12): coarse cells + residual PQ codes; probed-cell (cell, s, code) EQUI join bounds candidates by cell population"),
 ]
 
 

@@ -111,6 +111,9 @@ PROBE = [
     # with a ~2-ALU-op pair cost
     "ann_pq_rerank_topk",
     "ann_hamming_topk",
+    # composed IVF-PQ: coarse+residual fits are fixed-size Lloyd loops,
+    # encode/search ∝ corpus (probed fraction) — growth = the scan term
+    "ann_ivfpq_topk",
 ]
 
 # tiled-fixture batch 2: flagship diff + TPC-H/window/events shapes
