@@ -710,3 +710,22 @@ def test_bench_and_probe_batteries_reference_declared_queries():
     batt = set(probe.PROBE) | set(probe.PROBE2) | set(probe.PROBE_DOCS)
     ghosts = [n for n in probe.ALLOW if n not in batt]
     assert not ghosts, f"ALLOW entries outside the batteries: {ghosts}"
+
+
+def test_stale_segment_orders_oldest_green_first():
+    """Round 12: a mass-stale round produces more stale entries than
+    window slots, so the stale segment must order by green AGE (oldest
+    round first, name tie-break) — declaration order would let a recent
+    module's stales crowd out a query whose last proof is many rounds
+    old. Pinned on the LIVE ordering: the stale names inside queries()
+    must appear in (green round, name) order."""
+    names = list(entrymod.queries().keys())
+    green = entrymod._greens_on_disk()
+    stale = entrymod._stale_greens(entrymod._queries_unordered(), green)
+    stale_in_order = [n for n in names if n in stale and n in green]
+    if len(stale_in_order) < 2:
+        return  # nothing to order this round — vacuously fine
+    keys = [(entrymod._round_no(green[n]), n) for n in stale_in_order]
+    assert keys == sorted(keys), (
+        "stale segment must be oldest-green-first", keys[:6]
+    )
