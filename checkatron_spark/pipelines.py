@@ -2414,13 +2414,18 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-CTE oracle, so the driver grades the full index+search
     computation; recall vs exact brute force is pinned separately in
     tests/test_pq.py (approximation is PQ's documented trade, not
-    nondeterminism)."""
+    nondeterminism). Round 13 (VERDICT r12 #1): codebooks train on the
+    md5-ordered 256-row bounded sample (the FAISS discipline — fit cost
+    is corpus-independent; the oracle replays the identical sample) and
+    persist to disk keyed by corpus identity, so repeat searches skip the
+    Lloyd job chain entirely."""
     from checkatron_spark.operators.pq import pq_adc_topk
 
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return pq_adc_topk(
-        emb, queries, m=4, k=16, iters=2, scale=10000, topk=3
+        emb, queries, m=4, k=16, iters=2, scale=10000, topk=3,
+        fit_sample=256, cache_key=_emb_cache_key(sf_dir),
     )
 
 
@@ -2433,6 +2438,7 @@ def pq_adc_sql(
     scale: int = 10000,
     topk: int = 3,
     rerank_shortlist: int | None = None,
+    fit_sample: int | None = None,
 ) -> str:
     """Unrolled per-subspace Lloyd + encode + ADC rank, mirroring
     operators/pq.py bit-for-bit (same grid, same lowest-id seeding, same
@@ -2440,7 +2446,9 @@ def pq_adc_sql(
     (s, code) join + BIGINT sum). One CTE chain per subspace — compile-time
     m/k/iters, the _kmeans_sql contract. With ``rerank_shortlist`` the
     ADC ranking becomes the shortlist and the final top-k re-ranks it by
-    the EXACT grid squared distance (pq_adc_rerank_topk's twin)."""
+    the EXACT grid squared distance (pq_adc_rerank_topk's twin). With
+    ``fit_sample`` the Lloyd chains train on the same md5-ordered bounded
+    sample as _fit_sample_grid (encode still covers the full corpus)."""
     if dims % m:
         raise ValueError("pq_adc_sql: dims must divide by m")
     sub = dims // m
@@ -2450,9 +2458,22 @@ def pq_adc_sql(
          list_transform(embedding, v ->
              CAST(floor(CAST(v AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS x
   FROM embeddings WHERE {_EMB_OK}
-),
-seed AS (SELECT vec_id, x FROM xq ORDER BY vec_id LIMIT {k})"""
+)"""
     ]
+    fit_src = "xq"
+    if fit_sample is not None:
+        fit_src = "fitset"
+        parts.append(
+            f"""fitset AS (
+  SELECT vec_id, x FROM xq
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || 'pqfit'), vec_id
+  LIMIT {fit_sample}
+)"""
+        )
+    parts.append(
+        f"seed AS (SELECT vec_id, x FROM {fit_src} "
+        f"ORDER BY vec_id LIMIT {k})"
+    )
     dist = (
         "CAST(list_sum(list_transform(range(1, {sub} + 1), "
         "i -> (t.sx[i] - mm[i]) * (t.sx[i] - mm[i]))) AS BIGINT)"
@@ -2463,6 +2484,7 @@ seed AS (SELECT vec_id, x FROM xq ORDER BY vec_id LIMIT {k})"""
             f"list_transform(range({lo}, {lo + sub}), i -> x[i])"
         )
         parts.append(f"""sx_{s} AS (SELECT vec_id, {sl} AS sx FROM xq),
+fsx_{s} AS (SELECT vec_id, {sl} AS sx FROM {fit_src}),
 c_{s}_0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
          {sl} AS mm
@@ -2471,7 +2493,7 @@ c_{s}_0 AS (
         for it in range(iters - 1):
             parts.append(f"""a_{s}_{it} AS (
   SELECT t.vec_id, t.sx, min({dist} * {k} + cid) AS key
-  FROM sx_{s} t CROSS JOIN c_{s}_{it} GROUP BY t.vec_id, t.sx
+  FROM fsx_{s} t CROSS JOIN c_{s}_{it} GROUP BY t.vec_id, t.sx
 ),
 f_{s}_{it} AS (
   SELECT CAST(key % {k} AS INTEGER) AS cid, p.j,
@@ -2567,7 +2589,7 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return pq_adc_rerank_topk(
         emb, queries, m=4, k=16, iters=2, scale=10000, shortlist=10,
-        topk=3,
+        topk=3, fit_sample=256, cache_key=_emb_cache_key(sf_dir),
     )
 
 
@@ -2630,7 +2652,8 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return ivfpq_topk(
         emb, queries, n_cells=8, n_probe=2, m=4, k=16, iters=2,
-        scale=10000, topk=3,
+        scale=10000, topk=3, fit_sample=256,
+        cache_key=_emb_cache_key(sf_dir),
     )
 
 
@@ -2644,12 +2667,17 @@ def ivfpq_sql(
     iters: int = 2,
     scale: int = 10000,
     topk: int = 3,
+    fit_sample: int | None = None,
 ) -> str:
     """Unrolled IVF-PQ oracle: full-vector coarse Lloyd chain + cell
     assignment + residual computation + per-subspace residual Lloyd
     chains + encode + probed-cell ADC — operators/pq.py ivfpq_topk's
     twin, rule for rule (lowest-id seeding on each fit's own input
-    frame, min(dist*k+cid) argmins, (cd, cell) probe order)."""
+    frame, min(dist*k+cid) argmins, (cd, cell) probe order). With
+    ``fit_sample`` BOTH Lloyd stages train on the md5-ordered bounded
+    sample (the residual fit on the sample rows' residuals), while cell
+    assignment and encode still cover the full corpus — _fit_sample_grid's
+    twin."""
     if dims % m:
         raise ValueError("ivfpq_sql: dims must divide by m")
     sub = dims // m
@@ -2667,18 +2695,29 @@ def ivfpq_sql(
          list_transform(embedding, v ->
              CAST(floor(CAST(v AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS x
   FROM embeddings WHERE {_EMB_OK}
-),
-csx AS (SELECT vec_id, x AS sx FROM xq),
+)"""
+    ]
+    fit_src = "xq"
+    if fit_sample is not None:
+        fit_src = "fitset"
+        parts.append(
+            f"""fitset AS (
+  SELECT vec_id, x FROM xq
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || 'pqfit'), vec_id
+  LIMIT {fit_sample}
+)"""
+        )
+    parts.append(f"""csx AS (SELECT vec_id, x AS sx FROM xq),
+cfsx AS (SELECT vec_id, x AS sx FROM {fit_src}),
 cc_0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
          x AS mm
-  FROM (SELECT vec_id, x FROM xq ORDER BY vec_id LIMIT {n_cells})
-)"""
-    ]
+  FROM (SELECT vec_id, x FROM {fit_src} ORDER BY vec_id LIMIT {n_cells})
+)""")
     for it in range(iters - 1):
         parts.append(f"""ca_{it} AS (
   SELECT t.vec_id, t.sx, min({dist_full} * {n_cells} + cid) AS key
-  FROM csx t CROSS JOIN cc_{it} GROUP BY t.vec_id, t.sx
+  FROM cfsx t CROSS JOIN cc_{it} GROUP BY t.vec_id, t.sx
 ),
 cf_{it} AS (
   SELECT CAST(key % {n_cells} AS INTEGER) AS cid, p.j,
@@ -2706,11 +2745,16 @@ res AS (
          list_transform(range(1, {dims} + 1), i -> xq.x[i] - cm.mm[i]) AS x
   FROM cells c JOIN xq USING (vec_id) JOIN {cfin} cm ON cm.cid = c.cell
 ),
-rseed AS (SELECT vec_id, x FROM res ORDER BY vec_id LIMIT {k})""")
+rfit AS (
+  SELECT r.vec_id, r.x FROM res r{"" if fit_sample is None else
+  " JOIN fitset f USING (vec_id)"}
+),
+rseed AS (SELECT vec_id, x FROM rfit ORDER BY vec_id LIMIT {k})""")
     for s in range(m):
         lo = s * sub + 1
         sl = f"list_transform(range({lo}, {lo + sub}), i -> x[i])"
         parts.append(f"""rsx_{s} AS (SELECT vec_id, {sl} AS sx FROM res),
+frsx_{s} AS (SELECT vec_id, {sl} AS sx FROM rfit),
 rc_{s}_0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
          {sl} AS mm
@@ -2719,7 +2763,7 @@ rc_{s}_0 AS (
         for it in range(iters - 1):
             parts.append(f"""ra_{s}_{it} AS (
   SELECT t.vec_id, t.sx, min({dist_sub} * {k} + cid) AS key
-  FROM rsx_{s} t CROSS JOIN rc_{s}_{it} GROUP BY t.vec_id, t.sx
+  FROM frsx_{s} t CROSS JOIN rc_{s}_{it} GROUP BY t.vec_id, t.sx
 ),
 rf_{s}_{it} AS (
   SELECT CAST(key % {k} AS INTEGER) AS cid, p.j,
@@ -2791,6 +2835,126 @@ FROM (
   FROM scored
 )
 WHERE rnk <= {topk}
+"""
+
+
+def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of every compressed-index ANN path against the
+    exact brute-force ground truth at matched k=3 — the method-audit twin
+    of neardup_method_audit (VERDICT r12 #3): the measurement a real user
+    needs to pick n_probe/m/k before trusting a compressed index
+    corpus-wide. hits/total are exact integers (pair-set intersections of
+    deterministic rankings), so the whole audit replays bit-for-bit in
+    the composed DuckDB oracle; recall_at_k is one IEEE division of two
+    exact integers, rounded at 1e-6. All four methods reuse the disk-
+    cached sampled-fit codebooks, so the audit costs one brute-force scan
+    plus four SEARCHES, not four index builds. Returns one row per
+    method: (method, hits, total, recall_at_k)."""
+    from checkatron_spark.operators.pq import (
+        ivfpq_topk,
+        pq_adc_rerank_topk,
+        pq_adc_topk,
+    )
+    from checkatron_spark.operators.similarity import ann_hamming_topk
+    from checkatron_spark.session import scratch_persist
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    key = _emb_cache_key(sf_dir)
+    bf = (
+        S.ann_bruteforce_topk(emb, queries, k=3)
+        .select("query_id", "neighbor_id")
+        .transform(scratch_persist)  # consumed twice: hits join + total
+    )
+    methods = {
+        "ann_hamming": ann_hamming_topk(emb, queries, k=3),
+        "ann_ivfpq": ivfpq_topk(
+            emb, queries, n_cells=8, n_probe=2, m=4, k=16, iters=2,
+            scale=10000, topk=3, fit_sample=256, cache_key=key,
+        ),
+        "ann_pq_adc": pq_adc_topk(
+            emb, queries, m=4, k=16, iters=2, scale=10000, topk=3,
+            fit_sample=256, cache_key=key,
+        ),
+        "ann_pq_rerank": pq_adc_rerank_topk(
+            emb, queries, m=4, k=16, iters=2, scale=10000, shortlist=10,
+            topk=3, fit_sample=256, cache_key=key,
+        ),
+    }
+    labeled = None
+    for name in sorted(methods):
+        part = methods[name].select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        labeled = part if labeled is None else labeled.unionAll(part)
+    hits = (
+        labeled.join(F.broadcast(bf), ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    names = spark.createDataFrame(
+        [(n,) for n in sorted(methods)], "method string"
+    )
+    tot = bf.agg(F.count(F.lit(1)).alias("total"))
+    h = F.coalesce(F.col("hits"), F.lit(0)).cast("bigint")
+    return (
+        names.join(hits, "method", "left")
+        .crossJoin(tot)  # 1-row scalar — broadcast-NL by construction
+        .select(
+            "method",
+            h.alias("hits"),
+            F.col("total").cast("bigint").alias("total"),
+            F.round(
+                h.cast("double") / F.col("total").cast("double"), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("method")
+    )
+
+
+def ann_recall_audit_sql() -> str:
+    """Composed oracle: each method's full unrolled oracle (the SAME
+    generator outputs the driver grades individually) becomes a CTE, the
+    pair-set intersection with the brute-force CTE is counted per method,
+    and recall is the rounded exact-integer division — so the audit's
+    ground truth and its subjects are the already-proven twins."""
+    methods = {
+        "ann_hamming": ann_hamming_sql(topk=3),
+        "ann_ivfpq": ivfpq_sql(fit_sample=256),
+        "ann_pq_adc": pq_adc_sql(fit_sample=256),
+        "ann_pq_rerank": pq_adc_sql(rerank_shortlist=10, fit_sample=256),
+    }
+    names = sorted(methods)
+    mcte = ",\n".join(
+        f"m_{i} AS (SELECT '{n}' AS method, query_id, neighbor_id "
+        f"FROM (\n{methods[n]}\n) t)"
+        for i, n in enumerate(names)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m_{i}" for i in range(len(names))
+    )
+    vals = ", ".join(f"('{n}')" for n in names)
+    return f"""
+WITH bf AS (
+  SELECT query_id, neighbor_id FROM (\n{ANN_BRUTEFORCE_SQL}\n) t
+),
+{mcte},
+lab AS ({union}),
+tot AS (SELECT COUNT(*) AS total FROM bf),
+hits AS (
+  SELECT method, COUNT(*) AS hits
+  FROM lab JOIN bf USING (query_id, neighbor_id)
+  GROUP BY method
+)
+SELECT m.method,
+       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(t.total AS BIGINT) AS total,
+       round(CAST(COALESCE(h.hits, 0) AS DOUBLE)
+             / CAST(t.total AS DOUBLE), 6) AS recall_at_k
+FROM (VALUES {vals}) AS m(method)
+LEFT JOIN hits h ON h.method = m.method
+CROSS JOIN tot t
+ORDER BY m.method
 """
 
 
@@ -3706,6 +3870,7 @@ QUERIES = {
     "ann_pq_rerank_topk": q_ann_pq_rerank,
     "ann_ivfpq_topk": q_ann_ivfpq,
     "ann_hamming_topk": q_ann_hamming,
+    "ann_recall_audit": q_ann_recall_audit,
     "events_windowed": q_events_windowed,
     "events_json_extract": q_events_json,
     "events_sessionize": q_events_sessionize,
@@ -3785,9 +3950,11 @@ def oracles() -> dict[str, str]:
         "neardup_hybrid_semantic": neardup_hybrid_sql(),
         "ann_lsh_topk": ANN_BRUTEFORCE_SQL,
         "ann_ivf_topk": ANN_BRUTEFORCE_SQL,
-        "ann_pq_adc_topk": pq_adc_sql(),
-        "ann_pq_rerank_topk": pq_adc_sql(rerank_shortlist=10),
-        "ann_ivfpq_topk": ivfpq_sql(),
+        "ann_pq_adc_topk": pq_adc_sql(fit_sample=256),
+        "ann_pq_rerank_topk": pq_adc_sql(rerank_shortlist=10,
+                                         fit_sample=256),
+        "ann_ivfpq_topk": ivfpq_sql(fit_sample=256),
+        "ann_recall_audit": ann_recall_audit_sql(),
         "ann_hamming_topk": ann_hamming_sql(),
         "sketch_users_daily": SKETCH_USERS_SQL,
         "ann_bruteforce_topk": ANN_BRUTEFORCE_SQL,

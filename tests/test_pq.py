@@ -114,6 +114,133 @@ def test_pq_codebooks_deterministic_and_reusable(spark):
     assert all(0 <= r["code"] < 4 for r in codes)
 
 
+def test_pq_fit_sample_matches_duckdb_oracle(spark, duck, tmp_path):
+    """Bounded-sample fit (round 13): with fit_sample a strict subset of
+    the corpus, Spark still equals the unrolled oracle row for row — the
+    oracle's fitset CTE replays the identical md5-ordered sample."""
+    import pandas as pd
+
+    from checkatron_spark.operators.pq import ivfpq_topk
+    from checkatron_spark.pipelines import ivfpq_sql, pq_adc_sql
+    from tests.conftest import assert_same_rows
+
+    rows = _clustered_rows()
+    pd.DataFrame(rows, columns=["vec_id", "embedding"]).to_parquet(
+        tmp_path / "embeddings.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'embeddings.parquet'}')"
+    )
+    emb = _vecs(spark, rows)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    df = pq_adc_topk(emb, queries, m=2, k=4, iters=2, topk=3,
+                     fit_sample=40)
+    res = duck.sql(
+        pq_adc_sql(dims=8, m=2, k=4, iters=2, topk=3, fit_sample=40)
+    )
+    idx = [res.columns.index(c) for c in df.columns]
+    assert_same_rows(
+        df,
+        [tuple(row[i] for i in idx) for row in res.fetchall()],
+        duck_cols=df.columns,
+    )
+    ivf = ivfpq_topk(emb, queries, n_cells=4, n_probe=2, m=2, k=4,
+                     iters=2, topk=3, fit_sample=40)
+    res2 = duck.sql(
+        ivfpq_sql(dims=8, n_cells=4, n_probe=2, m=2, k=4, iters=2,
+                  topk=3, fit_sample=40)
+    )
+    idx2 = [res2.columns.index(c) for c in ivf.columns]
+    assert_same_rows(
+        ivf,
+        [tuple(row[i] for i in idx2) for row in res2.fetchall()],
+        duck_cols=ivf.columns,
+    )
+
+
+def test_pq_fit_sample_recall_and_full_equivalence(spark):
+    """fit_sample >= corpus is EXACTLY the unsampled fit (the sample is
+    the whole input, md5 order irrelevant after the id-ordered seed);
+    a strict-subset sample on separable clusters must still keep every
+    top-1 ADC neighbor in the query's own cluster — the sampled-fit
+    recall floor."""
+    rows = [r for r in _clustered_rows() if r[1] is not None
+            and all(v is not None for v in r[1]) and any(r[1])]
+    emb = _vecs(spark, rows)
+    full = fit_pq_codebooks(emb, m=2, k=4, iters=2)
+    oversized = fit_pq_codebooks(emb, m=2, k=4, iters=2, fit_sample=10**6)
+    assert full == oversized
+    sampled = fit_pq_codebooks(emb, m=2, k=4, iters=2, fit_sample=40)
+    assert len(sampled) == 2 and all(len(b) == 4 for b in sampled)
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    out = pq_adc_topk(
+        emb, queries, m=2, k=4, iters=2, topk=1, fit_sample=40
+    ).collect()
+    assert out
+    for r in out:
+        assert r["query_id"] % 4 == r["neighbor_id"] % 4, (
+            "sampled-fit top-1 crossed cluster boundary", dict(r.asDict())
+        )
+
+
+def test_pq_codebook_disk_cache(spark, tmp_path, monkeypatch):
+    """The round-13 persistence contract (VERDICT r12 #1): a cache hit
+    returns codebooks IDENTICAL to the refit; corrupt/mismatched entries
+    fall back to a refit, never an error and never a silent wrong
+    shape."""
+    import json
+
+    from checkatron_spark.operators import pq as pqmod
+
+    monkeypatch.setattr(pqmod, "_PQ_CACHE_ROOT", str(tmp_path))
+    emb = _vecs(spark, _clustered_rows(n=60))
+    cold = fit_pq_codebooks(emb, m=2, k=4, iters=2, cache_key="corpus-v1")
+    cached = [p for p in (tmp_path / "pq_codebooks").iterdir()]
+    assert len(cached) == 1
+    warm = fit_pq_codebooks(emb, m=2, k=4, iters=2, cache_key="corpus-v1")
+    assert warm == cold
+    # the cached JSON is bit-for-bit what the refit computes
+    assert json.loads(cached[0].read_text()) == cold
+    # planted garbage shapes refit instead of being trusted
+    for bad in ("not json {", json.dumps([[[1, 2]]]),
+                json.dumps([[["x", "y"]] * 4] * 2)):
+        cached[0].write_text(bad)
+        refit = fit_pq_codebooks(
+            emb, m=2, k=4, iters=2, cache_key="corpus-v1"
+        )
+        assert refit == cold
+    # different params -> different cache slot, not a collision
+    other = fit_pq_codebooks(
+        emb, m=2, k=4, iters=2, fit_sample=40, cache_key="corpus-v1"
+    )
+    assert len(list((tmp_path / "pq_codebooks").iterdir())) == 2
+    assert other == fit_pq_codebooks(
+        emb, m=2, k=4, iters=2, fit_sample=40, cache_key="corpus-v1"
+    )
+
+
+def test_ivfpq_cache_hit_equals_refit(spark, tmp_path, monkeypatch):
+    """IVF-PQ with a warm coarse+residual codebook cache returns the
+    identical ranking a cold fit computes (fit is deterministic, so the
+    cache IS the refit — job-free)."""
+    from checkatron_spark.operators import pq as pqmod
+
+    monkeypatch.setattr(pqmod, "_PQ_CACHE_ROOT", str(tmp_path))
+    rows = [r for r in _clustered_rows() if r[1] is not None
+            and all(v is not None for v in r[1]) and any(r[1])]
+    emb = _vecs(spark, rows)
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    kw = dict(n_cells=4, n_probe=2, m=2, k=4, iters=2, topk=3,
+              fit_sample=40, cache_key="corpus-v1")
+    from checkatron_spark.operators.pq import ivfpq_topk
+
+    cold = sorted(map(tuple, ivfpq_topk(emb, queries, **kw).collect()))
+    assert len(list((tmp_path / "pq_codebooks").iterdir())) == 2
+    warm = sorted(map(tuple, ivfpq_topk(emb, queries, **kw).collect()))
+    assert warm == cold
+
+
 def test_pq_fail_fasts(spark):
     emb = _vecs(spark, _clustered_rows(n=40))
     with pytest.raises(ValueError, match="divide evenly"):
@@ -126,6 +253,14 @@ def test_pq_fail_fasts(spark):
         fit_pq_codebooks(ragged, m=2, k=2)
     with pytest.raises(ValueError, match="at least k"):
         fit_pq_codebooks(_vecs(spark, [(1, [0.1] * 8)]), m=2, k=4)
+    # fit-time BIGINT argmin-encoding guard (ADVICE r12): a grid whose
+    # magnitudes would wrap min(dist*k+cid) raises BEFORE Lloyd runs,
+    # instead of training garbage codebooks under non-ANSI arithmetic
+    with pytest.raises(ValueError, match="grid bound exceeded at fit"):
+        fit_pq_codebooks(
+            _vecs(spark, [(i, [float(i + 1)] * 8) for i in range(4)]),
+            m=2, k=2, scale=10**10,
+        )
 
 
 def test_pq_rerank_subset_and_exactness(spark, duck, tmp_path):
