@@ -371,10 +371,11 @@ _DECODE_SCHEMA = StructType(
 def media_decode(media: DataFrame, *, fake: bool = False) -> DataFrame:
     """Decode stage: payload -> (width, height, channels).
 
-    ``fake=False`` routes through :func:`decode_payload` (raises here —
-    real codecs are not in the container); ``fake=True`` uses the
-    deterministic stand-in. Batch shape, schema, and partitioning are
-    identical in both modes."""
+    ``fake=False`` routes through :func:`decode_payload` — REAL stdlib
+    codec work since round 12 (BMP + PNG; unsupported magics raise
+    ValueError); ``fake=True`` uses the deterministic byte-length
+    stand-in. Batch shape, schema, and partitioning are identical in
+    both modes."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -123,6 +123,23 @@ def ann_hamming_topk(
     q = sign_hash_codes(queries, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("query_id"), F.col("codes").alias("_qc")
     )
+    # ragged-dimension fail-fast (ADVICE r12): mixed code widths make
+    # zip_with pad with NULL, the fold goes NULL, and ASC NULLS FIRST
+    # would silently promote those pairs to rank 1 — the same condition
+    # pq.py raises on. One bounded aggregate over the already-filtered
+    # code frames (word counts, not raw vectors).
+    sz = (
+        c.select(F.size("codes").alias("_n"))
+        .union(q.select(F.size("_qc").alias("_n")))
+        .agg(F.min("_n").alias("_lo"), F.max("_n").alias("_hi"))
+        .first()
+    )
+    if sz is not None and sz._lo is not None and sz._lo != sz._hi:
+        raise ValueError(
+            f"ann_hamming_topk: ragged embedding dimensions — code widths "
+            f"{[sz._lo, sz._hi]} words; fix the corpus (NULL-padded "
+            "hamming would silently outrank real neighbors)"
+        )
     ham = F.expr(
         "aggregate(zip_with(_qc, codes, (a, b) -> bit_count(a ^ b)), 0, "
         "(acc, v) -> acc + v)"
@@ -520,7 +537,14 @@ def fit_ivf_quantizer(
     )
     if path is not None and os.path.isdir(path):
         try:
-            return KMeansModel.load(path)
+            model = KMeansModel.load(path)
+            # never trust a planted/mismatched entry (ADVICE r12: the
+            # scratch root is world-readable /tmp by default) — the
+            # loaded model must actually be a quantizer for THESE params
+            if model.getK() == n_cells and model.getOrDefault(
+                model.seed
+            ) == seed:
+                return model
         except Exception:  # noqa: BLE001 — partial write: refit below
             pass
     feats = _ivf_feats(vectors, id_col, vec_col)
@@ -535,6 +559,11 @@ def fit_ivf_quantizer(
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(fit_set)
     if path is not None:
         try:
+            # owner-only cache root (ADVICE r12) — makedirs only sets the
+            # mode on dirs it creates, so this is best-effort on reuse
+            os.makedirs(
+                os.path.dirname(path), mode=0o700, exist_ok=True
+            )
             model.write().overwrite().save(path)
         except Exception:  # noqa: BLE001 — cache is best-effort
             pass

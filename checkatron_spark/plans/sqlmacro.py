@@ -216,25 +216,36 @@ def _expand(
 
     spans = _find_calls(query)
     out, last, views = [], 0, []
-    for start, end, inner in spans:
-        o = _parse_call(inner)
-        d = diff(
-            spark.table(o["before"]),
-            spark.table(o["after"]),
-            o["keys"],
-            before_where=o.get("before_where"),
-            after_where=o.get("after_where"),
-            faithful=o.get("faithful", False),
-            presence_fix=o.get("presence_fix", False),
-            column_case=column_case,
-        )
-        view = f"__diff_macro_{_VIEW_SEQ[0]}"
-        _VIEW_SEQ[0] += 1
-        d.createOrReplaceTempView(view)
-        views.append(view)
-        out.append(query[last:start])
-        out.append(view)
-        last = end
+    try:
+        for start, end, inner in spans:
+            o = _parse_call(inner)
+            d = diff(
+                spark.table(o["before"]),
+                spark.table(o["after"]),
+                o["keys"],
+                before_where=o.get("before_where"),
+                after_where=o.get("after_where"),
+                faithful=o.get("faithful", False),
+                presence_fix=o.get("presence_fix", False),
+                column_case=column_case,
+            )
+            view = f"__diff_macro_{_VIEW_SEQ[0]}"
+            _VIEW_SEQ[0] += 1
+            d.createOrReplaceTempView(view)
+            views.append(view)
+            out.append(query[last:start])
+            out.append(view)
+            last = end
+    except BaseException:
+        # a later span's failure (bad options, missing table) must not
+        # leak the views already registered for earlier spans (ADVICE
+        # r12) — sql()'s finally only covers the spark.sql call
+        for v in views:
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:  # noqa: BLE001 — dead session mid-cleanup
+                pass
+        raise
     out.append(query[last:])
     return "".join(out), views
 

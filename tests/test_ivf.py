@@ -189,3 +189,36 @@ def test_quantizer_disk_cache_roundtrip(spark, tmp_path, monkeypatch):
     m3 = S.fit_ivf_quantizer(vecs, n_cells=4, seed=42, cache_key="k1")
     c3 = [list(map(float, c)) for c in m3.clusterCenters()]
     assert c3 == c1
+
+
+def test_quantizer_cache_rejects_planted_mismatch(spark, tmp_path, monkeypatch):
+    """ADVICE r12: the scratch root defaults to world-readable /tmp, so a
+    loaded model must actually be a quantizer for THESE params — a
+    planted entry with the wrong k (or seed) is refit, not trusted."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from checkatron_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "_IVF_CACHE_ROOT", str(tmp_path))
+    vecs = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 11).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    S.fit_ivf_quantizer(vecs, n_cells=3, seed=42, cache_key="k1")
+    k3_dir = os.path.join(
+        str(tmp_path), "ivf_quantizer",
+        os.listdir(os.path.join(str(tmp_path), "ivf_quantizer"))[0],
+    )
+    # plant the k=3 model at the path the k=4 fit would use
+    k4_path = S._ivf_cache_path("k1", 4, 42, 5, None)
+    os.makedirs(os.path.dirname(k4_path), exist_ok=True)
+    shutil.copytree(k3_dir, k4_path)
+    m = S.fit_ivf_quantizer(vecs, n_cells=4, seed=42, cache_key="k1")
+    assert m.getK() == 4

@@ -271,3 +271,19 @@ def test_ann_hamming_matches_duckdb_and_ties_deterministic(spark):
         rs.sort()
         for (r1, h1, n1), (r2, h2, n2) in zip(rs, rs[1:]):
             assert (h1, n1) < (h2, n2)
+
+
+def test_ann_hamming_ragged_dims_fail_fast(spark):
+    """ADVICE r12: mixed embedding widths would NULL-pad the zip_with
+    fold and ASC NULLS FIRST would promote those pairs to rank 1 — the
+    operator must raise instead (same contract as pq's _grid_stats)."""
+    import pytest
+
+    from checkatron_spark.operators.similarity import ann_hamming_topk
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, [-0.5] * 64), (3, [0.5] * 32)],
+        ["vec_id", "embedding"],
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        ann_hamming_topk(df, df.limit(1), k=2).collect()

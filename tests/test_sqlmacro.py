@@ -220,3 +220,35 @@ def test_macro_scanner_spans():
     assert len(spans) == 1 and spans[0][2] == "a, b, KEYS(k)"
     o = _parse_call("s.t1, s.t2, KEYS(k1, k2), AFTER_WHERE => 'v = ''x'''")
     assert o["keys"] == ["k1", "k2"] and o["after_where"] == "v = 'x'"
+
+
+def test_macro_failed_expansion_leaks_no_views(spark):
+    """ADVICE r12: when a LATER span's expansion raises (missing table,
+    bad options), the views already registered for earlier spans are
+    dropped — sql()'s finally only covers the spark.sql call, so the
+    expansion loop must clean up after itself."""
+    import pytest
+
+    from checkatron_spark.plans import sqlmacro
+
+    spark.createDataFrame([(1, "a")], ["k", "v"]).createOrReplaceTempView(
+        "mleak_t"
+    )
+    try:
+        before = {
+            t.name for t in spark.catalog.listTables()
+            if t.name.startswith("__diff_macro_")
+        }
+        with pytest.raises(Exception):
+            sqlmacro.sql(
+                spark,
+                "SELECT * FROM DIFF(mleak_t, mleak_t, KEYS(k)) a "
+                "JOIN DIFF(mleak_t, no_such_table_xyz, KEYS(k)) b",
+            )
+        after = {
+            t.name for t in spark.catalog.listTables()
+            if t.name.startswith("__diff_macro_")
+        }
+        assert after == before
+    finally:
+        spark.catalog.dropTempView("mleak_t")
