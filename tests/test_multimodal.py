@@ -266,3 +266,67 @@ def test_media_decode_real_vs_duckdb_oracle(spark, duck, tmp_path):
         [tuple(row[i] for i in idx) for row in res.fetchall()],
         duck_cols=df.columns,
     )
+
+
+def test_wav_roundtrip_exact():
+    """encode_wav -> decode_wav reproduces the int16 samples bit-for-bit
+    and the metadata (rate/channels/count) exactly — genuine RIFF bytes
+    through the stdlib reader, not a stand-in."""
+    import numpy as np
+
+    from checkatron_spark.multimodal import decode_payload, decode_wav, encode_wav
+
+    i = np.arange(200, dtype=np.int64)
+    pcm = ((7 * 31 + i * 17) % 4001 - 2000).astype("<i2")
+    wav = encode_wav(8400, pcm.tobytes())
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    m = decode_wav(wav)
+    assert (m["kind"], m["sample_rate"], m["channels"], m["n_samples"]) == (
+        "audio", 8400, 1, 200
+    )
+    assert np.array_equal(np.frombuffer(m["samples"], dtype="<i2"), pcm)
+    # the shared dispatch seam routes RIFF/WAVE to the audio decoder
+    assert decode_payload(wav, "audio")["n_samples"] == 200
+
+
+def test_wav_decode_rejects_non_pcm16():
+    import io
+    import wave
+
+    import pytest
+
+    from checkatron_spark.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x80" * 16)
+    with pytest.raises(ValueError, match="PCM16"):
+        decode_wav(buf.getvalue())
+
+
+def test_media_decode_wav_stats_move_on_tamper(spark):
+    """amp_isum is order-sensitive: reversing the sample order preserves
+    amp_sum but flips amp_isum — the property that catches a frame-order
+    decode bug the plain sum would miss."""
+    import numpy as np
+
+    from checkatron_spark.multimodal import encode_wav, media_decode_wav
+
+    i = np.arange(50, dtype=np.int64)
+    pcm = ((3 + i * 17) % 4001 - 2000).astype("<i2")
+    rows = [
+        (0, "audio", "wav", 0, bytearray(encode_wav(8000, pcm.tobytes()))),
+        (1, "audio", "wav", 0,
+         bytearray(encode_wav(8000, pcm[::-1].copy().tobytes()))),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, codec string, "
+        "n_bytes long, payload binary",
+    )
+    got = {r["media_id"]: r for r in media_decode_wav(media).collect()}
+    assert got[0]["amp_sum"] == got[1]["amp_sum"]
+    assert got[0]["amp_isum"] != got[1]["amp_isum"]
+    assert got[0]["n_samples"] == got[1]["n_samples"] == 50
