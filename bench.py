@@ -148,8 +148,15 @@ HEADLINE = [
     "ann_pq_rerank_topk",
     "ann_hamming_topk",
     # the composed FAISS shape: coarse Lloyd + residual PQ + probed ADC —
-    # the heaviest fit-per-run lifecycle in the headline set
+    # the heaviest fit-per-run lifecycle in the headline set (round 13:
+    # codebooks sample-fit once and load from the disk cache, so this
+    # row now measures the SEARCH lifecycle, not a refit)
     "ann_ivfpq_topk",
+    # round 13: recall@k audit (brute-force truth + all four compressed
+    # searches composed — the index-tuning measurement) and the stdlib
+    # WAV decode (per-clip Python codec + numpy sample reduction)
+    "ann_recall_audit",
+    "media_decode_wav",
 ]
 
 

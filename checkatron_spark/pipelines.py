@@ -2849,7 +2849,15 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers, rounded at 1e-6. All four methods reuse the disk-
     cached sampled-fit codebooks, so the audit costs one brute-force scan
     plus four SEARCHES, not four index builds. Returns one row per
-    method: (method, hits, total, recall_at_k)."""
+    method: (method, hits, total, recall_at_k).
+
+    Scale note (probe-battery exemption): the audit composes five
+    already-probed searches; its only non-probed term is the brute-force
+    GROUND TRUTH, whose |Q| x corpus pair growth is the documented
+    blocked-twin exception (ann_bruteforce_topk) — at 100 TB the truth
+    set comes from an offline exact pass over a fixed query panel, and
+    the audit's own join/aggregate work is ∝ the methods' top-k outputs,
+    corpus-independent."""
     from checkatron_spark.operators.pq import (
         ivfpq_topk,
         pq_adc_rerank_topk,

@@ -1,0 +1,63 @@
+"""Bench measurement discipline (VERDICT r12 #6): round 12 produced the
+first cross-round-comparable bench — quiet-gated start load and a
+per-query delta table vs the previous round's min+spread. These gates
+keep that discipline from regressing silently: the committed
+BENCH_DETAIL.json must carry the load stamps, must have STARTED quiet
+(or honestly carry loaded=true, which the judge reads as
+non-comparable), and must include the delta table."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _detail() -> dict:
+    p = REPO / "BENCH_DETAIL.json"
+    assert p.exists(), "no BENCH_DETAIL.json committed — run python bench.py"
+    return json.loads(p.read_text())
+
+
+def test_bench_detail_started_quiet_or_flagged():
+    import bench
+
+    d = _detail()
+    assert "load_start" in d and "loaded" in d, (
+        "BENCH_DETAIL.json lacks the load stamps — the quiet-gate bench "
+        "(bench.py _wait_for_quiet) must have written this file"
+    )
+    load1 = d["load_start"][0]
+    if d["loaded"]:
+        # an honestly-flagged loaded run is allowed on disk mid-round,
+        # but it must actually be over the threshold (the flag may not
+        # be planted to excuse a quiet-looking regression)
+        assert load1 > bench.LOAD1_QUIET_MAX
+    else:
+        assert load1 <= bench.LOAD1_QUIET_MAX, (
+            f"BENCH_DETAIL.json claims a quiet start (loaded=false) but "
+            f"load1={load1} > {bench.LOAD1_QUIET_MAX}"
+        )
+
+
+def test_bench_detail_has_delta_table_and_headline_coverage():
+    import bench
+
+    d = _detail()
+    assert isinstance(d.get("delta_vs_prev"), dict), (
+        "BENCH_DETAIL.json lacks the per-query delta_vs_prev table — "
+        "regressions vs the previous round must be machine-flagged"
+    )
+    assert isinstance(d.get("queries"), dict) and d["queries"], (
+        "BENCH_DETAIL.json lacks per-query timings"
+    )
+    # every CURRENT headline query must appear in the committed detail —
+    # adding a headline row without re-running bench turns this red
+    # until bench re-runs, which is the point (same rule as the sweep
+    # coverage gate)
+    missing = [n for n in bench.HEADLINE if n not in d["queries"]]
+    assert not missing, (
+        f"BENCH_DETAIL.json missing headline queries {missing} — "
+        "re-run: python bench.py"
+    )

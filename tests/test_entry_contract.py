@@ -102,12 +102,14 @@ def test_check_window_rotation():
     tail = names[len(names) - len(demoted):]
     assert tail == demoted, "green queries must sit contiguously at the back"
     assert len(names) == len(set(names))
-    # within the green tail, stale greens (implementation changed since the
-    # green was recorded) must precede fresh greens so they re-grade first
-    stale = entrymod._stale_greens(entrymod._queries_unordered(), green)
-    flags = [n in stale for n in demoted]
-    assert flags == sorted(flags, reverse=True), (
-        "stale greens must precede fresh greens in the re-check order"
+    # round 13 (unified age-ordered tail): within the green tail, the
+    # ONLY ordering key is driver-proof age — oldest green first, name
+    # tiebreak. Staleness no longer jumps the queue (the sf0.1 sweep
+    # re-proves stale entries bit-exact every round; semantically-changed
+    # queries are pinned via _CHECK_FIRST instead).
+    keys = [(entrymod._round_no(green[n]), n) for n in demoted]
+    assert keys == sorted(keys), (
+        "green tail must be ordered oldest driver proof first"
     )
     # within the never-checked segment, this round's additions
     # (_CHECK_LAST) must come after the older backlog
@@ -326,12 +328,14 @@ def test_greens_on_disk_numeric_round_sort(monkeypatch, tmp_path):
     assert entrymod._greens_on_disk() == {}
 
 
-def test_sweep_allow_audit_is_banded_not_blanket():
-    """Round 10 (VERDICT r9 #6): the sweep's --allow is no longer a free
-    pass — an allow-listed query must carry an _ALLOW_AUDITS entry whose
-    band check FAILS on out-of-band estimates and on drift in any
-    non-sketch column, and every name the sweep script passes via --allow
-    must have an audit defined."""
+def test_sweep_tolerances_are_declared_and_banded_not_blanket():
+    """Round 13 (VERDICT r12 #7, superseding the r10 --allow design): the
+    approximate-regime bands are DECLARED in the contract
+    (__spark_entry__.tolerances()) — every entry must name its group keys
+    and per-column bands, each tolerated query must be a declared query
+    with an oracle, and the sweep script must carry no --allow flag at
+    all. The band check itself must FAIL on out-of-band estimates and on
+    drift in any non-sketch column (banded, never blanket)."""
     import importlib.util
     from pathlib import Path
 
@@ -342,19 +346,26 @@ def test_sweep_allow_audit_is_banded_not_blanket():
     sc = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(sc)
 
-    # every --allow name in the sweep script has an audit
+    # the allow escape hatch is gone for good (the flag, not the word —
+    # the script's comment may still explain its retirement)
     sweep = (repo / "tools" / "sweep_sf01.sh").read_text()
-    import re
+    assert '--allow "' not in sweep and "--allow $" not in sweep
+    assert not hasattr(sc, "_ALLOW_AUDITS")
 
-    m = re.search(r'ALLOW="([^"]+)"', sweep) or re.search(
-        r"--allow\s+([\w,]+)", sweep
-    )
-    assert m, "sweep_sf01.sh no longer passes --allow?"
-    for name in m.group(1).split(","):
-        assert name in sc._ALLOW_AUDITS, (
-            f"{name} is allow-listed without an audit — blanket allows "
-            "are banned"
+    tol = entrymod.tolerances()
+    assert tol, "tolerances() is empty — the HLL pair lost its contract"
+    full = entrymod.full_queries()
+    oracles = entrymod.oracle_sql()
+    for name, spec_ in tol.items():
+        assert name in full and name in oracles, (
+            f"tolerance for {name} which is not a declared+oracled query"
         )
+        assert spec_["keys"] and spec_["bands"], (
+            f"tolerance for {name} must name group keys and column bands"
+        )
+        assert all(
+            0 < b < 0.10 for b in spec_["bands"].values()
+        ), f"{name}: a band >= 10% is not a sketch tolerance, it's a bug"
 
     audit = sc._banded_audit(["g"], {"est": 0.05})
     cols = ["g", "est", "n"]
@@ -547,14 +558,17 @@ def test_driver_window_prune_invariants():
     prunable = entrymod._prunable(
         entrymod._queries_unordered(), green, stale_opt, keep=rotate
     )
-    # the cap binds whenever prunable mass exists; a mass-stale round (an
-    # edit to a widely-imported module flips most greens stale, and stale
-    # entries must NEVER be pruned) legitimately exceeds it until the
-    # re-grades land
+    # round 13: pruning may only thin the dict BEYOND the driver's
+    # 50-slot check window (the unified age-ordered tail makes those 50
+    # the grading queue — evicting one would starve the very query whose
+    # grade age the window exists to bound). The cap therefore binds only
+    # against prunable entries OUTSIDE the window; a mass-stale round
+    # (stale entries must NEVER be pruned) legitimately exceeds it too.
+    windowed = set(list(driver)[: entrymod._DRIVER_WINDOW_SLOTS])
     assert (
         len(driver) <= entrymod._DRIVER_DICT_CAP
-        or set(prunable) & set(driver) == set()
-    ), "driver dict over cap while prunable entries remain"
+        or set(prunable) & (set(driver) - windowed) == set()
+    ), "driver dict over cap while out-of-window prunable entries remain"
     assert set(driver) <= set(full)
     pruned = set(full) - set(driver)
     stale = stale_opt or set()

@@ -213,6 +213,11 @@ def test_no_cartesian_in_any_query(spark):
         # per-pair cost is xor+bit_count on two longs, the cheapest scan
         # in the repo; blocking composes on top when |Q| grows
         "ann_hamming_topk",
+        # round 13: composes the brute-force truth scan (bruteforce BNLJ
+        # precedent), the PQ/hamming shapes above, and a 1-row totals
+        # scalar crossJoin; the hits join is a broadcast equi-join on
+        # (query_id, neighbor_id)
+        "ann_recall_audit",
     }
     for name, q in entrymod.full_queries().items():
         if name.startswith("stream_"):
@@ -448,3 +453,25 @@ def test_quality_floor_plan_broadcasts_thresholds(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Window" not in plan
     assert "partial_percentile_approx" in plan, plan[:1200]
+
+
+def test_pq_distance_table_broadcast_is_hinted_not_aqe_luck(spark):
+    """VERDICT r12 defect #2: pq_adc_topk's query x (m*k codebook-row)
+    distance-table fan-out must carry the explicit broadcast hint like
+    its ivfpq siblings. Pin: with auto-broadcast disabled (so AQE cannot
+    rescue an unhinted crossJoin), the plan still shows the broadcast
+    nested loop and never a CartesianProduct."""
+    from checkatron_spark.operators.pq import pq_adc_topk
+
+    rows = [(i, [float(i % 4 * 10 + d % 3) * 0.1 for d in range(8)])
+            for i in range(24)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = pq_adc_topk(emb, emb.limit(3), m=2, k=4, iters=2, topk=2)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

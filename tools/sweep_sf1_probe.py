@@ -203,6 +203,13 @@ PROBE_DOCS = [
     # zipf) distinct-word table
     "media_decode",
     "token_count_bpe",
+    # round 13: stdlib WAV decode — per-doc encode+decode through the
+    # wave reader, pure map work like media_decode, growth = the scan
+    # term. (ann_recall_audit is NOT probed: it is a composition of five
+    # already-probed/documented searches plus the brute-force truth term,
+    # whose |Q| x corpus growth is the documented blocked-twin exception
+    # — see q_ann_recall_audit's docstring.)
+    "media_decode_wav",
 ]
 
 
