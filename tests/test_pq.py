@@ -373,3 +373,25 @@ def test_ivfpq_probe_bounds_candidates(spark):
                             topk=50).collect()
     }
     assert one and one <= two and len(two) > len(one)
+
+
+def test_ann_recall_audit_contract(spark):
+    """The recall@k audit's structural contract on the real sf0.001
+    fixture: all four methods present, exact integer hits within
+    [0, total], total = |truth pairs|, and the rerank path (exact
+    re-scoring of a 10-candidate shortlist) never recalls FEWER true
+    neighbors than raw ADC at the same k — the property that makes the
+    refine stage worth its cost."""
+    from checkatron_spark.pipelines import q_ann_recall_audit
+
+    rows = {r["method"]: r for r in
+            q_ann_recall_audit(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {
+        "ann_hamming", "ann_ivfpq", "ann_pq_adc", "ann_pq_rerank"
+    }
+    totals = {r["total"] for r in rows.values()}
+    assert len(totals) == 1 and next(iter(totals)) > 0
+    for r in rows.values():
+        assert 0 <= r["hits"] <= r["total"]
+        assert abs(r["recall_at_k"] - r["hits"] / r["total"]) < 1e-6
+    assert rows["ann_pq_rerank"]["hits"] >= rows["ann_pq_adc"]["hits"]
