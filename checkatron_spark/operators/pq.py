@@ -320,6 +320,56 @@ def _argmin_code(sx: DataFrame, col: str, cents: list, k: int) -> DataFrame:
     )
 
 
+def _assign_residual_grid(
+    xq: DataFrame, coarse: list[list[int]], *, id_col: str = "vec_id"
+) -> DataFrame:
+    """Coarse-cell assignment + residual computation in ONE Arrow pass
+    (round 13): the previous shape — broadcast centroid fan-out, then a
+    corpus x n_cells groupBy ARGMIN keyed on (id, full vector array) —
+    shuffled every vector n_cells times; this kernel does the identical
+    integer ``min(dist·k + cid)`` argmin (the _argmin_code rule, numpy
+    int64 exact) map-side with the centroids in the task closure, and
+    emits (id, cell, residual) with zero shuffles and zero joins. Same
+    BIGINT overflow guard as pq_encode_grid."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.array(coarse, dtype=np.int64)  # (n_cells, dims)
+    k = len(coarse)
+    id_type = dict(xq.dtypes)[id_col]
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([list(v) for v in pdf["_x"]], dtype=np.int64)
+            if X.shape[1] != cents.shape[1]:
+                raise ValueError(
+                    f"ivfpq: vector dims {X.shape[1]} != coarse centroid "
+                    f"dims {cents.shape[1]}"
+                )
+            amax = max(int(np.abs(X).max(initial=0)),
+                       int(np.abs(cents).max(initial=0)))
+            if X.shape[1] * (2 * amax) ** 2 >= (2**63 - 1) // max(k, 1):
+                raise ValueError(
+                    "ivfpq: BIGINT grid bound exceeded — lower `scale`"
+                )
+            diff = X[:, None, :] - cents[None, :, :]
+            key = np.einsum("nkd,nkd->nk", diff, diff) * k + np.arange(k)
+            cell = (key.min(axis=1) % k).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": cell,
+                    "_x": list(X - cents[cell]),
+                }
+            )
+
+    return xq.mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, cell int, _x array<bigint>"
+    )
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: list[list[list[int]]],
@@ -604,17 +654,11 @@ def ivfpq_topk(
     cdf = spark.createDataFrame(
         list(enumerate(coarse)), "cell int, _cm array<bigint>"
     )
-    assigned = _argmin_code(xq, "_x", coarse, n_cells).select(
-        F.col(id_col), "_x", F.col("_code").alias("cell")
-    )
-    res = (
-        assigned.join(F.broadcast(cdf), "cell")
-        .select(
-            F.col(id_col),
-            "cell",
-            F.expr("zip_with(_x, _cm, (a, b) -> a - b)").alias("_x"),
-        )
-        .transform(scratch_persist)
+    # assignment + residuals in one zero-shuffle Arrow pass (round 13 —
+    # replaces the broadcast fan-out + corpus x n_cells array-keyed
+    # groupBy argmin; identical integer rule, see _assign_residual_grid)
+    res = _assign_residual_grid(xq, coarse, id_col=id_col).transform(
+        scratch_persist
     )
     books = _load_books(rpath, m=m, k=k, dims=dims) if rpath else None
     if books is None:

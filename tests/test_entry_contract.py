@@ -586,8 +586,10 @@ def test_driver_window_prune_invariants():
 
 def test_prunable_ordering_and_eligibility():
     """_prunable is pure: eligibility = fresh-green, >= 2 rounds older
-    than the newest round file, not fronted; order = oldest green first,
-    name tiebreak; git-unknowable staleness (None) disables pruning."""
+    than the newest round file, not fronted; order = NEWEST green first
+    (round 13 — the unified age-ordered tail grades oldest-first, so
+    pruning must take from the other end), name tiebreak; git-unknowable
+    staleness (None) disables pruning."""
     def f(spark, sf):  # pragma: no cover - never called
         raise AssertionError
 
@@ -602,7 +604,7 @@ def test_prunable_ordering_and_eligibility():
     }
     stale = {"q2"}
     assert entrymod._prunable(full, green, stale) == [
-        "q0", "q5", "q3", "q4"
+        "q4", "q3", "q0", "q5"
     ]
     assert entrymod._prunable(full, green, None) == []
     assert entrymod._prunable(full, {}, stale) == []
@@ -727,19 +729,22 @@ def test_bench_and_probe_batteries_reference_declared_queries():
 
 
 def test_stale_segment_orders_oldest_green_first():
-    """Round 12: a mass-stale round produces more stale entries than
-    window slots, so the stale segment must order by green AGE (oldest
-    round first, name tie-break) — declaration order would let a recent
-    module's stales crowd out a query whose last proof is many rounds
-    old. Pinned on the LIVE ordering: the stale names inside queries()
+    """Round 12 introduced age ordering for the stale segment; round 13's
+    unified tail subsumes it — stale greens order by AGE like every other
+    green, with only the _CHECK_FIRST manual pins ahead of them. Pinned
+    on the LIVE ordering: the non-fronted stale names inside queries()
     must appear in (green round, name) order."""
     names = list(entrymod.queries().keys())
     green = entrymod._greens_on_disk()
     stale = entrymod._stale_greens(entrymod._queries_unordered(), green)
-    stale_in_order = [n for n in names if n in stale and n in green]
+    front = set(entrymod._CHECK_FIRST)
+    stale_in_order = [
+        n for n in names if n in stale and n in green and n not in front
+    ]
     if len(stale_in_order) < 2:
         return  # nothing to order this round — vacuously fine
     keys = [(entrymod._round_no(green[n]), n) for n in stale_in_order]
     assert keys == sorted(keys), (
-        "stale segment must be oldest-green-first", keys[:6]
+        "stale greens must order oldest-green-first within the tail",
+        keys[:6],
     )
