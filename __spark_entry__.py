@@ -255,10 +255,12 @@ _CHECK_FIRST: list[str] = [
 # window regardless of internal order, so no pinning is needed.
 _CHECK_LAST: list[str] = [
     # round 13: the ANN recall@k audit (compressed shortlists vs exact
-    # brute-force truth, integer fractions) and the stdlib RIFF/WAVE
-    # decode behind the shared codec dispatch seam
+    # brute-force truth, integer fractions), the stdlib RIFF/WAVE decode
+    # behind the shared codec dispatch seam, and BPE merge learning
+    # (tokenizer training — one corpus pass + bounded merge rounds)
     "ann_recall_audit",
     "media_decode_wav",
+    "bpe_train_segment",
 ]
 
 

@@ -153,10 +153,13 @@ HEADLINE = [
     # row now measures the SEARCH lifecycle, not a refit)
     "ann_ivfpq_topk",
     # round 13: recall@k audit (brute-force truth + all four compressed
-    # searches composed — the index-tuning measurement) and the stdlib
-    # WAV decode (per-clip Python codec + numpy sample reduction)
+    # searches composed — the index-tuning measurement), the stdlib
+    # WAV decode (per-clip Python codec + numpy sample reduction), and
+    # BPE merge LEARNING (one corpus word-count pass + bounded
+    # head-vocabulary merge rounds — tokenizer training on the cluster)
     "ann_recall_audit",
     "media_decode_wav",
+    "bpe_train_segment",
 ]
 
 

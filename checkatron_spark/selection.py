@@ -1124,6 +1124,158 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count_bpe(load_table(spark, "documents", sf_dir))
 
 
+def bpe_learn_segment(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n_merges: int = 6,
+    top_words: int = 500,
+    top_out: int = 50,
+) -> DataFrame:
+    """LEARN a BPE merge table from the corpus — the tokenizer-TRAINING
+    counterpart of :func:`token_count_bpe`'s inference (Sennrich et al.
+    2016, the algorithm behind GPT/Llama vocabularies): start from
+    characters, repeatedly count adjacent symbol pairs weighted by word
+    frequency and merge the most frequent pair, ``n_merges`` times.
+    Returns the ``top_out`` most frequent words with their learned
+    segmentation: (word, freq, tokens, n_tokens).
+
+    Distributed shape (the kmeans/PQ iterative contract): ONE corpus-wide
+    word-count pass (explode + groupBy — the only corpus-scale work),
+    then every Lloyd-style round runs on the PERSISTED ``top_words``-row
+    head-vocabulary table (pair counts = a slice/arrays_zip explode over
+    <=top_words short arrays; the argmax collect is ONE row). At 100 TB
+    the corpus contributes exactly one aggregate; merge learning is
+    corpus-size-independent — the standard practice of training the
+    tokenizer on the vocabulary head, made an explicit, deterministic
+    contract (ties: count DESC, then pair lexicographic; words admitted
+    by ``^[a-z0-9]+$`` after lowercasing — a fixed alphabet keeps every
+    engine's regex/case semantics identical; cutoff ties: freq DESC,
+    word).
+
+    Exactly replayable in SQL: symbols are encoded ``" tok|"`` (each
+    token carries its OWN leading space and trailing pipe, so replacing
+    ``" a| b|"`` with ``" ab|"`` never consumes a neighbour's delimiter —
+    adjacent occurrences like a·b·a·b merge to ab·ab in one pass, the
+    classic space-separated-BPE overlap bug avoided by construction),
+    and every merge step is one string replace both engines apply
+    left-to-right non-overlapping."""
+    from checkatron_spark.session import scratch_persist
+
+    wc = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("_w"))
+        .filter(F.col("_w") != "")
+        .select(F.lower(F.col("_w")).alias("_w"))
+        .filter(F.col("_w").rlike("^[a-z0-9]+$"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("_w").asc())
+        .limit(top_words)
+        .withColumn("_sym", F.regexp_replace("_w", "(.)", " $1|"))
+        .transform(scratch_persist)
+    )
+    cur = wc
+    syms = F.expr("filter(split(_sym, '[|]'), x -> x <> '')")
+    for _ in range(n_merges):
+        s = syms.alias("_s")
+        n1 = F.size(F.col("_s")) - F.lit(1)
+        pairs = (
+            cur.select("freq", s)
+            .select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("_s"), F.lit(1), n1).alias("a"),
+                        F.slice(F.col("_s"), F.lit(2), n1).alias("b"),
+                    )
+                ).alias("_p"),
+            )
+            .select(
+                F.ltrim(F.col("_p.a")).alias("a"),
+                F.ltrim(F.col("_p.b")).alias("b"),
+                "freq",
+            )
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # every word is a single symbol already
+        a, b = top[0].a, top[0].b
+        cur = cur.withColumn(
+            "_sym",
+            F.expr(f"replace(_sym, ' {a}| {b}|', ' {a}{b}|')"),
+        )
+    return (
+        cur.select(
+            F.col("_w").alias("word"),
+            F.col("freq").cast("bigint").alias("freq"),
+            F.trim(F.expr("replace(_sym, '|', '')")).alias("tokens"),
+            F.size(syms).cast("int").alias("n_tokens"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(top_out)
+    )
+
+
+def bpe_learn_sql(
+    *, n_merges: int = 6, top_words: int = 500, top_out: int = 50
+) -> str:
+    """Unrolled oracle twin of :func:`bpe_learn_segment`: one CTE triple
+    (symbol table, argmax merge, replace) per merge step — compile-time
+    n_merges, the _kmeans_sql/pq_adc_sql contract."""
+    parts = [
+        f"""toks AS (
+  SELECT lower(t.w) AS w
+  FROM (SELECT unnest({_DUCK_TOKS}) AS w FROM documents) t
+  WHERE t.w <> ''
+),
+wc AS (
+  SELECT w, COUNT(*) AS freq FROM toks
+  WHERE regexp_matches(w, '^[a-z0-9]+$')
+  GROUP BY w ORDER BY freq DESC, w LIMIT {top_words}
+),
+s0 AS (SELECT w, freq, regexp_replace(w, '(.)', ' \\1|', 'g') AS sym
+       FROM wc)"""
+    ]
+    for i in range(n_merges):
+        parts.append(f"""ss{i} AS (
+  SELECT w, freq, sym,
+         list_filter(string_split(sym, '|'), x -> x <> '') AS syms
+  FROM s{i}
+),
+m{i} AS (
+  SELECT a, b FROM (
+    SELECT ltrim(syms[u.i]) AS a, ltrim(syms[u.i + 1]) AS b,
+           SUM(freq) AS c
+    FROM ss{i}, UNNEST(range(1, len(syms))) AS u(i)
+    GROUP BY 1, 2
+  ) q ORDER BY c DESC, a, b LIMIT 1
+),
+s{i + 1} AS (
+  SELECT w, freq,
+         replace(sym, ' ' || m.a || '| ' || m.b || '|',
+                 ' ' || m.a || m.b || '|') AS sym
+  FROM ss{i}, m{i} m
+)""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT w AS word, CAST(freq AS BIGINT) AS freq,
+       trim(replace(sym, '|', '')) AS tokens,
+       CAST(len(list_filter(string_split(sym, '|'), x -> x <> ''))
+            AS INTEGER) AS n_tokens
+FROM s{n_merges} ORDER BY freq DESC, word LIMIT {top_out}
+"""
+
+
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_learn_segment(load_table(spark, "documents", sf_dir))
+
+
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table, on the SAME clustering contract
     as kmeans_domains (k=8, 3 rounds, 1e4 grid). threshold=0.3 is
@@ -1140,6 +1292,7 @@ QUERIES = {
     "dsir_importance": q_dsir_importance,
     "semdedup_prune": q_semdedup_prune,
     "token_count_bpe": q_token_count_bpe,
+    "bpe_train_segment": q_bpe_learn,
 }
 
 
@@ -1151,4 +1304,5 @@ def oracles() -> dict[str, str]:
         "dsir_importance": dsir_importance_sql(),
         "semdedup_prune": semdedup_sql(),
         "token_count_bpe": token_count_bpe_sql(),
+        "bpe_train_segment": bpe_learn_sql(),
     }

@@ -605,3 +605,49 @@ def test_token_count_bpe_vs_duckdb_oracle(spark, duck, tmp_path):
         [tuple(row[i] for i in idx) for row in res.fetchall()],
         duck_cols=df.columns,
     )
+
+
+def test_bpe_learn_matches_duckdb_and_greedy_semantics(spark, duck, tmp_path):
+    """Tokenizer training (round 13): the distributed BPE merge learner
+    equals the unrolled-CTE oracle row for row, and the delimiter
+    encoding handles the classic adjacency case — with merge (a, a),
+    'aaaa' must segment greedily left-to-right to 'aa aa' (the
+    space-separated-replace bug would leave 'aa a a')."""
+    import pandas as pd
+
+    from checkatron_spark.selection import bpe_learn_segment, bpe_learn_sql
+
+    rows = [
+        (1, "the cat the cat hat"),
+        (2, "the hat that the cat wore"),
+        (3, "aaaa aaaa Mixed-CASE 42 aaaa"),
+        (4, None),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in rows], "doc_id long, text string"
+    )
+    df = bpe_learn_segment(docs, n_merges=4, top_words=100, top_out=50)
+    got = {r["word"]: r for r in df.collect()}
+    res = duck.sql(bpe_learn_sql(n_merges=4, top_words=100, top_out=50))
+    idx = [res.columns.index(c) for c in df.columns]
+    from tests.conftest import assert_same_rows
+
+    assert_same_rows(
+        df,
+        [tuple(row[i] for i in idx) for row in res.fetchall()],
+        duck_cols=df.columns,
+    )
+    # alphabet gate: mixed-case/hyphenated word excluded, digits kept
+    assert "mixed-case" not in got and "42" in got
+    # greedy adjacency: (a,a) is the top pair in 'aaaa' x3 -> 'aa aa'
+    assert got["aaaa"]["tokens"] == "aa aa"
+    assert got["aaaa"]["n_tokens"] == 2
+    # merges only ever shrink the segmentation
+    assert all(1 <= r["n_tokens"] <= len(r["word"]) for r in got.values())

@@ -92,6 +92,7 @@ HEADLINERS = [
     ("ann_ivfpq_topk", "IVF-PQ (round 12; r13: codebooks sample-fit on 256 md5-ordered rows + disk-cached by corpus identity — the plan is now pure SEARCH): coarse cells + residual PQ codes; probed-cell (cell, s, code) EQUI join bounds candidates by cell population"),
     ("ann_recall_audit", "recall@k audit (round 13): brute-force truth + four compressed searches composed; per-method hits via one broadcast pair-set join; totals via a 1-row scalar crossJoin"),
     ("media_decode_wav", "stdlib WAV decode (round 13): mapInPandas wave reader over synthesized real RIFF bytes — map-only, stats reduced per clip in numpy"),
+    ("bpe_train_segment", "BPE merge learning (round 13): one corpus explode+groupBy word count, then merge rounds over the persisted <=500-row head vocabulary — corpus contributes exactly one aggregate; argmax collects are 1 row"),
 ]
 
 

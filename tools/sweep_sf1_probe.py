@@ -210,6 +210,10 @@ PROBE_DOCS = [
     # whose |Q| x corpus growth is the documented blocked-twin exception
     # — see q_ann_recall_audit's docstring.)
     "media_decode_wav",
+    # round 13: BPE merge learning — ONE corpus word-count pass + merge
+    # rounds on the bounded top-500 head vocabulary; growth = the scan
+    # term (the realistic fixture's richer vocabulary exercises the cap)
+    "bpe_train_segment",
 ]
 
 
