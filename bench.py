@@ -465,22 +465,21 @@ def main() -> None:
             # stdout timings round to 2 decimals: the driver keeps a
             # BOUNDED stdout tail and the 59-query line sat 100 chars
             # from the limit at 3 decimals; BENCH_DETAIL.json keeps the
-            # full-precision runs
+            # full-precision runs. Round 13 (66 queries tripped the cap):
+            # spread_total / quiet_wait_sec / prev_round moved to
+            # BENCH_DETAIL.json only — the line keeps the driver contract
+            # (metric/value/unit/queries/sf) plus the load stamp and the
+            # machine-flagged regression count.
             "queries": {q: round(v, 2) for q, v in timings.items()},
-            "spread_total": round(
-                sum(d["spread"] for d in detail.values()), 3
-            ),
             "wide_diff_1200col_sec": wide_dt,
             # round 11 (VERDICT r10 #1): the machine-load stamp — load1 at
             # start/end plus the quiet-threshold verdict, so cross-round
             # drift is attributable without re-derivation. Round 12: the
-            # bench first WAITS for a quiet epoch (quiet_wait_sec) and
-            # flags per-query regressions vs the last committed round
-            # (full table in BENCH_DETAIL.json delta_vs_prev).
+            # bench first WAITS for a quiet epoch (quiet_wait_sec in
+            # BENCH_DETAIL.json) and flags per-query regressions vs the
+            # last committed round (full table in delta_vs_prev).
             "load1": [round(load_start[0], 2), round(load_end[0], 2)],
             "loaded": loaded,
-            "quiet_wait_sec": int(waited_sec),
-            "prev_round": prev_tag,
             "n_regressions": len(regressions),
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         },

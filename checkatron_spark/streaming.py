@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
+from checkatron_spark.session import scratch_tempdir
+
 __all__ = [
     "read_events_stream",
     "windowed_event_counts",
@@ -53,7 +55,6 @@ def _cached_feed(spark: SparkSession, key: str, sf_dir: str, delta) -> str:
     """Write ``delta`` as a 4-file changefeed once per (app, key, sf_dir);
     later calls replay the existing parquet."""
     import os
-    import tempfile
 
     cache_key = (spark.sparkContext.applicationId, key, sf_dir)
     feed = _FEED_CACHE.get(cache_key)
@@ -62,7 +63,7 @@ def _cached_feed(spark: SparkSession, key: str, sf_dir: str, delta) -> str:
         # the stream a vanished path
         feed = None
     if feed is None:
-        work = tempfile.mkdtemp(prefix=f"stream_{key}_")
+        work = scratch_tempdir(f"stream_{key}_")
         feed = f"{work}/feed"
         delta.repartition(4).write.mode("overwrite").parquet(feed)
         _FEED_CACHE[cache_key] = feed
@@ -870,13 +871,12 @@ def q_stream_ivm_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     current; the final view must hash-match the view recomputed over the
     after snapshot (same oracle as ivm_orders_totals)."""
     import shutil
-    import tempfile
 
     from checkatron_spark import workloads as W
     from checkatron_spark.operators.ivm import sum_view
     from checkatron_spark.operators.patch import compact_delta
 
-    work = tempfile.mkdtemp(prefix="stream_ivm_")
+    work = scratch_tempdir("stream_ivm_")
     try:
         cents = F.floor(
             F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
@@ -932,11 +932,10 @@ def q_stream_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit (same oracle as apply_delta_roundtrip) — each key occurs
     once in the feed, so the result is independent of batch boundaries."""
     import shutil
-    import tempfile
 
     from checkatron_spark import workloads as W
 
-    work = tempfile.mkdtemp(prefix="stream_patch_")
+    work = scratch_tempdir("stream_patch_")
     try:
         cols = ["o_orderkey"] + W.DELTA_VALUE_COLS
         base = W.orders_before(spark, sf_dir).select(*cols)
@@ -983,14 +982,13 @@ def q_stream_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dangle, re-point onto a hole, re-point out of one — actually fires at
     every SF."""
     import shutil
-    import tempfile
 
     from checkatron_spark import workloads as W
     from checkatron_spark.operators.ivm import join_view
     from checkatron_spark.operators.patch import OP_DELETE, compact_delta
     from checkatron_spark.sources.tables import load_table
 
-    work = tempfile.mkdtemp(prefix="stream_ivmjoin_")
+    work = scratch_tempdir("stream_ivmjoin_")
     try:
         fact_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
         f_b = W.orders_before(spark, sf_dir).select(*fact_cols)
