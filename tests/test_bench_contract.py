@@ -61,3 +61,34 @@ def test_bench_detail_has_delta_table_and_headline_coverage():
         f"BENCH_DETAIL.json missing headline queries {missing} — "
         "re-run: python bench.py"
     )
+
+
+def test_escalation_fires_on_r13_diff_orders_triple():
+    """VERDICT r13 #6: the exact triple that exposed the escalation hole.
+    Runs [2.071, 1.321, 1.205] with prev committed min 0.73 must escalate
+    — the noise trigger correctly stays quiet (runs 2-3 agree within 20%)
+    but the regression trigger must fire, because recording 1.205 against
+    a 0.73 baseline flags a regression that was never re-measured."""
+    import bench
+
+    runs = [2.071, 1.321, 1.205]
+    prev = {"min": 0.73, "spread": 0.062}
+    assert not bench._needs_noise_escalation(runs)
+    assert bench._needs_regression_escalation(min(runs), prev)
+    assert bench.REGRESSION_EXTRA_RUNS >= 2  # min-of-5 when it fires
+
+
+def test_escalation_triggers_stay_quiet_on_settled_runs():
+    import bench
+
+    # settled triple at parity with the previous round: neither fires
+    runs = [1.31, 1.02, 1.05]
+    prev = {"min": 1.0, "spread": 0.1}
+    assert not bench._needs_noise_escalation(runs)
+    assert not bench._needs_regression_escalation(min(runs), prev)
+    # genuinely faster round: no regression escalation either
+    assert not bench._needs_regression_escalation(0.6, prev)
+    # no baseline (new query): regression trigger cannot fire
+    assert not bench._needs_regression_escalation(9.9, None)
+    # post-warm disagreement >20% of min: noise trigger fires
+    assert bench._needs_noise_escalation([1.1, 1.0, 1.3])
