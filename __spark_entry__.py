@@ -1163,6 +1163,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ][:overflow]
         )
         ordered_names = [n for n in ordered_names if n not in drop]
+        # ADVICE r13: when the eligible non-windowed prunables are fewer
+        # than the overflow, the dict exceeds the documented cap — that
+        # must be VISIBLE, not silent, so a cap breach is a deliberate
+        # contract change instead of an accident of pool arithmetic
+        if len(ordered_names) > _DRIVER_DICT_CAP:
+            import sys
+
+            print(
+                f"[__spark_entry__] WARNING: queries() returns "
+                f"{len(ordered_names)} entries > _DRIVER_DICT_CAP="
+                f"{_DRIVER_DICT_CAP} — prunable pool ({len(drop)} dropped)"
+                " could not absorb the overflow; grow the pool or raise "
+                "the cap deliberately",
+                file=sys.stderr,
+            )
     return {n: _with_scratch_release(full[n]) for n in ordered_names}
 
 

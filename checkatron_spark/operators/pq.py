@@ -64,10 +64,11 @@ __all__ = [
 # are a pure function of (corpus identity, fit params), so they persist
 # across processes — a fresh JVM loads m·k·(dims/m) integers instead of
 # re-running the Lloyd job chain (the dominant cost of every PQ search
-# when re-paid per call — VERDICT r12 #1).
-_PQ_CACHE_ROOT = os.environ.get(
-    "SPARK_GRAFT_SCRATCH", "/tmp/checkatron_spark_scratch"
-)
+# when re-paid per call — VERDICT r12 #1). ``None`` means "resolve per
+# call via session.secure_cache_root" (per-user dir, ownership-verified);
+# tests pin a tmp dir here. A root that fails verification disables
+# caching for the call rather than trusting a plantable path (ADVICE r13).
+_PQ_CACHE_ROOT: str | None = None
 
 
 def _quantized(df: DataFrame, id_col: str, vec_col: str, scale: int):
@@ -145,17 +146,32 @@ def _fit_sample_grid(xq: DataFrame, id_col: str, n: int | None) -> DataFrame:
     return xq.orderBy(h.asc(), F.col(id_col).asc()).limit(n)
 
 
-def _books_cache_path(cache_key: str, tag: str, params: tuple) -> str:
+def _books_fingerprint(cache_key: str, tag: str, params: tuple) -> str:
     import hashlib
 
-    h = hashlib.md5(f"{cache_key}|{tag}|{params}".encode()).hexdigest()
-    return os.path.join(_PQ_CACHE_ROOT, "pq_codebooks", f"{h}.json")
+    return hashlib.md5(f"{cache_key}|{tag}|{params}".encode()).hexdigest()
+
+
+def _books_cache_path(cache_key: str, tag: str, params: tuple) -> str | None:
+    """Cache file path, or None when no trustworthy root exists — the
+    fingerprint doubles as the filename AND the content binding checked
+    at load (ADVICE r13: a valid-SHAPED planted entry must not silently
+    change ANN results; with the embedded fingerprint an entry also has
+    to claim the exact (corpus key, tag, params) it is being read for)."""
+    from checkatron_spark.session import secure_cache_root
+
+    root = secure_cache_root(_PQ_CACHE_ROOT)
+    if root is None:
+        return None
+    h = _books_fingerprint(cache_key, tag, params)
+    return os.path.join(root, "pq_codebooks", f"{h}.json")
 
 
 def _books_valid(books, *, m: int, k: int, dims: int | None) -> bool:
     """Never trust a planted/partial/mismatched cache entry (the ADVICE
     r12 rule for the IVF model cache): shape must be exactly m x k x sub
-    with all-int centroids, and m·sub must equal the corpus dims when the
+    with all-int centroids (bool is an int subclass and is NOT a centroid
+    value — ADVICE r13), and m·sub must equal the corpus dims when the
     caller knows them."""
     if not isinstance(books, list) or len(books) != m:
         return False
@@ -166,7 +182,9 @@ def _books_valid(books, *, m: int, k: int, dims: int | None) -> bool:
         for cent in book:
             if not isinstance(cent, list) or not cent:
                 return False
-            if not all(isinstance(v, int) for v in cent):
+            if not all(
+                isinstance(v, int) and not isinstance(v, bool) for v in cent
+            ):
                 return False
             subs.add(len(cent))
     if len(subs) != 1:
@@ -175,13 +193,22 @@ def _books_valid(books, *, m: int, k: int, dims: int | None) -> bool:
 
 
 def _load_books(path: str, *, m: int, k: int, dims: int | None):
+    """Load {"fp": fingerprint, "books": [...]} — the fingerprint must
+    match the path's own (path basename IS the fingerprint), so pre-r14
+    bare-list entries and entries copied between keys both refit."""
     import json
 
     try:
         with open(path) as fh:
-            books = json.load(fh)
+            obj = json.load(fh)
     except Exception:  # noqa: BLE001 — miss/partial write: refit
         return None
+    if not isinstance(obj, dict):
+        return None
+    fp = os.path.basename(path).rsplit(".", 1)[0]
+    if obj.get("fp") != fp:
+        return None
+    books = obj.get("books")
     return books if _books_valid(books, m=m, k=k, dims=dims) else None
 
 
@@ -191,8 +218,9 @@ def _save_books(path: str, books) -> None:
     try:
         os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
+        fp = os.path.basename(path).rsplit(".", 1)[0]
         with open(tmp, "w") as fh:
-            json.dump(books, fh)
+            json.dump({"fp": fp, "books": books}, fh)
         os.replace(tmp, path)  # atomic: readers see whole files only
     except Exception:  # noqa: BLE001 — cache is best-effort
         pass

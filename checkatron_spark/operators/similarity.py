@@ -123,27 +123,44 @@ def ann_hamming_topk(
     q = sign_hash_codes(queries, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("query_id"), F.col("codes").alias("_qc")
     )
-    # ragged-dimension fail-fast (ADVICE r12): mixed code widths make
-    # zip_with pad with NULL, the fold goes NULL, and ASC NULLS FIRST
-    # would silently promote those pairs to rank 1 — the same condition
-    # pq.py raises on. One bounded aggregate over the already-filtered
-    # code frames (word counts, not raw vectors).
-    sz = (
-        c.select(F.size("codes").alias("_n"))
-        .union(q.select(F.size("_qc").alias("_n")))
+    # ragged-dimension fail-fast (ADVICE r12, reworked r13->r14): mixed
+    # code widths make zip_with pad with NULL, the fold goes NULL, and
+    # ASC NULLS FIRST would silently promote those pairs to rank 1 — the
+    # same condition pq.py raises on. The r13 version aggregated BOTH
+    # code frames eagerly, which computed sign_hash_codes over the full
+    # corpus once for the check and again for the scoring — index
+    # construction stopped being lazy and every call paid an extra
+    # corpus scan (ADVICE r13). Now: only the |Q|-row QUERY frame is
+    # checked eagerly (bytes of work, and its width anchors the guard);
+    # the corpus side is validated INSIDE the scoring expression — a
+    # raise_error branch on size(codes) that whole-stage codegen
+    # evaluates during the one scan the query already performs.
+    qsz = (
+        q.select(F.size("_qc").alias("_n"))
         .agg(F.min("_n").alias("_lo"), F.max("_n").alias("_hi"))
         .first()
     )
-    if sz is not None and sz._lo is not None and sz._lo != sz._hi:
+    if qsz is not None and qsz._lo is not None and qsz._lo != qsz._hi:
         raise ValueError(
-            f"ann_hamming_topk: ragged embedding dimensions — code widths "
-            f"{[sz._lo, sz._hi]} words; fix the corpus (NULL-padded "
-            "hamming would silently outrank real neighbors)"
+            f"ann_hamming_topk: ragged embedding dimensions — query code "
+            f"widths {[qsz._lo, qsz._hi]} words; fix the queries "
+            "(NULL-padded hamming would silently outrank real neighbors)"
         )
-    ham = F.expr(
+    qw = None if qsz is None else qsz._lo
+    ham_sql = (
         "aggregate(zip_with(_qc, codes, (a, b) -> bit_count(a ^ b)), 0, "
         "(acc, v) -> acc + v)"
     )
+    if qw is None:
+        ham = F.expr(ham_sql)  # no queries -> zero scored rows anyway
+    else:
+        ham = F.expr(
+            f"CASE WHEN size(codes) <> {int(qw)} THEN CAST(raise_error("
+            "'ann_hamming_topk: ragged embedding dimensions — corpus "
+            f"code width <> query width {int(qw)} words; fix the corpus "
+            "(NULL-padded hamming would silently outrank real "
+            f"neighbors)') AS INT) ELSE {ham_sql} END"
+        )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col(id_col))
@@ -490,19 +507,26 @@ def _ivf_feats(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 # ann_ivf_topk run 8.7 s vs the 2.7 s steady state. MLlib's own
 # KMeansModel.save/load round-trips the exact model, so a fresh JVM loads
 # centroids instead of re-running count + sample + Lloyd.
-_IVF_CACHE_ROOT = os.environ.get(
-    "SPARK_GRAFT_SCRATCH", "/tmp/checkatron_spark_scratch"
-)
+# ``None`` -> resolve per call via session.secure_cache_root (per-user
+# dir, ownership/permission-verified; ADVICE r13: the old shared /tmp
+# default was plantable because makedirs(mode=0o700) only applies to
+# dirs it creates). Tests pin a tmp dir here.
+_IVF_CACHE_ROOT: str | None = None
 
 
 def _ivf_cache_path(cache_key: str, n_cells: int, seed: int,
-                    max_iter: int, fit_fraction) -> str:
+                    max_iter: int, fit_fraction) -> str | None:
     import hashlib
 
+    from checkatron_spark.session import secure_cache_root
+
+    root = secure_cache_root(_IVF_CACHE_ROOT)
+    if root is None:
+        return None  # no trustworthy root — caller refits, never trusts
     h = hashlib.md5(
         f"{cache_key}|{n_cells}|{seed}|{max_iter}|{fit_fraction}".encode()
     ).hexdigest()
-    return os.path.join(_IVF_CACHE_ROOT, "ivf_quantizer", h)
+    return os.path.join(root, "ivf_quantizer", h)
 
 
 def fit_ivf_quantizer(

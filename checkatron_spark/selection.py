@@ -1256,11 +1256,22 @@ m{i} AS (
     GROUP BY 1, 2
   ) q ORDER BY c DESC, a, b LIMIT 1
 ),
+mt{i} AS (
+  -- total twin of m{i} (round 14, ADVICE r13): when every head word is
+  -- already a single symbol the argmax is EMPTY — the Python side breaks
+  -- and keeps the segmentation, but a cross join with an empty m{i}
+  -- would annihilate every row. The sentinel ('','') renders the replace
+  -- pattern ' | |', unmatchable against non-empty [a-z0-9]+ symbols, so
+  -- the merge becomes the identity — same semantics as the break.
+  SELECT a, b FROM m{i}
+  UNION ALL
+  SELECT '' AS a, '' AS b WHERE NOT EXISTS (SELECT 1 FROM m{i})
+),
 s{i + 1} AS (
   SELECT w, freq,
          replace(sym, ' ' || m.a || '| ' || m.b || '|',
                  ' ' || m.a || m.b || '|') AS sym
-  FROM ss{i}, m{i} m
+  FROM ss{i}, mt{i} m
 )""")
     ctes = ",\n".join(parts)
     return f"""WITH {ctes}

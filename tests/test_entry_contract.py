@@ -536,6 +536,24 @@ def test_latest_sweep_covers_current_contract():
     )
 
 
+def test_cap_breach_is_visible_not_silent(monkeypatch, capsys):
+    """ADVICE r13: when the prunable pool cannot absorb the overflow the
+    returned dict legitimately exceeds _DRIVER_DICT_CAP (window slots and
+    stale entries are unprunable by design) — but the breach must print a
+    warning so it reads as a deliberate contract deviation, not an
+    accident of pool arithmetic."""
+    monkeypatch.setattr(entrymod, "_prunable", lambda *a, **kw: [])
+    monkeypatch.setattr(
+        entrymod, "_DRIVER_DICT_CAP", entrymod._DRIVER_WINDOW_SLOTS
+    )
+    driver = entrymod.queries()
+    err = capsys.readouterr().err
+    if len(driver) > entrymod._DRIVER_WINDOW_SLOTS:
+        assert "WARNING" in err and "_DRIVER_DICT_CAP" in err
+    else:  # pragma: no cover — contract shrank below the window size
+        assert err == ""
+
+
 def test_driver_window_prune_invariants():
     """Round 9 (VERDICT r8 #3): the driver-facing queries() dict is capped
     so re-grades never queue behind an ever-green backlog, but pruning may

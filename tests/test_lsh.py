@@ -274,9 +274,13 @@ def test_ann_hamming_matches_duckdb_and_ties_deterministic(spark):
 
 
 def test_ann_hamming_ragged_dims_fail_fast(spark):
-    """ADVICE r12: mixed embedding widths would NULL-pad the zip_with
-    fold and ASC NULLS FIRST would promote those pairs to rank 1 — the
-    operator must raise instead (same contract as pq's _grid_stats)."""
+    """ADVICE r12 (reworked per ADVICE r13): mixed embedding widths would
+    NULL-pad the zip_with fold and ASC NULLS FIRST would promote those
+    pairs to rank 1 — the operator must raise instead (same contract as
+    pq's _grid_stats). A ragged CORPUS now raises lazily from the scoring
+    expression's raise_error branch (no eager extra corpus scan), so the
+    error surfaces at collect() as a Spark runtime error; ragged QUERIES
+    still raise ValueError eagerly (the |Q|-row check is bytes)."""
     import pytest
 
     from checkatron_spark.operators.similarity import ann_hamming_topk
@@ -285,5 +289,12 @@ def test_ann_hamming_ragged_dims_fail_fast(spark):
         [(1, [0.5] * 64), (2, [-0.5] * 64), (3, [0.5] * 32)],
         ["vec_id", "embedding"],
     )
-    with pytest.raises(ValueError, match="ragged"):
+    with pytest.raises(Exception, match="ragged"):
         ann_hamming_topk(df, df.limit(1), k=2).collect()
+    with pytest.raises(ValueError, match="ragged"):
+        ann_hamming_topk(df.limit(2), df, k=2)
+    # uniform widths: no extra eager corpus scan, and the guard branch
+    # stays dormant — result identical to the unguarded fold
+    ok = df.limit(2)
+    rows = ann_hamming_topk(ok, ok, k=1).collect()
+    assert {(r.query_id, r.neighbor_id) for r in rows} == {(1, 2), (2, 1)}

@@ -201,10 +201,21 @@ def test_pq_codebook_disk_cache(spark, tmp_path, monkeypatch):
     warm = fit_pq_codebooks(emb, m=2, k=4, iters=2, cache_key="corpus-v1")
     assert warm == cold
     # the cached JSON is bit-for-bit what the refit computes
-    assert json.loads(cached[0].read_text()) == cold
-    # planted garbage shapes refit instead of being trusted
+    obj = json.loads(cached[0].read_text())
+    assert obj["books"] == cold
+    # the embedded fingerprint binds content to (params, corpus key) and
+    # equals the filename (ADVICE r13)
+    assert obj["fp"] == cached[0].name.rsplit(".", 1)[0]
+    # planted garbage shapes refit instead of being trusted — including a
+    # pre-r14 bare-list entry (no fingerprint wrapper), a right-shaped
+    # entry under the WRONG fingerprint, and bools masquerading as ints
+    fp = obj["fp"]
     for bad in ("not json {", json.dumps([[[1, 2]]]),
-                json.dumps([[["x", "y"]] * 4] * 2)):
+                json.dumps([[["x", "y"]] * 4] * 2),
+                json.dumps(cold),  # legacy bare list: no content binding
+                json.dumps({"fp": "0" * 32, "books": cold}),
+                json.dumps({"fp": fp,
+                            "books": [[[True] * 4] * 4] * 2})):
         cached[0].write_text(bad)
         refit = fit_pq_codebooks(
             emb, m=2, k=4, iters=2, cache_key="corpus-v1"
@@ -218,6 +229,53 @@ def test_pq_codebook_disk_cache(spark, tmp_path, monkeypatch):
     assert other == fit_pq_codebooks(
         emb, m=2, k=4, iters=2, fit_sample=40, cache_key="corpus-v1"
     )
+
+
+def test_cache_root_trust_checks(tmp_path, monkeypatch):
+    """ADVICE r13: an existing cache root is only trusted when it is a
+    real directory owned by the current uid with no group/other write
+    bits — otherwise caching is DISABLED (path resolution returns None),
+    never silently pointed at a plantable location."""
+    import os
+
+    from checkatron_spark.operators import pq as pqmod
+    from checkatron_spark.session import secure_cache_root
+
+    good = tmp_path / "root"
+    good.mkdir(mode=0o700)
+    assert secure_cache_root(str(good)) == str(good)
+    monkeypatch.setattr(pqmod, "_PQ_CACHE_ROOT", str(good))
+    assert pqmod._books_cache_path("k", "pq", (1,)) is not None
+
+    # group/other-writable root (the classic pre-created /tmp plant)
+    loose = tmp_path / "loose"
+    loose.mkdir(mode=0o777)
+    os.chmod(loose, 0o777)  # mkdir is umask-masked; force the loose bits
+    assert secure_cache_root(str(loose)) is None
+    monkeypatch.setattr(pqmod, "_PQ_CACHE_ROOT", str(loose))
+    assert pqmod._books_cache_path("k", "pq", (1,)) is None
+
+    # a symlink planted at the root path
+    link = tmp_path / "link"
+    link.symlink_to(good)
+    assert secure_cache_root(str(link)) is None
+
+    # a plain file planted at the root path
+    f = tmp_path / "file"
+    f.write_text("x")
+    assert secure_cache_root(str(f)) is None
+
+    # missing root: created 0o700 and trusted
+    fresh = tmp_path / "fresh"
+    assert secure_cache_root(str(fresh)) == str(fresh)
+    assert (os.lstat(fresh).st_mode & 0o777) == 0o700
+
+    # fit with an untrusted root still WORKS — it just refits every time
+    # (cache best-effort contract); exercised via the IVF path too
+    from checkatron_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "_IVF_CACHE_ROOT", str(loose))
+    assert S._ivf_cache_path("k", 4, 42, 5, None) is None
 
 
 def test_ivfpq_cache_hit_equals_refit(spark, tmp_path, monkeypatch):

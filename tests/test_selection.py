@@ -651,3 +651,42 @@ def test_bpe_learn_matches_duckdb_and_greedy_semantics(spark, duck, tmp_path):
     assert got["aaaa"]["n_tokens"] == 2
     # merges only ever shrink the segmentation
     assert all(1 <= r["n_tokens"] <= len(r["word"]) for r in got.values())
+
+
+def test_bpe_learn_degenerate_corpus_exhausts_merges(spark, duck, tmp_path):
+    """ADVICE r13: when every head word fully merges BEFORE n_merges
+    rounds, the Python learner breaks out while the SQL twin's remaining
+    merge CTEs see an EMPTY argmax — the sentinel no-op pair in mt{i}
+    must keep the cross join total instead of annihilating every row.
+    Single-char words exhaust at round 0 (no adjacent pair ever exists);
+    'ab' exhausts after one merge, leaving rounds 2..5 empty-argmax."""
+    import pandas as pd
+
+    from checkatron_spark.selection import bpe_learn_segment, bpe_learn_sql
+    from tests.conftest import assert_same_rows
+
+    rows = [(1, "a b a b ab"), (2, "b a ab a")]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    df = bpe_learn_segment(docs, n_merges=6, top_words=100, top_out=50)
+    got = {r["word"]: r for r in df.collect()}
+    assert set(got) == {"a", "b", "ab"}, "oracle/learner must keep all rows"
+    assert got["ab"]["n_tokens"] == 1  # the one real merge happened
+    res = duck.sql(bpe_learn_sql(n_merges=6, top_words=100, top_out=50))
+    assert len(res.fetchall()) == 3, (
+        "empty-argmax round annihilated the oracle rows — mt{i} sentinel "
+        "regressed"
+    )
+    res = duck.sql(bpe_learn_sql(n_merges=6, top_words=100, top_out=50))
+    idx = [res.columns.index(c) for c in df.columns]
+    assert_same_rows(
+        df,
+        [tuple(row[i] for i in idx) for row in res.fetchall()],
+        duck_cols=df.columns,
+    )
