@@ -219,33 +219,13 @@ def _q_orders_filtered(spark, sf_dir):
 # that are already green AND unchanged can be pruned each round; leaving
 # them costs a window slot, nothing else.
 _CHECK_FIRST: list[str] = [
-    # round 13 (VERDICT r12 #2): the 41-query cohort whose latest driver
-    # green is ROUND 4 hits the <=9-round age bound THIS round. The
-    # rotation quota (30 picks) plus the oldest-green-first fresh_rest
-    # ordering drain it automatically from the window's tail, but this
-    # round's stale re-grades (PQ family, hamming, media, macro) occupy
-    # slots ahead of rotation — so the 11 cohort members the 30-pick
-    # quota cannot cover are fronted here, leaving the quota to the
-    # other 30. (Deliberately <= 20 entries: the rotation gate needs
-    # 50 - len(_CHECK_FIRST) >= the 30-pick quota cap —
+    # round 14 result-changed stale: ann_recall_audit's declared RESULT
+    # changed this round (VERDICT r13 #2 — ann_ivf/ann_lsh join the
+    # method map, 4 rows -> 6 rows), so its driver re-grade cannot wait
+    # behind the age queue. (Deliberately <= 20 entries: the rotation
+    # gate needs 50 - len(_CHECK_FIRST) >= the 30-pick quota cap —
     # test_rotation_simulation_bounds_grade_age.)
-    "approx_distincts",
-    "churned_customers_except",
-    "cohort_retention",
-    "customer_running_total",
-    "customers_anti_join",
-    "customers_semi_join",
-    "distinct_counts",
-    "events_ohlc_hourly",
-    "fk_violations",
-    "interleave_sources",
-    "null_profile",
-    # round 13 result-changed stale: the PQ family's declared results
-    # CHANGED this round (bounded-sample fit) — their driver re-grade
-    # cannot wait behind the age queue
-    "ann_pq_adc_topk",
-    "ann_pq_rerank_topk",
-    "ann_ivfpq_topk",
+    "ann_recall_audit",
 ]
 
 # Queries declared in the CURRENT round sit at the END of the never-checked
@@ -254,13 +234,11 @@ _CHECK_FIRST: list[str] = [
 # round-4 backlog plus the ~16 round-5 additions) fits in one 50-slot
 # window regardless of internal order, so no pinning is needed.
 _CHECK_LAST: list[str] = [
-    # round 13: the ANN recall@k audit (compressed shortlists vs exact
-    # brute-force truth, integer fractions), the stdlib RIFF/WAVE decode
-    # behind the shared codec dispatch seam, and BPE merge learning
-    # (tokenizer training — one corpus pass + bounded merge rounds)
-    "ann_recall_audit",
-    "media_decode_wav",
-    "bpe_train_segment",
+    # round 14: the two newly-declared approximate ANN methods that also
+    # joined the recall audit (VERDICT r13 #2) — deterministic grid-IVF
+    # and banded sign-bit LSH
+    "ann_ivf_grid_topk",
+    "ann_lsh_banded_topk",
 ]
 
 

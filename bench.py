@@ -160,6 +160,12 @@ HEADLINE = [
     "ann_recall_audit",
     "media_decode_wav",
     "bpe_train_segment",
+    # round 14 (VERDICT r13 #2): the two approximate methods that joined
+    # the recall audit — deterministic grid-IVF (shares ann_ivfpq's
+    # cached coarse quantizer) and banded sign-bit LSH (5-bit bands,
+    # candidate join on band equality)
+    "ann_ivf_grid_topk",
+    "ann_lsh_banded_topk",
 ]
 
 

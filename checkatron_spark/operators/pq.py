@@ -58,6 +58,7 @@ __all__ = [
     "pq_adc_topk",
     "pq_adc_rerank_topk",
     "ivfpq_topk",
+    "ivf_grid_topk",
 ]
 
 # Same scratch root as the IVF quantizer cache (similarity.py): codebooks
@@ -349,7 +350,8 @@ def _argmin_code(sx: DataFrame, col: str, cents: list, k: int) -> DataFrame:
 
 
 def _assign_residual_grid(
-    xq: DataFrame, coarse: list[list[int]], *, id_col: str = "vec_id"
+    xq: DataFrame, coarse: list[list[int]], *, id_col: str = "vec_id",
+    residual: bool = True,
 ) -> DataFrame:
     """Coarse-cell assignment + residual computation in ONE Arrow pass
     (round 13): the previous shape — broadcast centroid fan-out, then a
@@ -358,7 +360,11 @@ def _assign_residual_grid(
     integer ``min(dist·k + cid)`` argmin (the _argmin_code rule, numpy
     int64 exact) map-side with the centroids in the task closure, and
     emits (id, cell, residual) with zero shuffles and zero joins. Same
-    BIGINT overflow guard as pq_encode_grid."""
+    BIGINT overflow guard as pq_encode_grid. ``residual=False`` emits the
+    ORIGINAL grid vector instead of the residual — the grid-IVF seam
+    (round 14: ivf_grid_topk scores probed cells on full vectors, so
+    re-joining xq for them would add a corpus-sized shuffle the kernel
+    can avoid for free)."""
     import numpy as np
     import pandas as pd
 
@@ -389,7 +395,7 @@ def _assign_residual_grid(
                 {
                     id_col: pdf[id_col],
                     "cell": cell,
-                    "_x": list(X - cents[cell]),
+                    "_x": list(X - cents[cell]) if residual else list(X),
                 }
             )
 
@@ -616,6 +622,133 @@ def pq_adc_rerank_topk(
     )
 
 
+def _fit_coarse_cached(
+    xq: DataFrame,
+    *,
+    id_col: str,
+    n_cells: int,
+    iters: int,
+    scale: int,
+    fit_sample: int | None,
+    cache_key: str | None,
+    dims: int | None = None,
+) -> list[list[int]]:
+    """The cached coarse-quantizer fit shared by ivfpq_topk and
+    ivf_grid_topk (round 14): both run the IDENTICAL deterministic
+    m=1 Lloyd chain on the same md5-bounded fitset, so they share one
+    cache slot — an audit that runs both pays the coarse fit once."""
+    cpath = (
+        _books_cache_path(
+            cache_key, "ivfpq-coarse", (n_cells, iters, scale, fit_sample)
+        )
+        if cache_key is not None
+        else None
+    )
+    if cpath is not None:
+        cached = _load_books(cpath, m=1, k=n_cells, dims=dims)
+        if cached is not None:
+            return cached[0]
+    coarse = fit_codebooks_grid(
+        _fit_sample_grid(xq, id_col, fit_sample),
+        id_col=id_col, m=1, k=n_cells, iters=iters,
+    )[0]
+    if cpath is not None:
+        _save_books(cpath, [coarse])
+    return coarse
+
+
+def ivf_grid_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    scale: int = 10000,
+    topk: int = 3,
+    fit_sample: int | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Grid-integer IVF top-k — the APPROXIMATE inverted-file search a
+    user reaches for first (VERDICT r13 #2), exact-arithmetic twin of
+    the MLlib-backed ``similarity.ivf_topk`` but fully replayable in the
+    DuckDB oracle: the coarse quantizer is this module's deterministic
+    m=1 Lloyd chain (md5-bounded fitset, disk-cached — the slot is
+    SHARED with ivfpq_topk's coarse stage), each query probes its
+    ``n_probe`` closest cells by exact BIGINT centroid distance, and
+    candidates in probed cells are ranked by the exact full-vector grid
+    distance. Neighbors in unprobed cells are missed BY DESIGN — that
+    recall trade is what ann_recall_audit measures for this method.
+
+    Scale shape: cell assignment is the zero-shuffle Arrow kernel
+    (centroids in the task closure, original vectors carried through —
+    no corpus re-join), the |Q|·n_cells probe table broadcasts, and the
+    scoring join keys on cell id, so per-query cost tracks probed-cell
+    population, not corpus size. Returns (query_id, neighbor_id, rank,
+    ivf_dist), ties (dist, neighbor) — deterministic on both engines."""
+    from checkatron_spark.session import scratch_persist
+
+    xq = _quantized(vectors, id_col, vec_col, scale).transform(
+        scratch_persist
+    )
+    dims = _grid_stats(xq, n_cells)
+    coarse = _fit_coarse_cached(
+        xq, id_col=id_col, n_cells=n_cells, iters=iters, scale=scale,
+        fit_sample=fit_sample, cache_key=cache_key, dims=dims,
+    )
+    spark = xq.sparkSession
+    cdf = spark.createDataFrame(
+        list(enumerate(coarse)), "cell int, _cm array<bigint>"
+    )
+    corpus = _assign_residual_grid(
+        xq, coarse, id_col=id_col, residual=False
+    ).withColumnRenamed(id_col, "neighbor_id")
+    qx = _quantized(queries, id_col, vec_col, scale).withColumnRenamed(
+        id_col, "query_id"
+    )
+    cdist = F.expr(
+        "aggregate(zip_with(_x, _cm, (a, b) -> (a - b) * (a - b)), 0L, "
+        "(acc, v) -> acc + v)"
+    )
+    qc = qx.crossJoin(F.broadcast(cdf)).select(
+        "query_id", "cell", "_x", cdist.alias("_cd")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_cd").asc(), F.col("cell").asc()
+    )
+    probed = (
+        qc.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "cell", F.col("_x").alias("_qx"))
+    )
+    dist = F.expr(
+        "aggregate(zip_with(_qx, _x, (a, b) -> (a - b) * (a - b)), 0L, "
+        "(acc, v) -> acc + v)"
+    )
+    scored = (
+        corpus.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("ivf_dist"))
+    )
+    order = [F.col("ivf_dist").asc(), F.col("neighbor_id").asc()]
+    local = Window.partitionBy(
+        "query_id", F.spark_partition_id()
+    ).orderBy(*order)
+    survivors = (
+        scored.withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= topk)
+        .drop("_lrn")
+    )
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "ivf_dist")
+    )
+
+
 def ivfpq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -658,26 +791,17 @@ def ivfpq_topk(
         scratch_persist
     )
     dims = _grid_stats(xq, max(k, n_cells))
-    cpath = rpath = None
-    if cache_key is not None:
-        cpath = _books_cache_path(
-            cache_key, "ivfpq-coarse", (n_cells, iters, scale, fit_sample)
-        )
-        rpath = _books_cache_path(
+    rpath = (
+        _books_cache_path(
             cache_key, "ivfpq-res", (n_cells, m, k, iters, scale, fit_sample)
         )
-    coarse = None
-    if cpath is not None:
-        cached = _load_books(cpath, m=1, k=n_cells, dims=dims)
-        if cached is not None:
-            coarse = cached[0]
-    if coarse is None:
-        coarse = fit_codebooks_grid(
-            _fit_sample_grid(xq, id_col, fit_sample),
-            id_col=id_col, m=1, k=n_cells, iters=iters,
-        )[0]
-        if cpath is not None:
-            _save_books(cpath, [coarse])
+        if cache_key is not None
+        else None
+    )
+    coarse = _fit_coarse_cached(
+        xq, id_col=id_col, n_cells=n_cells, iters=iters, scale=scale,
+        fit_sample=fit_sample, cache_key=cache_key, dims=dims,
+    )
     spark = xq.sparkSession
     cdf = spark.createDataFrame(
         list(enumerate(coarse)), "cell int, _cm array<bigint>"

@@ -883,6 +883,102 @@ def ann_lsh_topk(
     )
 
 
+def ann_lsh_banded_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_bits: int = 8,
+    k: int = 3,
+    scale: int = 10000,
+) -> DataFrame:
+    """Banded sign-bit LSH top-k — the APPROXIMATE random-hyperplane LSH
+    search, deterministic end to end (VERDICT r13 #2): the hyperplanes
+    are the coordinate axes (the sign_hash_codes contract, v > 0), bits
+    group into ``band_bits``-wide bands, and two vectors are CANDIDATES
+    iff they agree on at least one whole band — the MinHash-LSH banding
+    trick applied to SRP bits. Candidates are then ranked by the exact
+    BIGINT grid distance (the pq family's _quantized rule), ties by
+    neighbor id, so the DuckDB oracle replays every band value, every
+    candidate decision, and every distance bit-for-bit — unlike the
+    MLlib ``BucketedRandomProjectionLSH`` twin (ann_lsh_topk), whose
+    seeded hash functions no other engine can reproduce.
+
+    Scale shape: band tables are (id, band_idx, band_val) — the
+    candidate join keys on band equality (bucketed, never all-pairs),
+    the |Q|-side band table broadcasts, and scoring touches only the
+    deduped candidate pairs. Recall falls as band_bits grows (fewer,
+    stricter collisions) — ann_recall_audit measures exactly that.
+    Uniform embedding width is the family contract (ragged widths are a
+    corpus defect; see ann_hamming_topk's guard). Returns (query_id,
+    neighbor_id, rank, lsh_dist); queries absent from every shared
+    bucket return fewer than k rows by design."""
+    band = F.expr(
+        f"transform(sequence(0, CAST(ceil(size({vec_col}) / "
+        f"{band_bits}.0) AS INT) - 1), b -> aggregate(slice({vec_col}, "
+        f"b * {band_bits} + 1, {band_bits}), 0L, "
+        "(acc, v) -> acc * 2 + IF(v > 0, 1L, 0L)))"
+    )
+    norm = F.expr(
+        f"sqrt(aggregate({vec_col}, 0.0D, "
+        "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    grid = F.expr(
+        f"transform({vec_col}, v -> "
+        f"CAST(floor(CAST(v AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT))"
+    )
+
+    def _side(df, out_id):
+        return df.filter(norm > F.lit(0.0)).select(
+            F.col(id_col).alias(out_id),
+            band.alias("_bands"),
+            grid.alias("_x"),
+        )
+
+    corp = _side(vectors, "neighbor_id")
+    qf = _side(queries, "query_id")
+    cb = corp.select(
+        "neighbor_id", F.posexplode("_bands").alias("_bi", "_bv")
+    )
+    qb = qf.select("query_id", F.posexplode("_bands").alias("_bi", "_bv"))
+    cand = (
+        cb.join(F.broadcast(qb), ["_bi", "_bv"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    dist = F.expr(
+        "aggregate(zip_with(_qx, _x, (a, b) -> (a - b) * (a - b)), 0L, "
+        "(acc, v) -> acc + v)"
+    )
+    scored = (
+        cand.join(corp.select("neighbor_id", "_x"), "neighbor_id")
+        .join(
+            F.broadcast(
+                qf.select("query_id", F.col("_x").alias("_qx"))
+            ),
+            "query_id",
+        )
+        .select("query_id", "neighbor_id", dist.alias("lsh_dist"))
+    )
+    order = [F.col("lsh_dist").asc(), F.col("neighbor_id").asc()]
+    local = Window.partitionBy(
+        "query_id", F.spark_partition_id()
+    ).orderBy(*order)
+    survivors = (
+        scored.withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= k)
+        .drop("_lrn")
+    )
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "lsh_dist")
+    )
+
+
 def decontaminate_semantic(
     corpus: DataFrame,
     benchmark: DataFrame,

