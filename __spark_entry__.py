@@ -239,6 +239,9 @@ _CHECK_LAST: list[str] = [
     # and banded sign-bit LSH
     "ann_ivf_grid_topk",
     "ann_lsh_banded_topk",
+    # round 14: declared-NFC + script-class corpus profile (the
+    # pre-tokenizer multilingual audit, VERDICT r13 #4)
+    "unicode_profile",
 ]
 
 

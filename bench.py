@@ -166,6 +166,9 @@ HEADLINE = [
     # candidate join on band equality)
     "ann_ivf_grid_topk",
     "ann_lsh_banded_topk",
+    # round 14: declared-NFC + script-class profile — one zero-shuffle
+    # codegen aggregate pass over the augmented corpus
+    "unicode_profile",
 ]
 
 

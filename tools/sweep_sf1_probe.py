@@ -223,6 +223,10 @@ PROBE_DOCS = [
     # rounds on the bounded top-500 head vocabulary; growth = the scan
     # term (the realistic fixture's richer vocabulary exercises the cap)
     "bpe_train_segment",
+    # round 14: unicode profile — replace chain + per-class
+    # regexp_replace+length folds in one zero-shuffle aggregate; growth
+    # = the scan term exactly
+    "unicode_profile",
 ]
 
 
