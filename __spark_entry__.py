@@ -242,6 +242,9 @@ _CHECK_LAST: list[str] = [
     # round 14: declared-NFC + script-class corpus profile (the
     # pre-tokenizer multilingual audit, VERDICT r13 #4)
     "unicode_profile",
+    # round 14: incremental IVF maintenance — changefeed admission
+    # against the fitted quantizer + stored index (VERDICT r13 #5)
+    "ann_ivf_incremental",
 ]
 
 

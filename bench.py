@@ -169,6 +169,9 @@ HEADLINE = [
     # round 14: declared-NFC + script-class profile — one zero-shuffle
     # codegen aggregate pass over the augmented corpus
     "unicode_profile",
+    # round 14: incremental IVF — warm quantizer + index store, batch
+    # admission kernel, tombstone anti-join, probed search
+    "ann_ivf_incremental",
 ]
 
 

@@ -59,6 +59,9 @@ __all__ = [
     "pq_adc_rerank_topk",
     "ivfpq_topk",
     "ivf_grid_topk",
+    "ivf_grid_apply_changes",
+    "ivf_grid_incremental_topk",
+    "ivf_occupancy_drift",
 ]
 
 # Same scratch root as the IVF quantizer cache (similarity.py): codebooks
@@ -708,6 +711,28 @@ def ivf_grid_topk(
     qx = _quantized(queries, id_col, vec_col, scale).withColumnRenamed(
         id_col, "query_id"
     )
+    return _ivf_grid_search(
+        corpus, coarse, qx, n_probe=n_probe, topk=topk
+    )
+
+
+def _ivf_grid_search(
+    corpus: DataFrame,
+    coarse: list[list[int]],
+    qx: DataFrame,
+    *,
+    n_probe: int,
+    topk: int,
+) -> DataFrame:
+    """The search half of grid IVF over a MAINTAINED index frame
+    ``corpus`` = (neighbor_id, cell, _x) — shared by ivf_grid_topk
+    (fresh build) and ivf_grid_apply_changes (incremental admission,
+    round 14): probe table broadcast, scoring join keyed on cell,
+    two-phase per-query top-k."""
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        list(enumerate(coarse)), "cell int, _cm array<bigint>"
+    )
     cdist = F.expr(
         "aggregate(zip_with(_x, _cm, (a, b) -> (a - b) * (a - b)), 0L, "
         "(acc, v) -> acc + v)"
@@ -890,3 +915,193 @@ def ivfpq_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "rank", "adc_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance (round 14, VERDICT r13 #5). The cache
+# story so far was all-or-nothing: caches key on corpus identity, so ANY
+# corpus change refit everything. This block is the delta path — the
+# LSM/CDC shape from streaming.py applied to the vector index:
+#
+# - the BASE index (vec_id, cell, _x) persists as a parquet store under
+#   the verified per-user scratch root (one build per corpus version;
+#   later processes LOAD assignments instead of re-running the kernel);
+# - a changefeed batch (op, vec_id, embedding) admits against the FITTED
+#   quantizer: upserts are assigned to existing cells by the identical
+#   argmin kernel (work ∝ batch), tombstones drop via a broadcast
+#   anti-join (the operators/patch.py op convention: 'upsert'/'delete');
+# - the coarse centroids deliberately do NOT move on admission — that is
+#   what makes the incremental result EXACTLY equal a rebuild-with-the-
+#   same-centroids (pinned in tests), and what cell-occupancy DRIFT
+#   detection exists to police: when admissions skew the occupancy
+#   distribution past the declared threshold, the honest move is a
+#   refit, and ivf_occupancy_drift says so instead of letting recall rot
+#   silently.
+# ---------------------------------------------------------------------------
+
+
+def _index_store_path(cache_key: str, params: tuple) -> str | None:
+    """Parquet store path for a maintained IVF index, or None when no
+    trustworthy cache root exists (same trust rules as the codebook
+    cache — secure_cache_root ownership/permission checks)."""
+    from checkatron_spark.session import secure_cache_root
+
+    root = secure_cache_root(_PQ_CACHE_ROOT)
+    if root is None:
+        return None
+    h = _books_fingerprint(cache_key, "ivf-index", params)
+    return os.path.join(root, "ivf_index", h)
+
+
+def _load_or_build_index(
+    xq: DataFrame,
+    coarse: list[list[int]],
+    *,
+    id_col: str,
+    cache_key: str | None,
+    params: tuple,
+) -> DataFrame:
+    """The base index (id, cell, _x): load from the parquet store on a
+    hit, else one zero-shuffle assignment pass over the corpus, then
+    persist (write-tmp + atomic rename; a hit IS the rebuild because
+    assignment is deterministic). Corrupt/partial stores rebuild."""
+    spark = xq.sparkSession
+    path = (
+        _index_store_path(cache_key, params) if cache_key is not None
+        else None
+    )
+    if path is not None and os.path.isdir(path):
+        try:
+            idx = spark.read.parquet(path)
+            if set(idx.columns) == {id_col, "cell", "_x"}:
+                return idx
+        except Exception:  # noqa: BLE001 — partial write: rebuild below
+            pass
+    idx = _assign_residual_grid(xq, coarse, id_col=id_col, residual=False)
+    if path is not None:
+        try:
+            os.makedirs(os.path.dirname(path), mode=0o700, exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            idx.write.mode("overwrite").parquet(tmp)
+            os.replace(tmp, path)
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — cache is best-effort
+            pass
+    return idx
+
+
+def ivf_grid_apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str = "op",
+    n_cells: int = 8,
+    iters: int = 2,
+    scale: int = 10000,
+    fit_sample: int | None = None,
+    cache_key: str | None = None,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Admit a changefeed batch into the fitted IVF index. Returns
+    (index, coarse) where index = (id, cell, _x) reflects the batch:
+    'delete' rows drop, 'upsert' rows (re-)assign to the EXISTING cells
+    via the same argmin kernel the build used. An id carrying BOTH ops
+    in one batch resolves to the upsert (the row exists with its new
+    embedding) — compact mixed feeds upstream (the cdc_log_compact
+    convention) when delete-wins is wanted. Update work is ∝ batch:
+    the quantizer loads from its cache (zero Lloyd jobs), the base index
+    loads from its parquet store (zero assignment jobs), the batch
+    assignment kernel runs over batch rows only, and the tombstone
+    anti-join broadcasts the (small) batch id set map-side."""
+    xq = _quantized(base, id_col, vec_col, scale)
+    dims = _grid_stats(xq, n_cells)
+    coarse = _fit_coarse_cached(
+        xq, id_col=id_col, n_cells=n_cells, iters=iters, scale=scale,
+        fit_sample=fit_sample, cache_key=cache_key, dims=dims,
+    )
+    base_idx = _load_or_build_index(
+        xq, coarse, id_col=id_col, cache_key=cache_key,
+        params=(n_cells, iters, scale, fit_sample),
+    )
+    touched = changes.select(id_col).distinct()
+    upserts = changes.filter(F.col(op_col) == "upsert").select(
+        id_col, vec_col
+    )
+    new_idx = _assign_residual_grid(
+        _quantized(upserts, id_col, vec_col, scale), coarse,
+        id_col=id_col, residual=False,
+    )
+    idx = base_idx.join(
+        F.broadcast(touched), id_col, "left_anti"
+    ).unionByName(new_idx)
+    return idx, coarse
+
+
+def ivf_grid_incremental_topk(
+    base: DataFrame,
+    changes: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str = "op",
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    scale: int = 10000,
+    topk: int = 3,
+    fit_sample: int | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Search the incrementally-maintained index (apply the changefeed,
+    then the shared _ivf_grid_search) — the production read path after a
+    delta admission. Deterministic end to end, so the DuckDB oracle
+    replays fit + base assignment + admission + search exactly."""
+    idx, coarse = ivf_grid_apply_changes(
+        base, changes, id_col=id_col, vec_col=vec_col, op_col=op_col,
+        n_cells=n_cells, iters=iters, scale=scale,
+        fit_sample=fit_sample, cache_key=cache_key,
+    )
+    qx = _quantized(queries, id_col, vec_col, scale).withColumnRenamed(
+        id_col, "query_id"
+    )
+    return _ivf_grid_search(
+        idx.withColumnRenamed(id_col, "neighbor_id"), coarse, qx,
+        n_probe=n_probe, topk=topk,
+    )
+
+
+def ivf_occupancy_drift(
+    index: DataFrame,
+    *,
+    n_cells: int,
+    skew_threshold: float = 4.0,
+    empty_threshold: float = 0.25,
+) -> dict:
+    """Cell-occupancy drift audit — the refit trigger for incremental
+    admission (VERDICT r13 #5): after K batches, if the most-loaded
+    cell holds more than ``skew_threshold`` times its uniform share, or
+    more than ``empty_threshold`` of the cells have emptied, the fitted
+    centroids no longer describe the corpus and probed-cell search
+    recall rots — the decision to pay the refit becomes explicit and
+    measurable instead of silent. One bounded aggregate (n_cells rows
+    collected)."""
+    rows = index.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    total = sum(r["n"] for r in rows)
+    occupied = {int(r["cell"]): int(r["n"]) for r in rows}
+    max_n = max(occupied.values(), default=0)
+    uniform = total / n_cells if n_cells else 0.0
+    skew = (max_n / uniform) if uniform > 0 else 0.0
+    empty_frac = (n_cells - len(occupied)) / n_cells if n_cells else 0.0
+    return {
+        "total": total,
+        "max_cell": max_n,
+        "skew": skew,
+        "empty_frac": empty_frac,
+        "refit_recommended": bool(
+            skew > skew_threshold or empty_frac > empty_threshold
+        ),
+    }

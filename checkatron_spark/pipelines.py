@@ -3038,6 +3038,146 @@ WHERE rnk <= {topk}
 """
 
 
+# the closed-form changefeed for the incremental-IVF declared query
+# (round 14, VERDICT r13 #5): ~1/17 of ids re-embed with a deterministic
+# per-id drift, a disjoint ~1/23 slice tombstones away. The perturbation
+# is plain double arithmetic rendered identically on both engines.
+_IVF_INCR_PERTURB = (
+    "transform(embedding, v -> CAST(v AS DOUBLE) "
+    "+ 0.001D * CAST(vec_id % 7 - 3 AS DOUBLE))"
+)
+_IVF_INCR_PERTURB_DUCK = (
+    "list_transform(embedding, v -> CAST(v AS DOUBLE) "
+    "+ 0.001 * CAST(vec_id % 7 - 3 AS DOUBLE))"
+)
+
+
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance (operators/pq.py
+    ivf_grid_apply_changes — VERDICT r13 #5): the fitted coarse
+    quantizer and the base index load from their caches (zero Lloyd /
+    assignment jobs on a warm corpus version), a deterministic
+    changefeed batch admits against them — upserts re-assign to
+    EXISTING cells by the same argmin kernel (work ∝ batch), deletes
+    tombstone via a broadcast anti-join — and the search runs over the
+    maintained index. Centroids deliberately do not move on admission
+    (incremental == rebuild-with-same-centroids, pinned in
+    tests/test_pq.py, with ivf_occupancy_drift deciding when a refit is
+    due); the oracle replays fit + base assignment + admission + search
+    end to end."""
+    from checkatron_spark.operators.pq import ivf_grid_incremental_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    ok = F.expr(
+        "sqrt(aggregate(embedding, 0.0D, (acc, v) -> "
+        "acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    ) > F.lit(0.0)
+    ups = emb.filter((F.col("vec_id") % 17 == 0) & ok).select(
+        F.lit("upsert").alias("op"),
+        "vec_id",
+        F.expr(_IVF_INCR_PERTURB).alias("embedding"),
+    )
+    dels = emb.filter(
+        (F.col("vec_id") % 23 == 0) & (F.col("vec_id") % 17 != 0)
+    ).select(F.lit("delete").alias("op"), "vec_id", "embedding")
+    changes = ups.unionByName(dels)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_grid_incremental_topk(
+        emb, changes, queries, n_cells=8, n_probe=2, iters=2,
+        scale=10000, topk=3, fit_sample=256,
+        cache_key=_emb_cache_key(sf_dir),
+    )
+
+
+def ivf_grid_incremental_sql(
+    *,
+    dims: int = 64,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    scale: int = 10000,
+    topk: int = 3,
+    fit_sample: int | None = None,
+) -> str:
+    """Unrolled incremental-IVF oracle: the shared coarse chain + base
+    cell assignment (_ivf_coarse_parts, identical to ivf_grid_sql's),
+    the closed-form changefeed, argmin admission of upserts against the
+    FITTED centroids, tombstone anti-join, then the probed search over
+    the maintained index — pq.ivf_grid_incremental_topk's twin."""
+    parts, cfin = _ivf_coarse_parts(
+        dims=dims, n_cells=n_cells, iters=iters, scale=scale,
+        fit_sample=fit_sample,
+    )
+    dist_t = (
+        "CAST(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (t.sx[i] - mm[i]) * (t.sx[i] - mm[i]))) AS BIGINT)"
+    ).format(d=dims)
+    parts.append(f"""ups AS (
+  SELECT vec_id, {_IVF_INCR_PERTURB_DUCK} AS pe
+  FROM embeddings WHERE vec_id % 17 = 0 AND {_EMB_OK}
+),
+upsq AS (
+  SELECT vec_id,
+         list_transform(pe, v ->
+             CAST(floor(CAST(v AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT))
+             AS x
+  FROM ups
+),
+touched AS (
+  SELECT vec_id FROM ups
+  UNION ALL
+  SELECT vec_id FROM embeddings
+  WHERE vec_id % 23 = 0 AND vec_id % 17 <> 0
+),
+upcells AS (
+  SELECT t.vec_id,
+         CAST(min({dist_t} * {n_cells} + cid) % {n_cells} AS INTEGER)
+             AS cell
+  FROM (SELECT vec_id, x AS sx FROM upsq) t
+  CROSS JOIN {cfin} GROUP BY t.vec_id
+),
+idx AS (
+  SELECT c.vec_id, c.cell, xq.x
+  FROM cells c JOIN xq USING (vec_id)
+  WHERE NOT EXISTS (SELECT 1 FROM touched tt WHERE tt.vec_id = c.vec_id)
+  UNION ALL
+  SELECT u.vec_id, uc.cell, u.x
+  FROM upsq u JOIN upcells uc USING (vec_id)
+),
+q AS (SELECT vec_id AS query_id, x FROM xq WHERE vec_id % 50 = 0),
+qcd AS (
+  SELECT q.query_id, c.cid AS cell, q.x,
+         CAST(list_sum(list_transform(range(1, {dims} + 1),
+             i -> (q.x[i] - c.mm[i]) * (q.x[i] - c.mm[i]))) AS BIGINT) AS cd
+  FROM q CROSS JOIN {cfin} c
+),
+probed AS (
+  SELECT query_id, cell, x AS qx FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cd, cell) AS pr
+    FROM qcd
+  ) WHERE pr <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, ix.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {dims} + 1),
+             i -> (p.qx[i] - ix.x[i]) * (p.qx[i] - ix.x[i])))
+             AS BIGINT) AS ivf_dist
+  FROM probed p JOIN idx ix ON ix.cell = p.cell
+  WHERE p.query_id <> ix.vec_id
+)""")
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes}
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, ivf_dist
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY ivf_dist, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {topk}
+"""
+
+
 def q_ann_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic banded sign-bit LSH ANN (similarity.py
     ann_lsh_banded_topk): coordinate-hyperplane SRP bits in 5-bit bands
@@ -4169,6 +4309,7 @@ QUERIES = {
     "ann_hamming_topk": q_ann_hamming,
     "ann_ivf_grid_topk": q_ann_ivf_grid,
     "ann_lsh_banded_topk": q_ann_lsh_banded,
+    "ann_ivf_incremental": q_ann_ivf_incremental,
     "ann_recall_audit": q_ann_recall_audit,
     "events_windowed": q_events_windowed,
     "events_json_extract": q_events_json,
@@ -4256,6 +4397,7 @@ def oracles() -> dict[str, str]:
         "ann_ivfpq_topk": ivfpq_sql(fit_sample=256),
         "ann_ivf_grid_topk": ivf_grid_sql(fit_sample=256),
         "ann_lsh_banded_topk": ann_lsh_banded_sql(band_bits=5),
+        "ann_ivf_incremental": ivf_grid_incremental_sql(fit_sample=256),
         "ann_recall_audit": ann_recall_audit_sql(),
         "ann_hamming_topk": ann_hamming_sql(),
         "sketch_users_daily": SKETCH_USERS_SQL,

@@ -223,6 +223,7 @@ def test_no_cartesian_in_any_query(spark):
         # is the Arrow kernel (no join at all) and the corpus scoring
         # path is a broadcast EQUI join on cell
         "ann_ivf_grid_topk",
+        "ann_ivf_incremental",  # same probe-scorer shape over the store
     }
     for name, q in entrymod.full_queries().items():
         if name.startswith("stream_"):

@@ -466,3 +466,144 @@ def test_ann_recall_audit_contract(spark):
     # and they must stay APPROXIMATE (an exact result here would mean
     # the probe/band pruning silently stopped pruning)
     assert rows["ann_ivf"]["hits"] < rows["ann_ivf"]["total"]
+
+
+def test_ivf_incremental_equals_rebuild_with_same_centroids(spark):
+    """Round 14 (VERDICT r13 #5): admission against the fitted quantizer
+    must EXACTLY equal a from-scratch assignment of the updated corpus
+    with the SAME centroids — centroids deliberately do not move, and
+    assignment is deterministic, so the incremental path has no
+    approximation of its own. Applied over K=3 sequential batches, then
+    recall vs exact brute force on the final corpus is pinned."""
+    from pyspark.sql import functions as F
+
+    from checkatron_spark.operators.pq import (
+        _fit_coarse_cached,
+        _ivf_grid_search,
+        _quantized,
+        ivf_grid_apply_changes,
+        ivf_occupancy_drift,
+    )
+    from checkatron_spark.operators.similarity import ann_bruteforce_topk
+    from checkatron_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, "embeddings", sf)
+    kw = dict(n_cells=4, iters=2, scale=10000, fit_sample=64)
+
+    # K=3 deterministic batches: upsert thirds with different drifts,
+    # delete a sliver each round
+    base = emb
+    corpus = {r.vec_id: list(r.embedding) for r in emb.collect()
+              if r.embedding is not None}
+    idx = coarse = None
+    for k in range(1, 4):
+        pert = F.expr(
+            "transform(embedding, v -> CAST(v AS DOUBLE) + "
+            f"0.00{k}D * CAST(vec_id % 5 - 2 AS DOUBLE))"
+        )
+        ups = base.filter(F.col("vec_id") % (10 + k) == 0).select(
+            F.lit("upsert").alias("op"), "vec_id", pert.alias("embedding")
+        )
+        dels = base.filter(
+            (F.col("vec_id") % (20 + k) == 1)
+            & (F.col("vec_id") % (10 + k) != 0)  # disjoint from upserts
+        ).select(F.lit("delete").alias("op"), "vec_id", "embedding")
+        changes = ups.unionByName(dels)
+        idx, coarse = ivf_grid_apply_changes(
+            ivf_state_df(spark, corpus) if k > 1 else base, changes, **kw
+        )
+        # maintain the python-side corpus mirror
+        for r in ups.collect():
+            corpus[r.vec_id] = list(r.embedding)
+        for r in dels.collect():
+            corpus.pop(r.vec_id, None)
+        base = ivf_state_df(spark, corpus)
+
+    # exact-equality pin: incremental index == fresh assignment of the
+    # final corpus with the SAME centroids
+    final_xq = _quantized(base, "vec_id", "embedding", 10000)
+    from checkatron_spark.operators.pq import _assign_residual_grid
+
+    rebuilt = _assign_residual_grid(
+        final_xq, coarse, residual=False
+    )
+    a = sorted(map(tuple, idx.select("vec_id", "cell").collect()))
+    b = sorted(map(tuple, rebuilt.select("vec_id", "cell").collect()))
+    assert a == b and len(a) > 0
+
+    # recall-after-K-batches floor vs brute force on the final corpus
+    queries = base.filter(F.col("vec_id") % 40 == 0)
+    qx = _quantized(queries, "vec_id", "embedding", 10000) \
+        .withColumnRenamed("vec_id", "query_id")
+    got = _ivf_grid_search(
+        idx.withColumnRenamed("vec_id", "neighbor_id"), coarse, qx,
+        n_probe=2, topk=3,
+    ).collect()
+    truth = ann_bruteforce_topk(base, queries, k=3).collect()
+    tset = {(r.query_id, r.neighbor_id) for r in truth}
+    gset = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(tset) > 0
+    recall = len(gset & tset) / len(tset)
+    assert recall >= 0.4, f"recall after 3 batches collapsed: {recall:.2f}"
+
+    # drift audit: the balanced index does not demand a refit; a
+    # maximally-skewed synthetic index does
+    d = ivf_occupancy_drift(idx, n_cells=4)
+    assert d["total"] == len(a) and 0 <= d["empty_frac"] <= 1
+    skewed = spark.range(100).select(
+        F.col("id").alias("vec_id"), F.lit(0).alias("cell"),
+        F.array(F.lit(1).cast("bigint")).alias("_x"),
+    )
+    ds = ivf_occupancy_drift(skewed, n_cells=4)
+    assert ds["refit_recommended"] and ds["skew"] == 4.0
+    assert ds["empty_frac"] == 0.75
+
+
+def ivf_state_df(spark, corpus: dict):
+    """Helper: materialize the python-mirrored corpus as a DataFrame."""
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(corpus.items())],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_ivf_index_store_hit_equals_rebuild(spark, tmp_path, monkeypatch):
+    """The parquet index store: a warm load returns the identical
+    (vec_id, cell) assignment the cold build computed; a corrupted store
+    silently rebuilds."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from checkatron_spark.operators import pq as pqmod
+
+    monkeypatch.setattr(pqmod, "_PQ_CACHE_ROOT", str(tmp_path))
+    vecs = spark.range(150).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") * (i + 2)) % 13).cast("double") / 10.0
+              for i in range(8)]
+        ).alias("embedding"),
+    )
+    empty = vecs.filter(F.col("vec_id") < 0).select(
+        F.lit("upsert").alias("op"), "vec_id", "embedding"
+    )
+    kw = dict(n_cells=4, iters=2, scale=10000, fit_sample=32,
+              cache_key="corpus-v1")
+    cold, _ = pqmod.ivf_grid_apply_changes(vecs, empty, **kw)
+    cold_rows = sorted(map(tuple, cold.select("vec_id", "cell").collect()))
+    stores = list((tmp_path / "ivf_index").iterdir())
+    assert len(stores) == 1
+    warm, _ = pqmod.ivf_grid_apply_changes(vecs, empty, **kw)
+    assert sorted(
+        map(tuple, warm.select("vec_id", "cell").collect())
+    ) == cold_rows
+    # corrupt the store: silent rebuild, same assignments
+    shutil.rmtree(stores[0])
+    stores[0].mkdir()
+    (stores[0] / "garbage").write_text("not parquet")
+    re_built, _ = pqmod.ivf_grid_apply_changes(vecs, empty, **kw)
+    assert sorted(
+        map(tuple, re_built.select("vec_id", "cell").collect())
+    ) == cold_rows

@@ -94,6 +94,7 @@ HEADLINERS = [
     ("ann_ivf_grid_topk", "grid-IVF (round 14): cached deterministic coarse fit + zero-shuffle Arrow assignment (residual=False) + broadcast probe table keyed on cell — candidates bounded by probed-cell population"),
     ("ann_lsh_banded_topk", "banded sign-bit LSH (round 14): codegen band folds, band-equality candidate hash join (|Q|-side broadcast), exact grid-distance rank over deduped candidates"),
     ("unicode_profile", "unicode honesty (round 14): declared-NFC replace chain + per-class regexp codepoint counts, ONE zero-shuffle partial aggregate + stack()"),
+    ("ann_ivf_incremental", "incremental IVF (round 14): cached coarse fit + parquet index store, batch-only assignment kernel, broadcast tombstone anti-join, probed-cell search"),
     ("media_decode_wav", "stdlib WAV decode (round 13): mapInPandas wave reader over synthesized real RIFF bytes — map-only, stats reduced per clip in numpy"),
     ("bpe_train_segment", "BPE merge learning (round 13): one corpus explode+groupBy word count, then merge rounds over the persisted <=500-row head vocabulary — corpus contributes exactly one aggregate; argmax collects are 1 row"),
 ]

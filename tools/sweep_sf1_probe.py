@@ -123,6 +123,11 @@ PROBE = [
     # exists to catch at 10x)
     "ann_ivf_grid_topk",
     "ann_lsh_banded_topk",
+    # round 14: incremental admission — fit + base index load from the
+    # caches, so measured growth is batch assignment + tombstone
+    # anti-join + the probed search (the update term is ∝ batch; the
+    # search term is the same probed-cell shape as ann_ivf_grid_topk)
+    "ann_ivf_incremental",
 ]
 
 # tiled-fixture batch 2: flagship diff + TPC-H/window/events shapes
