@@ -245,6 +245,11 @@ _CHECK_LAST: list[str] = [
     # round 14: incremental IVF maintenance — changefeed admission
     # against the fitted quantizer + stored index (VERDICT r13 #5)
     "ann_ivf_incremental",
+    # round 14 stretch: streaming ANN admission — per-micro-batch
+    # centroid-literal cell assignment, drained index == batch oracle
+    # (VERDICT r13 #7; bench/probe exemption per the stream_bloom_gate
+    # precedent — the drain is the same corpus scan the batch twin runs)
+    "stream_ann_ivf_admission",
 ]
 
 

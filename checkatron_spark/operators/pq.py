@@ -1105,3 +1105,29 @@ def ivf_occupancy_drift(
             skew > skew_threshold or empty_frac > empty_threshold
         ),
     }
+
+
+def coarse_assign_expr(coarse: list[list[int]], xcol: str = "_x") -> F.Column:
+    """Pure-codegen coarse-cell assignment over grid vectors — the
+    centroid-LITERAL twin of _assign_residual_grid's Arrow argmin
+    (identical ``min(dist·k + cid)`` integer rule, pinned equivalent in
+    tests/test_pq.py). Exists for STREAMING admission (round 14): a
+    stateless projection needs no Python workers and no mapInPandas
+    stage, so a micro-batch assigns cells at ingest speed with the
+    centroids riding the plan as literals."""
+    k = len(coarse)
+    cents = "array(" + ", ".join(
+        "array(" + ", ".join(f"{int(v)}L" for v in c) + ")" for c in coarse
+    ) + ")"
+    dists = (
+        f"transform({cents}, c -> aggregate(zip_with({xcol}, c, "
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v))"
+    )
+    keyed = (
+        f"zip_with({dists}, sequence(0, {k - 1}), "
+        f"(d, i) -> d * {k} + CAST(i AS BIGINT))"
+    )
+    return F.expr(
+        f"CAST(aggregate({keyed}, {2**63 - 1}L, "
+        f"(acc, v) -> least(acc, v)) % {k} AS INT)"
+    )

@@ -1201,6 +1201,75 @@ def stream_bloom_gate_sql() -> str:
     return DECONTAMINATE_BLOOM_SQL
 
 
+def q_stream_ann_ivf_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index admission + batch-audit parity (round 14,
+    VERDICT r13 #7): the embedding corpus arrives as a 4-file changefeed
+    (maxFilesPerTrigger=1 — four genuine micro-batches), and each batch
+    ADMITS its vectors into the IVF index as a pure stateless projection:
+    grid quantization + the centroid-LITERAL argmin
+    (pq.coarse_assign_expr — the codegen twin of the Arrow assignment
+    kernel, no Python workers, no state, ingest-speed forever; the
+    stream_bloom_gate shape). The quantizer itself is the SAME cached
+    batch fit the ann_ivf_grid/ann_ivfpq queries use — fit in batch,
+    admit in stream, the production split.
+
+    The drained index then serves the SAME probed search the batch
+    recall audit calibrates — so the oracle is LITERALLY ivf_grid_sql:
+    streaming admission == batch index build, pinned value-exact (the
+    drained-state == batch-result contract, and the strongest parity in
+    the streaming family because the entire batch twin's oracle replays
+    against the streamed state)."""
+    from checkatron_spark.operators.pq import (
+        _fit_coarse_cached,
+        _ivf_grid_search,
+        _quantized,
+        coarse_assign_expr,
+    )
+    from checkatron_spark.pipelines import _emb_cache_key
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    xq_batch = _quantized(emb, "vec_id", "embedding", 10000)
+    coarse = _fit_coarse_cached(
+        xq_batch, id_col="vec_id", n_cells=8, iters=2, scale=10000,
+        fit_sample=256, cache_key=_emb_cache_key(sf_dir),
+    )
+    feed = _cached_feed(spark, "annadmit", sf_dir, emb)
+    schema = emb.schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    norm = F.expr(
+        "sqrt(aggregate(embedding, 0.0D, (acc, v) -> "
+        "acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    grid = F.expr(
+        "transform(embedding, v -> "
+        "CAST(floor(CAST(v AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"
+    )
+    admitted = (
+        sdf.filter(norm > F.lit(0.0))
+        .select(F.col("vec_id"), grid.alias("_x"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            coarse_assign_expr(coarse).alias("cell"),
+            "_x",
+        )
+    )
+    index = drain_to_batch(admitted, output_mode="append")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    qx = _quantized(queries, "vec_id", "embedding", 10000) \
+        .withColumnRenamed("vec_id", "query_id")
+    return _ivf_grid_search(index, coarse, qx, n_probe=2, topk=3)
+
+
+def stream_ann_ivf_admission_sql() -> str:
+    from checkatron_spark.pipelines import ivf_grid_sql
+
+    return ivf_grid_sql(fit_sample=256)
+
+
 def q_stream_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Count-Min maintenance: micro-batched documents explode to
     tokens, each token lands in depth md5-derived cells, and a complete-
@@ -1251,6 +1320,7 @@ QUERIES = {
     "stream_admission_gate": q_stream_admission_gate,
     "stream_bloom_gate": q_stream_bloom_gate,
     "stream_token_cms": q_stream_token_cms,
+    "stream_ann_ivf_admission": q_stream_ann_ivf_admission,
 }
 
 
@@ -1268,4 +1338,5 @@ def oracles() -> dict[str, str]:
         "stream_admission_gate": stream_admission_gate_sql(),
         "stream_bloom_gate": stream_bloom_gate_sql(),
         "stream_token_cms": stream_token_cms_sql(),
+        "stream_ann_ivf_admission": stream_ann_ivf_admission_sql(),
     }

@@ -607,3 +607,30 @@ def test_ivf_index_store_hit_equals_rebuild(spark, tmp_path, monkeypatch):
     assert sorted(
         map(tuple, re_built.select("vec_id", "cell").collect())
     ) == cold_rows
+
+
+def test_coarse_assign_expr_equals_kernel(spark):
+    """The centroid-literal codegen argmin (streaming admission path)
+    must assign EVERY vector to the same cell as the Arrow kernel —
+    identical min(dist*k+cid) rule, two implementations."""
+    from checkatron_spark.operators.pq import (
+        _assign_residual_grid,
+        _fit_coarse_cached,
+        _quantized,
+        coarse_assign_expr,
+    )
+    from checkatron_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    xq = _quantized(emb, "vec_id", "embedding", 10000)
+    coarse = _fit_coarse_cached(
+        xq, id_col="vec_id", n_cells=8, iters=2, scale=10000,
+        fit_sample=256, cache_key=None,
+    )
+    kern = sorted(map(tuple, _assign_residual_grid(
+        xq, coarse, residual=False
+    ).select("vec_id", "cell").collect()))
+    expr = sorted(map(tuple, xq.select(
+        "vec_id", coarse_assign_expr(coarse).alias("cell")
+    ).collect()))
+    assert kern == expr and len(kern) > 0

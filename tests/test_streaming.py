@@ -458,3 +458,27 @@ def test_maintain_view_stream_timeout_raises_then_resumes(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, exp.collect())
     )
+
+
+def test_stream_ann_admission_equals_batch_build(spark):
+    """Round 14 stretch (VERDICT r13 #7): the micro-batched admission
+    stream's drained search must be ROW-IDENTICAL to the batch
+    ivf_grid_topk at the same parameters — streaming admission == batch
+    index build, the drained-state == batch-result contract."""
+    from pyspark.sql import functions as F
+
+    from checkatron_spark.operators.pq import ivf_grid_topk
+    from checkatron_spark.sources.tables import load_table
+    from checkatron_spark.streaming import q_stream_ann_ivf_admission
+
+    sf = "/root/testdata/sf0.001"
+    streamed = sorted(map(tuple, q_stream_ann_ivf_admission(
+        spark, sf
+    ).collect()))
+    emb = load_table(spark, "embeddings", sf)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    batch = sorted(map(tuple, ivf_grid_topk(
+        emb, queries, n_cells=8, n_probe=2, iters=2, scale=10000,
+        topk=3, fit_sample=256,
+    ).collect()))
+    assert streamed == batch and len(streamed) > 0
