@@ -545,8 +545,15 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    # the driver keeps a bounded stdout tail; the JSON line must fit whole
-    assert len(line) < 1900, f"bench JSON line too long: {len(line)}"
+    # the driver keeps a bounded stdout tail; the JSON line must fit whole.
+    # The budget is MEASURED, not guessed: every committed BENCH_r{N}.json
+    # records a "tail" of exactly 2000 chars (r12 and r13 both), and the
+    # line is the last thing printed, so it survives iff len(line) + the
+    # trailing newline <= 2000. The old 1900 guard was a conservative guess
+    # that round 14's four new headline rows outgrew (1942 chars) — the
+    # run completed and wrote BENCH_DETAIL.json but died here without
+    # printing the line the driver records.
+    assert len(line) < 1999, f"bench JSON line too long: {len(line)}"
     print(line)
     sys.stdout.flush()
     spark.stop()
