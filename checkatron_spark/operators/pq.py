@@ -57,6 +57,7 @@ __all__ = [
     "pq_encode_grid",
     "pq_adc_topk",
     "pq_adc_rerank_topk",
+    "rerank_exact",
     "ivfpq_topk",
     "ivf_grid_topk",
     "ivf_grid_apply_changes",
@@ -379,7 +380,13 @@ def _assign_residual_grid(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array([list(v) for v in pdf["_x"]], dtype=np.int64)
+            try:
+                X = np.array([list(v) for v in pdf["_x"]], dtype=np.int64)
+            except ValueError as e:  # ragged rows inside one batch
+                raise ValueError(
+                    "ivfpq: ragged embedding dimensions — fix the corpus "
+                    "(mixed-dim codes would silently mis-rank)"
+                ) from e
             if X.shape[1] != cents.shape[1]:
                 raise ValueError(
                     f"ivfpq: vector dims {X.shape[1]} != coarse centroid "
@@ -428,9 +435,14 @@ def pq_encode_grid(
     codebooks: list[list[list[int]]],
     *,
     id_col: str = "vec_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Grid-input encode over (id_col, _x array<bigint>) — the residual
-    seam for IVF-PQ (see :func:`fit_codebooks_grid`)."""
+    seam for IVF-PQ (see :func:`fit_codebooks_grid`). ``passthrough``
+    columns (e.g. the IVF cell id) are repeated per subspace and carried
+    through the kernel, so consumers that need them avoid a corpus-sized
+    join back onto the encode output (guide §2.4: a few bytes per Arrow
+    row instead of a shuffle)."""
     import numpy as np
     import pandas as pd
 
@@ -438,13 +450,20 @@ def pq_encode_grid(
     k = len(codebooks[0])
     sub = len(codebooks[0][0])
     cents = np.array(codebooks, dtype=np.int64)  # (m, k, sub)
-    id_type = dict(xq.dtypes)[id_col]
+    dtypes = dict(xq.dtypes)
+    id_type = dtypes[id_col]
 
     def kernel(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.array([list(v) for v in pdf["_x"]], dtype=np.int64)
+            try:
+                X = np.array([list(v) for v in pdf["_x"]], dtype=np.int64)
+            except ValueError as e:  # ragged rows inside one batch
+                raise ValueError(
+                    "pq_encode: ragged embedding dimensions — fix the "
+                    "corpus (mixed-dim codes would silently mis-rank)"
+                ) from e
             if X.shape[1] != m * sub:
                 raise ValueError(
                     f"pq_encode: vector dims {X.shape[1]} != codebook "
@@ -465,13 +484,15 @@ def pq_encode_grid(
                 diff = Xs[:, None, :] - cents[s][None, :, :]
                 key = np.einsum("nkd,nkd->nk", diff, diff) * k + np.arange(k)
                 codes[:, s] = (key.min(axis=1) % k).astype(np.int32)
-            yield pd.DataFrame(
-                {id_col: ids, "s": ss, "code": codes.reshape(-1)}
-            )
+            out = {id_col: ids, "s": ss, "code": codes.reshape(-1)}
+            for c in passthrough:
+                out[c] = np.repeat(np.asarray(pdf[c]), m)
+            yield pd.DataFrame(out)
 
-    return xq.mapInPandas(
-        kernel, schema=f"{id_col} {id_type}, s int, code int"
+    schema = f"{id_col} {id_type}, s int, code int" + "".join(
+        f", {c} {dtypes[c]}" for c in passthrough
     )
+    return xq.mapInPandas(kernel, schema=schema)
 
 
 def pq_adc_topk(
@@ -597,6 +618,28 @@ def pq_adc_rerank_topk(
         iters=iters, scale=scale, topk=shortlist, codebooks=codebooks,
         fit_sample=fit_sample, cache_key=cache_key,
     ).select("query_id", "neighbor_id")
+    return rerank_exact(
+        short, vectors, queries, id_col=id_col, vec_col=vec_col,
+        scale=scale, topk=topk,
+    )
+
+
+def rerank_exact(
+    short: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10000,
+    topk: int = 3,
+) -> DataFrame:
+    """The exact-refine stage of :func:`pq_adc_rerank_topk`, factored out
+    (round 14) so a caller that ALREADY has the ADC shortlist — the
+    recall audit runs the flat-PQ pipeline once at topk=shortlist and
+    prefixes it for both ADC rows — can re-rank without recomputing the
+    whole compressed search. ``short`` = (query_id, neighbor_id)
+    candidate pairs; cost is |short| exact folds, corpus-independent."""
     nx = _quantized(vectors, id_col, vec_col, scale).select(
         F.col(id_col).alias("neighbor_id"), F.col("_x").alias("_nx")
     )
@@ -639,7 +682,16 @@ def _fit_coarse_cached(
     """The cached coarse-quantizer fit shared by ivfpq_topk and
     ivf_grid_topk (round 14): both run the IDENTICAL deterministic
     m=1 Lloyd chain on the same md5-bounded fitset, so they share one
-    cache slot — an audit that runs both pays the coarse fit once."""
+    cache slot — an audit that runs both pays the coarse fit once.
+
+    A cache HIT must stay job-free (``dims=None`` skips the width check
+    against the corpus): the warm search/admission paths deliberately do
+    NOT run the corpus-wide _grid_stats pass, because the assignment
+    kernel re-validates dims and the BIGINT bound on every batch at
+    execution time (guide §1.2: don't spend a full corpus scan on a
+    guard the hot loop already enforces). A cache MISS still pays the
+    corpus-wide stats guard before fitting — garbage codebooks must fail
+    at fit time, not at first use."""
     cpath = (
         _books_cache_path(
             cache_key, "ivfpq-coarse", (n_cells, iters, scale, fit_sample)
@@ -651,6 +703,8 @@ def _fit_coarse_cached(
         cached = _load_books(cpath, m=1, k=n_cells, dims=dims)
         if cached is not None:
             return cached[0]
+    if dims is None:
+        _grid_stats(xq, n_cells)  # fit-time corpus guard (raises)
     coarse = fit_codebooks_grid(
         _fit_sample_grid(xq, id_col, fit_sample),
         id_col=id_col, m=1, k=n_cells, iters=iters,
@@ -689,21 +743,16 @@ def ivf_grid_topk(
     (centroids in the task closure, original vectors carried through —
     no corpus re-join), the |Q|·n_cells probe table broadcasts, and the
     scoring join keys on cell id, so per-query cost tracks probed-cell
-    population, not corpus size. Returns (query_id, neighbor_id, rank,
+    population, not corpus size. Round 14: a quantizer-cache HIT runs
+    zero pre-search corpus jobs — the corpus-wide _grid_stats guard
+    moved inside the fit path (_fit_coarse_cached), the assignment
+    kernel re-validates per batch, and the single-consumer corpus frame
+    is no longer persisted. Returns (query_id, neighbor_id, rank,
     ivf_dist), ties (dist, neighbor) — deterministic on both engines."""
-    from checkatron_spark.session import scratch_persist
-
-    xq = _quantized(vectors, id_col, vec_col, scale).transform(
-        scratch_persist
-    )
-    dims = _grid_stats(xq, n_cells)
+    xq = _quantized(vectors, id_col, vec_col, scale)
     coarse = _fit_coarse_cached(
         xq, id_col=id_col, n_cells=n_cells, iters=iters, scale=scale,
-        fit_sample=fit_sample, cache_key=cache_key, dims=dims,
-    )
-    spark = xq.sparkSession
-    cdf = spark.createDataFrame(
-        list(enumerate(coarse)), "cell int, _cm array<bigint>"
+        fit_sample=fit_sample, cache_key=cache_key,
     )
     corpus = _assign_residual_grid(
         xq, coarse, id_col=id_col, residual=False
@@ -809,13 +858,20 @@ def ivfpq_topk(
     (deterministic ties: probe order (dist, cell), ranking (dist,
     neighbor)), so the DuckDB oracle replays the entire index+search
     computation. Returns (query_id, neighbor_id, rank, adc_dist) —
-    neighbors in unprobed cells are absent by design."""
+    neighbors in unprobed cells are absent by design.
+
+    Round 14 warm-path shape (guide §1.2/§2.4): when BOTH the coarse
+    quantizer and the residual codebooks hit their caches, the search
+    runs zero pre-search corpus jobs — dims derive from the cached books
+    (the kernels re-validate per batch at execution), the corpus-wide
+    _grid_stats guard is paid only on the fit path, and the residual
+    frame is persisted only when the fit consumes it twice. Codes carry
+    their cell through the encode kernel (pq_encode_grid passthrough),
+    replacing the former corpus-sized codes⋈cell shuffle join with a few
+    bytes per row of Arrow traffic."""
     from checkatron_spark.session import scratch_persist
 
-    xq = _quantized(vectors, id_col, vec_col, scale).transform(
-        scratch_persist
-    )
-    dims = _grid_stats(xq, max(k, n_cells))
+    xq = _quantized(vectors, id_col, vec_col, scale)
     rpath = (
         _books_cache_path(
             cache_key, "ivfpq-res", (n_cells, m, k, iters, scale, fit_sample)
@@ -823,24 +879,25 @@ def ivfpq_topk(
         if cache_key is not None
         else None
     )
+    books = _load_books(rpath, m=m, k=k, dims=None) if rpath else None
     coarse = _fit_coarse_cached(
         xq, id_col=id_col, n_cells=n_cells, iters=iters, scale=scale,
-        fit_sample=fit_sample, cache_key=cache_key, dims=dims,
+        fit_sample=fit_sample, cache_key=cache_key,
     )
-    spark = xq.sparkSession
-    cdf = spark.createDataFrame(
-        list(enumerate(coarse)), "cell int, _cm array<bigint>"
-    )
+    dims = len(coarse[0])
+    if books is not None and len(books[0][0]) * m != dims:
+        books = None  # stale/mismatched residual cache entry: refit
+    if books is None:
+        _grid_stats(xq, max(k, n_cells))  # fit-time corpus guard (raises)
+        xq = xq.transform(scratch_persist)  # fitset + assignment consumers
     # assignment + residuals in one zero-shuffle Arrow pass (round 13 —
     # replaces the broadcast fan-out + corpus x n_cells array-keyed
     # groupBy argmin; identical integer rule, see _assign_residual_grid)
-    res = _assign_residual_grid(xq, coarse, id_col=id_col).transform(
-        scratch_persist
-    )
-    books = _load_books(rpath, m=m, k=k, dims=dims) if rpath else None
+    res = _assign_residual_grid(xq, coarse, id_col=id_col)
     if books is None:
         # residual fit input = the residuals OF THE FITSET ROWS (the same
         # md5-bounded sample the coarse quantizer trained on)
+        res = res.transform(scratch_persist)
         rfit = res.select(id_col, "_x")
         if fit_sample is not None:
             ids = _fit_sample_grid(xq, id_col, fit_sample).select(id_col)
@@ -850,12 +907,15 @@ def ivfpq_topk(
         )
         if rpath is not None:
             _save_books(rpath, books)
-    sub = dims // m
-    codes = (
-        pq_encode_grid(res.select(id_col, "_x"), books, id_col=id_col)
-        .join(res.select(id_col, "cell"), id_col)
-        .withColumnRenamed(id_col, "neighbor_id")
+    spark = xq.sparkSession
+    cdf = spark.createDataFrame(
+        list(enumerate(coarse)), "cell int, _cm array<bigint>"
     )
+    sub = dims // m
+    codes = pq_encode_grid(
+        res.select(id_col, "cell", "_x"), books, id_col=id_col,
+        passthrough=("cell",),
+    ).withColumnRenamed(id_col, "neighbor_id")
     qx = _quantized(queries, id_col, vec_col, scale).withColumnRenamed(
         id_col, "query_id"
     )
@@ -1013,12 +1073,15 @@ def ivf_grid_apply_changes(
     the quantizer loads from its cache (zero Lloyd jobs), the base index
     loads from its parquet store (zero assignment jobs), the batch
     assignment kernel runs over batch rows only, and the tombstone
-    anti-join broadcasts the (small) batch id set map-side."""
+    anti-join broadcasts the (small) batch id set map-side. Round 14:
+    the warm path previously still paid one corpus-wide _grid_stats
+    scan per call — the one job that was NOT ∝ batch; the guard now
+    lives on the fit path only (_fit_coarse_cached), and the assignment
+    kernel re-validates dims/overflow per batch at execution."""
     xq = _quantized(base, id_col, vec_col, scale)
-    dims = _grid_stats(xq, n_cells)
     coarse = _fit_coarse_cached(
         xq, id_col=id_col, n_cells=n_cells, iters=iters, scale=scale,
-        fit_sample=fit_sample, cache_key=cache_key, dims=dims,
+        fit_sample=fit_sample, cache_key=cache_key,
     )
     base_idx = _load_or_build_index(
         xq, coarse, id_col=id_col, cache_key=cache_key,

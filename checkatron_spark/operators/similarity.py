@@ -123,44 +123,28 @@ def ann_hamming_topk(
     q = sign_hash_codes(queries, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("query_id"), F.col("codes").alias("_qc")
     )
-    # ragged-dimension fail-fast (ADVICE r12, reworked r13->r14): mixed
-    # code widths make zip_with pad with NULL, the fold goes NULL, and
-    # ASC NULLS FIRST would silently promote those pairs to rank 1 — the
-    # same condition pq.py raises on. The r13 version aggregated BOTH
-    # code frames eagerly, which computed sign_hash_codes over the full
-    # corpus once for the check and again for the scoring — index
-    # construction stopped being lazy and every call paid an extra
-    # corpus scan (ADVICE r13). Now: only the |Q|-row QUERY frame is
-    # checked eagerly (bytes of work, and its width anchors the guard);
-    # the corpus side is validated INSIDE the scoring expression — a
-    # raise_error branch on size(codes) that whole-stage codegen
-    # evaluates during the one scan the query already performs.
-    qsz = (
-        q.select(F.size("_qc").alias("_n"))
-        .agg(F.min("_n").alias("_lo"), F.max("_n").alias("_hi"))
-        .first()
-    )
-    if qsz is not None and qsz._lo is not None and qsz._lo != qsz._hi:
-        raise ValueError(
-            f"ann_hamming_topk: ragged embedding dimensions — query code "
-            f"widths {[qsz._lo, qsz._hi]} words; fix the queries "
-            "(NULL-padded hamming would silently outrank real neighbors)"
-        )
-    qw = None if qsz is None else qsz._lo
+    # ragged-dimension fail-fast (ADVICE r12, reworked r13->r14->r14b):
+    # mixed code widths make zip_with pad with NULL, the fold goes NULL,
+    # and ASC NULLS FIRST would silently promote those pairs to rank 1 —
+    # the same condition pq.py raises on. The r13 version aggregated the
+    # code frames eagerly (an extra full scan per call — ADVICE r13);
+    # the first r14 cut kept ONE eager job over the |Q|-row query frame.
+    # Now the guard is fully lazy: every scored pair crosses the corpus
+    # with every query (inner cross join), so a per-pair raise_error on
+    # size(_qc) <> size(codes) fires on ANY width inconsistency — corpus
+    # vs query AND ragged-within-either-side — during the one scan the
+    # query already performs, with zero pre-search jobs (guide §1.2).
     ham_sql = (
         "aggregate(zip_with(_qc, codes, (a, b) -> bit_count(a ^ b)), 0, "
         "(acc, v) -> acc + v)"
     )
-    if qw is None:
-        ham = F.expr(ham_sql)  # no queries -> zero scored rows anyway
-    else:
-        ham = F.expr(
-            f"CASE WHEN size(codes) <> {int(qw)} THEN CAST(raise_error("
-            "'ann_hamming_topk: ragged embedding dimensions — corpus "
-            f"code width <> query width {int(qw)} words; fix the corpus "
-            "(NULL-padded hamming would silently outrank real "
-            f"neighbors)') AS INT) ELSE {ham_sql} END"
-        )
+    ham = F.expr(
+        "CASE WHEN size(codes) <> size(_qc) THEN CAST(raise_error("
+        "'ann_hamming_topk: ragged embedding dimensions — corpus code "
+        "width <> query code width; fix the corpus/queries (NULL-padded "
+        f"hamming would silently outrank real neighbors)') AS INT) "
+        f"ELSE {ham_sql} END"
+    )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col(id_col))
@@ -929,17 +913,19 @@ def ann_lsh_banded_topk(
         f"CAST(floor(CAST(v AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT))"
     )
 
-    def _side(df, out_id):
-        return df.filter(norm > F.lit(0.0)).select(
-            F.col(id_col).alias(out_id),
-            band.alias("_bands"),
-            grid.alias("_x"),
-        )
-
-    corp = _side(vectors, "neighbor_id")
-    qf = _side(queries, "query_id")
-    cb = corp.select(
-        "neighbor_id", F.posexplode("_bands").alias("_bi", "_bv")
+    # two LEAN corpus projections instead of one wide frame consumed
+    # twice (round 14, guide §2.3): the band scan computes only the band
+    # fold and the scoring scan only the grid transform — the old shape
+    # evaluated BOTH 64-element lambda folds in BOTH scans. The |Q|-side
+    # frames are tiny either way.
+    qf = queries.filter(norm > F.lit(0.0)).select(
+        F.col(id_col).alias("query_id"),
+        band.alias("_bands"),
+        grid.alias("_x"),
+    )
+    cb = vectors.filter(norm > F.lit(0.0)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode(band).alias("_bi", "_bv"),
     )
     qb = qf.select("query_id", F.posexplode("_bands").alias("_bi", "_bv"))
     cand = (
@@ -952,8 +938,11 @@ def ann_lsh_banded_topk(
         "aggregate(zip_with(_qx, _x, (a, b) -> (a - b) * (a - b)), 0L, "
         "(acc, v) -> acc + v)"
     )
+    corp_x = vectors.filter(norm > F.lit(0.0)).select(
+        F.col(id_col).alias("neighbor_id"), grid.alias("_x")
+    )
     scored = (
-        cand.join(corp.select("neighbor_id", "_x"), "neighbor_id")
+        cand.join(corp_x, "neighbor_id")
         .join(
             F.broadcast(
                 qf.select("query_id", F.col("_x").alias("_qx"))

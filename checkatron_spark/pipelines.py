@@ -3271,8 +3271,8 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from checkatron_spark.operators.pq import (
         ivf_grid_topk,
         ivfpq_topk,
-        pq_adc_rerank_topk,
         pq_adc_topk,
+        rerank_exact,
     )
     from checkatron_spark.operators.similarity import (
         ann_hamming_topk,
@@ -3288,6 +3288,17 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .transform(scratch_persist)  # consumed twice: hits join + total
     )
+    # round 14 optimization (guide §2.4): ann_pq_adc and ann_pq_rerank
+    # share ONE flat-PQ pipeline — the ADC ranking at topk=shortlist(10)
+    # is computed once and persisted; its rank<=3 prefix IS the ADC
+    # method's top-3 (identical deterministic total order (adc_dist,
+    # neighbor_id) — a topk filter is a prefix of the same row_number),
+    # and the full 10 rows are exactly the rerank stage's shortlist.
+    # Equality with the unshared operators is pinned in tests/test_pq.py.
+    adc10 = pq_adc_topk(
+        emb, queries, m=4, k=16, iters=2, scale=10000, topk=10,
+        fit_sample=256, cache_key=key,
+    ).select("query_id", "neighbor_id", "rank").transform(scratch_persist)
     # round 14 (VERDICT r13 #2): ann_ivf and ann_lsh — the approximate
     # methods a user reaches for first — join the audit via their
     # deterministic twins (grid-IVF shares ann_ivfpq's cached coarse
@@ -3306,13 +3317,10 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ann_lsh": ann_lsh_banded_topk(
             emb, queries, band_bits=5, k=3, scale=10000,
         ),
-        "ann_pq_adc": pq_adc_topk(
-            emb, queries, m=4, k=16, iters=2, scale=10000, topk=3,
-            fit_sample=256, cache_key=key,
-        ),
-        "ann_pq_rerank": pq_adc_rerank_topk(
-            emb, queries, m=4, k=16, iters=2, scale=10000, shortlist=10,
-            topk=3, fit_sample=256, cache_key=key,
+        "ann_pq_adc": adc10.filter(F.col("rank") <= 3),
+        "ann_pq_rerank": rerank_exact(
+            adc10.select("query_id", "neighbor_id"), emb, queries,
+            scale=10000, topk=3,
         ),
     }
     labeled = None

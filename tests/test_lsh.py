@@ -274,13 +274,16 @@ def test_ann_hamming_matches_duckdb_and_ties_deterministic(spark):
 
 
 def test_ann_hamming_ragged_dims_fail_fast(spark):
-    """ADVICE r12 (reworked per ADVICE r13): mixed embedding widths would
-    NULL-pad the zip_with fold and ASC NULLS FIRST would promote those
-    pairs to rank 1 — the operator must raise instead (same contract as
-    pq's _grid_stats). A ragged CORPUS now raises lazily from the scoring
-    expression's raise_error branch (no eager extra corpus scan), so the
-    error surfaces at collect() as a Spark runtime error; ragged QUERIES
-    still raise ValueError eagerly (the |Q|-row check is bytes)."""
+    """ADVICE r12 (reworked per ADVICE r13, fully lazy in r14): mixed
+    embedding widths would NULL-pad the zip_with fold and ASC NULLS
+    FIRST would promote those pairs to rank 1 — the operator must raise
+    instead (same contract as pq's _grid_stats). The guard is a per-pair
+    raise_error branch on size(_qc) <> size(codes) inside the scoring
+    expression: every corpus row crosses every query, so a ragged CORPUS
+    and ragged QUERIES both surface at the action as a Spark runtime
+    error — with ZERO pre-search jobs on the uniform path (the r13 shape
+    paid an extra corpus scan, the first r14 cut still one |Q|-row
+    job)."""
     import pytest
 
     from checkatron_spark.operators.similarity import ann_hamming_topk
@@ -291,8 +294,8 @@ def test_ann_hamming_ragged_dims_fail_fast(spark):
     )
     with pytest.raises(Exception, match="ragged"):
         ann_hamming_topk(df, df.limit(1), k=2).collect()
-    with pytest.raises(ValueError, match="ragged"):
-        ann_hamming_topk(df.limit(2), df, k=2)
+    with pytest.raises(Exception, match="ragged"):
+        ann_hamming_topk(df.limit(2), df, k=2).collect()
     # uniform widths: no extra eager corpus scan, and the guard branch
     # stays dormant — result identical to the unguarded fold
     ok = df.limit(2)

@@ -634,3 +634,60 @@ def test_coarse_assign_expr_equals_kernel(spark):
         "vec_id", coarse_assign_expr(coarse).alias("cell")
     ).collect()))
     assert kern == expr and len(kern) > 0
+
+
+def test_r14_shared_pipeline_equivalences(spark):
+    """Round-14 optimization seams (OPTIMIZATION_r14.md): the recall
+    audit computes the flat-PQ pipeline ONCE at topk=shortlist and
+    derives both PQ methods from it. Pin the three equivalences that
+    restructuring relies on:
+
+    - topk prefix: pq_adc_topk(topk=3) == the rank<=3 slice of
+      pq_adc_topk(topk=10) (same deterministic total order);
+    - rerank seam: rerank_exact(shortlist) == pq_adc_rerank_topk;
+    - encode passthrough: pq_encode_grid(passthrough=('cell',)) == the
+      old encode⋈cell join shape it replaced in ivfpq_topk.
+    """
+    from checkatron_spark.operators.pq import (
+        _assign_residual_grid,
+        _quantized,
+        fit_codebooks_grid,
+        pq_adc_rerank_topk,
+        pq_encode_grid,
+        rerank_exact,
+    )
+
+    rows = _clustered_rows()
+    emb = _vecs(spark, rows)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    adc10 = pq_adc_topk(emb, queries, m=2, k=4, iters=2, topk=10)
+    adc3 = pq_adc_topk(emb, queries, m=2, k=4, iters=2, topk=3)
+    assert sorted(map(tuple, adc10.filter(F.col("rank") <= 3).collect())) \
+        == sorted(map(tuple, adc3.collect()))
+
+    seam = rerank_exact(
+        adc10.select("query_id", "neighbor_id"), emb, queries, topk=3
+    )
+    full = pq_adc_rerank_topk(
+        emb, queries, m=2, k=4, iters=2, shortlist=10, topk=3
+    )
+    assert sorted(map(tuple, seam.collect())) \
+        == sorted(map(tuple, full.collect()))
+
+    xq = _quantized(emb, "vec_id", "embedding", 10000)
+    coarse = fit_codebooks_grid(xq, id_col="vec_id", m=1, k=4, iters=2)[0]
+    res = _assign_residual_grid(xq, coarse, id_col="vec_id")
+    books = fit_codebooks_grid(
+        res.select("vec_id", "_x"), id_col="vec_id", m=2, k=4, iters=2
+    )
+    carried = pq_encode_grid(
+        res.select("vec_id", "cell", "_x"), books, id_col="vec_id",
+        passthrough=("cell",),
+    ).select("vec_id", "s", "code", "cell")
+    joined = pq_encode_grid(
+        res.select("vec_id", "_x"), books, id_col="vec_id"
+    ).join(res.select("vec_id", "cell"), "vec_id") \
+        .select("vec_id", "s", "code", "cell")
+    assert sorted(map(tuple, carried.collect())) \
+        == sorted(map(tuple, joined.collect()))
