@@ -292,3 +292,35 @@ def test_selectexpr_projection_matches_python_reference_on_adversarial_schema(
         "BEFORE_ONLY", "AFTER_ONLY",
     ]
     assert got == expect, (got, expect)
+
+
+def test_status_case_nested_if_equals_reference_truth_table(spark):
+    """Round 14: _status_col renders the nested-IF form (smaller
+    expression tree for the optimizer at DESCRIBE width); pin its truth
+    table against the reference's literal 5-branch CASE on every
+    (NULL, NULL), (NULL, x), (x, NULL), (x, x), (x, y) combination —
+    including NULL join keys and schema drift."""
+    from pyspark.sql import functions as F
+
+    from checkatron_spark.operators.diff import diff
+
+    b = spark.createDataFrame(
+        [(1, None, None), (2, None, 5), (3, 7, None), (4, 7, 7),
+         (5, 7, 8), (None, 1, 2)],
+        "k int, c0 int, c1 int",
+    )
+    a = spark.createDataFrame(
+        [(1, None, None), (2, 5, None), (3, None, 9), (4, 7, 7),
+         (5, 8, 8), (None, 1, 3), (6, 0, 0)],
+        "k int, c0 int, c1 int",
+    )
+    rows = {r["K_K"]: r for r in diff(b, a, ["k"]).collect()}
+    # (b, a) -> status: both-NULL 0, NULL-before 2, NULL-after 3,
+    # equal 0, different 1
+    assert (rows[1]["C0"], rows[1]["C1"]) == (0, 0)
+    assert (rows[2]["C0"], rows[2]["C1"]) == (2, 3)
+    assert (rows[3]["C0"], rows[3]["C1"]) == (3, 2)
+    assert (rows[4]["C0"], rows[4]["C1"]) == (0, 0)
+    assert (rows[5]["C0"], rows[5]["C1"]) == (1, 0)
+    assert (rows[None]["C0"], rows[None]["C1"]) == (0, 1)  # NULL key matches
+    assert rows[6]["_row_status"] == 4  # missing in before
