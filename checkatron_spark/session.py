@@ -23,10 +23,17 @@ DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 def get_spark(app_name: str = "checkatron_spark", cpus: str | int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-appropriate defaults."""
     master = f"local[{cpus or DEFAULT_CPUS}]"
+    # scale-adaptive shuffle width (guide §2.2): the local default tracks
+    # the harness core count; a cluster deployment overrides via
+    # $SPARK_GRAFT_SHUFFLE_PARTITIONS (set it high — e.g. 2-3x total
+    # cores — and let AQE coalesce down to ~advisory-sized partitions).
+    # AQE coalescing is ON below, so the value is an upper bound on
+    # post-shuffle width, not a tuned constant.
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     return (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
