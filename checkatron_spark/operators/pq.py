@@ -59,6 +59,7 @@ __all__ = [
     "pq_adc_rerank_topk",
     "rerank_exact",
     "ivfpq_topk",
+    "ivf_grid_index",
     "ivf_grid_topk",
     "ivf_grid_apply_changes",
     "ivf_grid_incremental_topk",
@@ -714,6 +715,34 @@ def _fit_coarse_cached(
     return coarse
 
 
+def ivf_grid_index(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 2,
+    scale: int = 10000,
+    fit_sample: int | None = None,
+    cache_key: str | None = None,
+) -> tuple[DataFrame, list[list[int]]]:
+    """The corpus half of grid IVF — (index, coarse) where index =
+    (id_col, cell, _x ORIGINAL grid vector) from the zero-shuffle
+    assignment kernel under the (cached) coarse quantizer. Factored out
+    (round 14) so one build can serve several consumers: ivf_grid_topk's
+    scoring join uses it directly, and ivfpq_topk can derive its residuals
+    from it (x − centroid[cell], exact BIGINT zip_with — identical to the
+    kernel's arithmetic, pinned in tests/test_pq.py). The recall audit
+    persists ONE index frame and feeds both methods."""
+    xq = _quantized(vectors, id_col, vec_col, scale)
+    coarse = _fit_coarse_cached(
+        xq, id_col=id_col, n_cells=n_cells, iters=iters, scale=scale,
+        fit_sample=fit_sample, cache_key=cache_key,
+    )
+    index = _assign_residual_grid(xq, coarse, id_col=id_col, residual=False)
+    return index, coarse
+
+
 def ivf_grid_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -727,6 +756,8 @@ def ivf_grid_topk(
     topk: int = 3,
     fit_sample: int | None = None,
     cache_key: str | None = None,
+    index: DataFrame | None = None,
+    coarse: list[list[int]] | None = None,
 ) -> DataFrame:
     """Grid-integer IVF top-k — the APPROXIMATE inverted-file search a
     user reaches for first (VERDICT r13 #2), exact-arithmetic twin of
@@ -747,16 +778,17 @@ def ivf_grid_topk(
     zero pre-search corpus jobs — the corpus-wide _grid_stats guard
     moved inside the fit path (_fit_coarse_cached), the assignment
     kernel re-validates per batch, and the single-consumer corpus frame
-    is no longer persisted. Returns (query_id, neighbor_id, rank,
-    ivf_dist), ties (dist, neighbor) — deterministic on both engines."""
-    xq = _quantized(vectors, id_col, vec_col, scale)
-    coarse = _fit_coarse_cached(
-        xq, id_col=id_col, n_cells=n_cells, iters=iters, scale=scale,
-        fit_sample=fit_sample, cache_key=cache_key,
-    )
-    corpus = _assign_residual_grid(
-        xq, coarse, id_col=id_col, residual=False
-    ).withColumnRenamed(id_col, "neighbor_id")
+    is no longer persisted. ``index``/``coarse`` (together) inject a
+    prebuilt :func:`ivf_grid_index` — the audit's shared-build seam.
+    Returns (query_id, neighbor_id, rank, ivf_dist), ties
+    (dist, neighbor) — deterministic on both engines."""
+    if index is None or coarse is None:
+        index, coarse = ivf_grid_index(
+            vectors, id_col=id_col, vec_col=vec_col, n_cells=n_cells,
+            iters=iters, scale=scale, fit_sample=fit_sample,
+            cache_key=cache_key,
+        )
+    corpus = index.withColumnRenamed(id_col, "neighbor_id")
     qx = _quantized(queries, id_col, vec_col, scale).withColumnRenamed(
         id_col, "query_id"
     )
@@ -838,6 +870,8 @@ def ivfpq_topk(
     topk: int = 3,
     fit_sample: int | None = None,
     cache_key: str | None = None,
+    index: DataFrame | None = None,
+    coarse: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF-PQ — the full FAISS index architecture, exact-integer twin:
     a coarse quantizer (full-vector Lloyd on the grid, ``n_cells``)
@@ -868,7 +902,13 @@ def ivfpq_topk(
     frame is persisted only when the fit consumes it twice. Codes carry
     their cell through the encode kernel (pq_encode_grid passthrough),
     replacing the former corpus-sized codes⋈cell shuffle join with a few
-    bytes per row of Arrow traffic."""
+    bytes per row of Arrow traffic. ``index``/``coarse`` (together)
+    inject a prebuilt :func:`ivf_grid_index`: residuals derive from it as
+    ``zip_with(_x, centroid[cell], a - b)`` — the identical exact BIGINT
+    arithmetic the kernel performs (pinned in tests/test_pq.py) — so a
+    caller that already built the index (the recall audit) skips the
+    assignment pass; the injection is honored only when the residual
+    codebooks are cache-warm (a fit needs the quantized corpus anyway)."""
     from checkatron_spark.session import scratch_persist
 
     xq = _quantized(vectors, id_col, vec_col, scale)
@@ -880,20 +920,35 @@ def ivfpq_topk(
         else None
     )
     books = _load_books(rpath, m=m, k=k, dims=None) if rpath else None
-    coarse = _fit_coarse_cached(
-        xq, id_col=id_col, n_cells=n_cells, iters=iters, scale=scale,
-        fit_sample=fit_sample, cache_key=cache_key,
-    )
+    if coarse is None or index is None:
+        coarse = _fit_coarse_cached(
+            xq, id_col=id_col, n_cells=n_cells, iters=iters, scale=scale,
+            fit_sample=fit_sample, cache_key=cache_key,
+        )
+        index = None  # a bare index without its coarse is unusable
     dims = len(coarse[0])
     if books is not None and len(books[0][0]) * m != dims:
         books = None  # stale/mismatched residual cache entry: refit
     if books is None:
         _grid_stats(xq, max(k, n_cells))  # fit-time corpus guard (raises)
         xq = xq.transform(scratch_persist)  # fitset + assignment consumers
-    # assignment + residuals in one zero-shuffle Arrow pass (round 13 —
-    # replaces the broadcast fan-out + corpus x n_cells array-keyed
-    # groupBy argmin; identical integer rule, see _assign_residual_grid)
-    res = _assign_residual_grid(xq, coarse, id_col=id_col)
+    if index is not None and books is not None:
+        # residuals from the shared index: exact x − centroid[cell] via a
+        # broadcast of the n_cells-row centroid table + codegen zip_with
+        spark = xq.sparkSession
+        cdf0 = spark.createDataFrame(
+            list(enumerate(coarse)), "cell int, _cm array<bigint>"
+        )
+        res = index.join(F.broadcast(cdf0), "cell").select(
+            id_col,
+            "cell",
+            F.expr("zip_with(_x, _cm, (a, b) -> a - b)").alias("_x"),
+        )
+    else:
+        # assignment + residuals in one zero-shuffle Arrow pass (round 13
+        # — replaces the broadcast fan-out + corpus x n_cells array-keyed
+        # groupBy argmin; identical integer rule, _assign_residual_grid)
+        res = _assign_residual_grid(xq, coarse, id_col=id_col)
     if books is None:
         # residual fit input = the residuals OF THE FITSET ROWS (the same
         # md5-bounded sample the coarse quantizer trained on)

@@ -3269,6 +3269,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit's own join/aggregate work is ∝ the methods' top-k outputs,
     corpus-independent."""
     from checkatron_spark.operators.pq import (
+        ivf_grid_index,
         ivf_grid_topk,
         ivfpq_topk,
         pq_adc_topk,
@@ -3299,6 +3300,15 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, m=4, k=16, iters=2, scale=10000, topk=10,
         fit_sample=256, cache_key=key,
     ).select("query_id", "neighbor_id", "rank").transform(scratch_persist)
+    # the grid-IVF corpus index (assignment under the cached coarse
+    # quantizer) is built and persisted ONCE and feeds both ann_ivf
+    # (scoring join) and ann_ivfpq (residuals = x − centroid[cell], the
+    # identical exact arithmetic — pinned in tests/test_pq.py)
+    index, coarse = ivf_grid_index(
+        emb, n_cells=8, iters=2, scale=10000, fit_sample=256,
+        cache_key=key,
+    )
+    index = scratch_persist(index)
     # round 14 (VERDICT r13 #2): ann_ivf and ann_lsh — the approximate
     # methods a user reaches for first — join the audit via their
     # deterministic twins (grid-IVF shares ann_ivfpq's cached coarse
@@ -3309,10 +3319,12 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ann_ivf": ivf_grid_topk(
             emb, queries, n_cells=8, n_probe=2, iters=2, scale=10000,
             topk=3, fit_sample=256, cache_key=key,
+            index=index, coarse=coarse,
         ),
         "ann_ivfpq": ivfpq_topk(
             emb, queries, n_cells=8, n_probe=2, m=4, k=16, iters=2,
             scale=10000, topk=3, fit_sample=256, cache_key=key,
+            index=index, coarse=coarse,
         ),
         "ann_lsh": ann_lsh_banded_topk(
             emb, queries, band_bits=5, k=3, scale=10000,

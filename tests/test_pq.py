@@ -691,3 +691,34 @@ def test_r14_shared_pipeline_equivalences(spark):
         .select("vec_id", "s", "code", "cell")
     assert sorted(map(tuple, carried.collect())) \
         == sorted(map(tuple, joined.collect()))
+
+
+def test_r14_shared_index_equivalences(spark, tmp_path, monkeypatch):
+    """The audit's shared-index seam (round 14): ivf_grid_topk and
+    ivfpq_topk fed a prebuilt ivf_grid_index return exactly what their
+    self-building paths return — including the residual derivation
+    zip_with(_x, centroid[cell], a - b) vs the kernel's X - cents[cell]."""
+    import checkatron_spark.operators.pq as P
+
+    monkeypatch.setattr(P, "_PQ_CACHE_ROOT", str(tmp_path))
+    rows = _clustered_rows()
+    emb = _vecs(spark, rows)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    params = dict(n_cells=4, iters=2, scale=10000, fit_sample=64)
+    # warm the caches so the injected-index path is actually taken
+    P.ivfpq_topk(emb, queries, m=2, k=4, cache_key="t", **params).collect()
+
+    index, coarse = P.ivf_grid_index(emb, cache_key="t", **params)
+    for kw in (dict(index=index, coarse=coarse), {}):
+        got_ivf = sorted(map(tuple, P.ivf_grid_topk(
+            emb, queries, n_probe=2, topk=3, cache_key="t", **params, **kw
+        ).collect()))
+        got_pq = sorted(map(tuple, P.ivfpq_topk(
+            emb, queries, n_probe=2, m=2, k=4, topk=3, cache_key="t",
+            **params, **kw
+        ).collect()))
+        if not kw:
+            assert got_ivf == base_ivf and got_pq == base_pq
+        else:
+            base_ivf, base_pq = got_ivf, got_pq
+    assert base_ivf and base_pq
