@@ -1019,9 +1019,18 @@ def connected_components(
                     "_chg"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = new.filter(F.col("_chg")).limit(1).count()
+        # ONE job per round (round 14): the full-scan max over _chg both
+        # answers convergence AND materializes the lazy checkpoint —
+        # every partition is computed by the agg, so the cached blocks
+        # are complete and the next round reads them, not the lineage.
+        # (The former shape paid two jobs: an eager checkpoint
+        # materialization plus a filter/limit count. A short-circuiting
+        # action like limit(1) would be WRONG here — it can skip
+        # partitions and leave the checkpoint partial.)
+        row = new.agg(F.max(F.col("_chg").cast("int")).alias("_m")).first()
+        changed = int(row._m or 0)
         labels = new.drop("_chg")
         if changed == 0:
             break
