@@ -3268,7 +3268,10 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     set comes from an offline exact pass over a fixed query panel, and
     the audit's own join/aggregate work is ∝ the methods' top-k outputs,
     corpus-independent."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from checkatron_spark.operators.pq import (
+        _quantized,
         ivf_grid_index,
         ivf_grid_topk,
         ivfpq_topk,
@@ -3284,6 +3287,16 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     key = _emb_cache_key(sf_dir)
+    # round 15 (guide §2.4 recompute-avoidance): the BIGINT-grid corpus
+    # frame _quantized(emb) appears verbatim under three branches (flat-PQ
+    # encode, the grid-IVF assignment kernel, rerank's exact side) — the
+    # CacheManager matches persisted plans by canonicalized equality, so
+    # ONE persist here turns three corpus quantization passes into one
+    # compute + two cache reads. Deliberately NOT persisting raw `emb`
+    # itself: that would be a second corpus-sized cache to save parquet
+    # re-scans that cost less than the cache at 100 TB (measured a wash
+    # locally — OPTIMIZATION_r15.md).
+    scratch_persist(_quantized(emb, "vec_id", "embedding", 10000))
     bf = (
         S.ann_bruteforce_topk(emb, queries, k=3)
         .select("query_id", "neighbor_id")
@@ -3309,6 +3322,16 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache_key=key,
     )
     index = scratch_persist(index)
+    # round 15 (guide §2.6): materialize the three shared frames EAGERLY,
+    # as three overlapped jobs, before the final union action. persist()
+    # alone does not coordinate in-flight computation — the union job runs
+    # each frame's two consumer branches as concurrent stages, and both
+    # raced to compute the "shared" pipeline before either could cache it
+    # (measured: audit min 5.80 s lazy vs 5.18 s eager, same session).
+    # count() on a persisted frame populates the cache full-width; the
+    # thread pool overlaps the three independent jobs (guide §2.6).
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda d: d.count(), [bf, adc10, index]))
     # round 14 (VERDICT r13 #2): ann_ivf and ann_lsh — the approximate
     # methods a user reaches for first — join the audit via their
     # deterministic twins (grid-IVF shares ann_ivfpq's cached coarse
