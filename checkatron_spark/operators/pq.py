@@ -704,6 +704,15 @@ def _fit_coarse_cached(
         cached = _load_books(cpath, m=1, k=n_cells, dims=dims)
         if cached is not None:
             return cached[0]
+    # FIT path only (ADVICE r14): the cold path consumes the quantized
+    # corpus 2-3 times — the _grid_stats guard scan, the md5 top-n fitset,
+    # and (in ivf_grid_index) the assignment kernel, which builds the
+    # identical _quantized plan and therefore reads this cache entry too
+    # (CacheManager matches canonicalized plans). One compute instead of
+    # three full corpus passes per cold fit; warm hits stay job-free.
+    from checkatron_spark.session import scratch_persist
+
+    xq = xq.transform(scratch_persist)
     if dims is None:
         _grid_stats(xq, n_cells)  # fit-time corpus guard (raises)
     coarse = fit_codebooks_grid(
