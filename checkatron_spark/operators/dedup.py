@@ -978,6 +978,27 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
     ).localCheckpoint()
+
+    # Deterministic checkpoint release (round 15): every round leaves a
+    # superseded localCheckpoint RDD behind, and those blocks previously
+    # lived until the JVM's ContextCleaner got around to them — repeated
+    # runs in one session accumulated checkpoints (measured: 6 -> 15
+    # cached RDDs over 6 bench-style runs) and the async cleanup raced
+    # the NEXT run's jobs, swinging neardup_clusters 4.4-9.9 s within one
+    # quiet session (stable 4.0-4.3 s once cleanup is forced). A round's
+    # checkpoint is safe to drop exactly when the round after it has
+    # materialized (checkpoints cannot recompute, so never before); the
+    # edge set is safe after convergence. The final labels frame is the
+    # caller's and keeps its normal lifetime. Best-effort: the RDD handle
+    # rides Spark's LogicalRDD internals, so any failure just reverts to
+    # GC-paced cleanup.
+    def _release_ckpt(df) -> None:
+        try:
+            df._jdf.queryExecution().logical().rdd().unpersist(False)
+        except Exception:  # noqa: BLE001 — fall back to GC-paced cleanup
+            pass
+
+    prev = labels
     changed = 0
     for it in range(max_iter):
         # pointer jumping: label assignments double as edges (lbl is in
@@ -1031,9 +1052,15 @@ def connected_components(
         # partitions and leave the checkpoint partial.)
         row = new.agg(F.max(F.col("_chg").cast("int")).alias("_m")).first()
         changed = int(row._m or 0)
+        # `new` is now fully materialized, so the previous round's
+        # checkpoint can never be read again — release it now instead of
+        # waiting for the ContextCleaner
+        _release_ckpt(prev)
+        prev = new
         labels = new.drop("_chg")
         if changed == 0:
             break
+    _release_ckpt(edges)
     if changed:
         raise RuntimeError(
             f"connected_components: labels still changing after "
