@@ -362,7 +362,7 @@ def apply_delta_stream(
     equals applying the batches sequentially.
 
     ``io_log`` (tests): when a list is passed, appends one record per
-    non-empty batch (``mode="append"``, with ``files_read=[]`` — the pin
+    delivered batch (``mode="append"``, with ``files_read=[]`` — the pin
     that the hot path reads nothing) and one per compaction
     (``mode="compact"``, with the touched bucket ids and the base files
     actually read — the pin that folds stay inside touched buckets).
@@ -471,12 +471,16 @@ def apply_delta_stream(
             *[f"{state_dir}/log/e{e}" for e in pending]
         )
         # net image per key: latest epoch wins (key-partitioned window —
-        # no global funnel; log size ∝ churn since the last compaction)
+        # no global funnel; log size ∝ churn since the last compaction).
+        # Persisted (round 15): two consumers — the touched-bucket
+        # collect and the apply_delta fold — otherwise each re-run the
+        # log read + window; released right after the epoch write.
         w = Window.partitionBy(*keys).orderBy(F.col("_epoch").desc())
         latest = (
             log.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_epoch")
+            .persist()
         )
         touched = sorted(
             r[0]
@@ -523,6 +527,7 @@ def apply_delta_stream(
         nxt.withColumn("_bucket", _bucket(nxt)).repartition(
             max(len(touched) // 2, 1), F.col("_bucket")
         ).write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
+        latest.unpersist(blocking=False)
         written = _live_buckets(out_dir)
         for b in touched:
             if b in written:
@@ -540,8 +545,12 @@ def apply_delta_stream(
         pending.clear()
 
     def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # round 15 (guide §1.2): no isEmpty() pre-check — it cost one
+        # limit-1 job per micro-batch on top of the write job every batch
+        # pays anyway. An empty batch (rare: file-source feeds deliver
+        # per-file batches) now appends an empty log partition, which the
+        # compaction folds to nothing — same result, and the write of an
+        # empty frame costs about what the isEmpty() probe did.
         # hot path: append the batch as a log partition — ZERO reads,
         # one write ∝ this batch's churn
         batch_df.withColumn("_epoch", F.lit(epoch_id)).write.mode(
@@ -668,8 +677,10 @@ def maintain_view_stream(
         _save_marker()
 
     def _fold(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() pre-check (round 15, guide §1.2): it cost a limit-1
+        # job per micro-batch; an empty batch now pays one ∝|groups| fold
+        # (identical view — additive adjustments of nothing), which file-
+        # source feeds make rare to never
         if epoch_id <= current["last_epoch"]:
             return  # replay of an already-folded batch
         cur = spark.read.parquet(f"{state_dir}/v{current['ver']}")
