@@ -50,6 +50,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from checkatron_spark.operators.similarity import topk_two_phase
+
 __all__ = [
     "fit_pq_codebooks",
     "fit_codebooks_grid",
@@ -570,21 +572,7 @@ def pq_adc_topk(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("_d").alias("adc_dist"))
     )
-    order = [F.col("adc_dist").asc(), F.col("neighbor_id").asc()]
-    local = Window.partitionBy(
-        "query_id", F.spark_partition_id()
-    ).orderBy(*order)
-    survivors = (
-        scored.withColumn("_lrn", F.row_number().over(local))
-        .filter(F.col("_lrn") <= topk)
-        .drop("_lrn")
-    )
-    final = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        survivors.withColumn("rank", F.row_number().over(final).cast("int"))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "neighbor_id", "rank", "adc_dist")
-    )
+    return topk_two_phase(scored, "adc_dist", topk)
 
 
 def pq_adc_rerank_topk(
@@ -847,21 +835,7 @@ def _ivf_grid_search(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", dist.alias("ivf_dist"))
     )
-    order = [F.col("ivf_dist").asc(), F.col("neighbor_id").asc()]
-    local = Window.partitionBy(
-        "query_id", F.spark_partition_id()
-    ).orderBy(*order)
-    survivors = (
-        scored.withColumn("_lrn", F.row_number().over(local))
-        .filter(F.col("_lrn") <= topk)
-        .drop("_lrn")
-    )
-    final = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        survivors.withColumn("rank", F.row_number().over(final).cast("int"))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "neighbor_id", "rank", "ivf_dist")
-    )
+    return topk_two_phase(scored, "ivf_dist", topk)
 
 
 def ivfpq_topk(
@@ -1024,21 +998,7 @@ def ivfpq_topk(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("_d").alias("adc_dist"))
     )
-    order = [F.col("adc_dist").asc(), F.col("neighbor_id").asc()]
-    local = Window.partitionBy(
-        "query_id", F.spark_partition_id()
-    ).orderBy(*order)
-    survivors = (
-        scored.withColumn("_lrn", F.row_number().over(local))
-        .filter(F.col("_lrn") <= topk)
-        .drop("_lrn")
-    )
-    final = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        survivors.withColumn("rank", F.row_number().over(final).cast("int"))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "neighbor_id", "rank", "adc_dist")
-    )
+    return topk_two_phase(scored, "adc_dist", topk)
 
 
 # ---------------------------------------------------------------------------

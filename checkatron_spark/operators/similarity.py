@@ -42,6 +42,37 @@ __all__ = [
 ]
 
 
+def topk_two_phase(scored: DataFrame, dist_col: str, k: int) -> DataFrame:
+    """The shared two-phase per-query top-k tail over a
+    ``(query_id, neighbor_id, <dist_col>)`` frame: phase 1 prunes to <=k
+    rows per (query, input partition) — a superset of the true top-k,
+    since the global k best per query each survive their own partition's
+    cut — so the final per-query window ranks a bounded set instead of
+    funneling every scored pair through one task per query (the
+    bm25_multiquery discipline). Deterministic total order
+    ``(dist, neighbor_id)`` on both phases.
+
+    Rendered as two selectExpr SQL windows (round 15): this tail appears
+    in five ANN constructors, and the Column-API form cost ~12 driver
+    round-trips per instance — construction at recall-audit width is
+    py4j-bound (OPTIMIZATION_r15.md item 1). The SQL text resolves to
+    the identical plan; equality is covered by every family oracle.
+    Returns (query_id, neighbor_id, rank, <dist_col>), rank 1..k."""
+    order = f"{dist_col} ASC, neighbor_id ASC"
+    survivors = scored.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id, spark_partition_id() "
+        f"ORDER BY {order}) AS _lrn",
+    ).filter(f"_lrn <= {k}")
+    return survivors.selectExpr(
+        "query_id",
+        "neighbor_id",
+        f"CAST(row_number() OVER (PARTITION BY query_id ORDER BY {order}) "
+        "AS INT) AS rank",
+        dist_col,
+    ).filter(f"rank <= {k}")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision (deterministic FP)."""
     return F.aggregate(
@@ -154,21 +185,7 @@ def ann_hamming_topk(
             ham.cast("int").alias("hamming"),
         )
     )
-    order = [F.col("hamming").asc(), F.col("neighbor_id").asc()]
-    local = Window.partitionBy(
-        "query_id", F.spark_partition_id()
-    ).orderBy(*order)
-    survivors = (
-        scored.withColumn("_lrn", F.row_number().over(local))
-        .filter(F.col("_lrn") <= k)
-        .drop("_lrn")
-    )
-    final = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        survivors.withColumn("rank", F.row_number().over(final).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "hamming")
-    )
+    return topk_two_phase(scored, "hamming", k)
 
 
 def ann_bruteforce_topk(
@@ -951,21 +968,7 @@ def ann_lsh_banded_topk(
         )
         .select("query_id", "neighbor_id", dist.alias("lsh_dist"))
     )
-    order = [F.col("lsh_dist").asc(), F.col("neighbor_id").asc()]
-    local = Window.partitionBy(
-        "query_id", F.spark_partition_id()
-    ).orderBy(*order)
-    survivors = (
-        scored.withColumn("_lrn", F.row_number().over(local))
-        .filter(F.col("_lrn") <= k)
-        .drop("_lrn")
-    )
-    final = Window.partitionBy("query_id").orderBy(*order)
-    return (
-        survivors.withColumn("rank", F.row_number().over(final).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "lsh_dist")
-    )
+    return topk_two_phase(scored, "lsh_dist", k)
 
 
 def decontaminate_semantic(

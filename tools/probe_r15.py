@@ -86,6 +86,8 @@ def main() -> None:
             total = round(time.perf_counter() - t0, 3)
             runs.append((total, build))
         spark.sparkContext.setJobDescription(None)
+        if not runs:
+            continue  # --runs 0: plan dump only
         totals = [r[0] for r in runs]
         builds = [r[1] for r in runs]
         rec = {
