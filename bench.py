@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -214,6 +215,33 @@ REGRESSION_ABS_SEC = 0.10
 # exists for. Regression-aware escalation closes that hole: confirm a
 # would-be flag with more floors, or clear it within the same bench run.
 REGRESSION_EXTRA_RUNS = 2
+
+
+# Round 15 (VERDICT r14 #2): cold-fit rows — (detail row name, headline
+# query) pairs timed with EVERY ANN disk-cache family cleared inside the
+# timed region (see the coldfit block in main()). BENCH_DETAIL-only.
+COLDFIT = [
+    ("ann_pq_adc_coldfit", "ann_pq_adc_topk"),      # flat-PQ books
+    ("ann_ivfpq_coldfit", "ann_ivfpq_topk"),        # coarse + residual books
+    ("ann_ivf_coldfit", "ann_ivf_topk"),            # MLlib quantizer
+    ("ann_ivf_incremental_coldfit", "ann_ivf_incremental"),  # index store
+]
+
+_ANN_CACHE_SUBDIRS = ("pq_codebooks", "ivf_quantizer", "ivf_index")
+
+
+def _clear_ann_caches() -> None:
+    """Remove every on-disk ANN model cache family under the verified
+    scratch root, so the next fit call pays the full cold lifecycle."""
+    import shutil
+
+    from checkatron_spark.session import secure_cache_root
+
+    root = secure_cache_root()
+    if root is None:
+        return
+    for sub in _ANN_CACHE_SUBDIRS:
+        shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
 
 
 def _regression_tol(prev: dict) -> float:
@@ -419,14 +447,57 @@ def main() -> None:
         # max-min, which would inflate spread_total exactly on the noisy
         # queries the escalation targets — review r11); the full run list
         # including escalations is recorded alongside
+        # round 15 (VERDICT r14 #6): record the MEDIAN alongside the min.
+        # The regression-aware escalation is asymmetric (only would-be
+        # regressions earn extra runs, and extra runs can only lower the
+        # min), so min-of-N comparisons lean toward "no regression"; the
+        # median over every run taken is the noise-robust second signal
+        # that makes the asymmetry visible. BENCH_DETAIL-only — the
+        # stdout line keeps the driver contract and its 2000-char budget.
         detail[name] = {
             "runs": [round(r, 3) for r in runs],
             "min": timings[name],
+            "median": round(statistics.median(runs), 3),
             "spread": round(max(runs[:3]) - min(runs[:3]), 3),
             "escalated": len(runs) > 3,
         }
         total += timings[name]
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+
+    # round 15 (VERDICT r14 #2): COLD-FIT rows for every ANN family whose
+    # model persists to disk keyed on corpus identity (PQ codebooks, the
+    # shared IVF coarse quantizer, the MLlib quantizer, the IVF index
+    # store). The warm headline rows above deliberately measure the
+    # production SEARCH lifecycle (fit once per corpus version, search
+    # many times — the round-12/13 design), which means the cross-run
+    # disk cache hides fit cost from every committed bench. These rows
+    # make that cost a measured number: each run clears EVERY ANN cache
+    # family inside its own timed region, so the recorded floor is the
+    # fit+build+search total a first-ever run pays. BENCH_DETAIL-only
+    # (in_total: false, like wide_diff) — the warm rows and the stdout
+    # driver contract are unchanged, and a silent fit regression now
+    # shows up in a committed artifact.
+    for cold_name, q in COLDFIT:
+        if q not in qs:
+            continue
+        release_scratch()
+        runs = []
+        for _ in range(2):  # min-of-2: each run pays the full fit anyway
+            _clear_ann_caches()
+            t0 = time.perf_counter()
+            _force(qs[q](spark, SF_DIR))
+            runs.append(round(time.perf_counter() - t0, 3))
+        detail[cold_name] = {
+            "runs": runs,
+            "min": min(runs),
+            "median": round(statistics.median(runs), 3),
+            "spread": round(max(runs) - min(runs), 3),
+            "in_total": False,
+        }
+        print(f"[bench] {cold_name}: {min(runs)}s (not in total)",
+              file=sys.stderr)
+    # the last cold run re-fit and re-saved every cache, so later warm
+    # consumers (and the next bench run) see the same warm state as before
 
     # round 9 (VERDICT r8 #5): wide-diff stress at warehouse-DESCRIBE width.
     # Recorded as its OWN metric, not summed into the headline total —
@@ -458,7 +529,8 @@ def main() -> None:
     print(f"[bench] wide_diff_1200col: {wide_dt}s (not in total)",
           file=sys.stderr)
     detail["wide_diff_1200col"] = {"runs": [wide_dt], "min": wide_dt,
-                                   "spread": 0.0, "in_total": False}
+                                   "median": wide_dt, "spread": 0.0,
+                                   "in_total": False}
 
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, "BENCH_DETAIL.json")

@@ -149,7 +149,15 @@ def ann_hamming_topk(
     Fully integer-exact (bit packing + popcount), so the DuckDB oracle
     reproduces every distance; ties (Hamming is coarse: 0..dims) break by
     ascending neighbor id — deterministic on both engines. Returns
-    (query_id, neighbor_id, rank, hamming)."""
+    (query_id, neighbor_id, rank, hamming).
+
+    Ragged-width error contract (ADVICE r14): the guard is evaluated
+    per SCORED pair, so ragged inputs surface as a runtime Spark error
+    at the consuming action (not an eager ValueError at construction),
+    and an empty opposite side — or a corpus whose only row is the
+    query itself, excluded by the self-pair filter — scores no pairs
+    and therefore raises nothing. No wrong row can be emitted either
+    way: every emitted pair passed the width check."""
     c = sign_hash_codes(vectors, id_col=id_col, vec_col=vec_col)
     q = sign_hash_codes(queries, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("query_id"), F.col("codes").alias("_qc")

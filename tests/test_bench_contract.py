@@ -63,6 +63,43 @@ def test_bench_detail_has_delta_table_and_headline_coverage():
     )
 
 
+def test_bench_detail_entries_carry_median_and_runs():
+    """VERDICT r14 #6: the regression-aware escalation only grants extra
+    runs to would-be regressions, and extra runs can only LOWER a min —
+    a mild systematic bias against recording regressions. The median over
+    every run taken is the noise-robust second signal that keeps that
+    asymmetry visible; every committed detail entry must carry it."""
+    d = _detail()
+    for q, e in d["queries"].items():
+        assert {"min", "median", "runs"} <= set(e), (
+            f"{q}: detail entry lacks min/median/runs — re-run bench.py"
+        )
+        assert e["median"] >= e["min"] - 1e-9, f"{q}: median below min"
+        assert e["min"] == min(e["runs"]), f"{q}: min not min(runs)"
+
+
+def test_bench_detail_has_coldfit_rows():
+    """VERDICT r14 #2: ANN models persist to disk keyed on corpus
+    identity, so warm bench rows never pay fit cost. The cold-fit rows
+    (caches cleared inside the timed region) make that cost a committed
+    number; they are out-of-total like wide_diff, and dropping them would
+    silently re-hide fit regressions."""
+    import bench
+
+    d = _detail()
+    for cold_name, warm_name in bench.COLDFIT:
+        e = d["queries"].get(cold_name)
+        assert e is not None, (
+            f"BENCH_DETAIL.json lacks cold-fit row {cold_name} — "
+            "re-run: python bench.py"
+        )
+        assert e.get("in_total") is False, (
+            f"{cold_name} must stay out of the headline total"
+        )
+        w = d["queries"].get(warm_name)
+        assert w is not None, f"warm twin {warm_name} missing"
+
+
 def test_escalation_fires_on_r13_diff_orders_triple():
     """VERDICT r13 #6: the exact triple that exposed the escalation hole.
     Runs [2.071, 1.321, 1.205] with prev committed min 0.73 must escalate
