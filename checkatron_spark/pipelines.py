@@ -3297,11 +3297,24 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-scans that cost less than the cache at 100 TB (measured a wash
     # locally — OPTIMIZATION_r15.md).
     scratch_persist(_quantized(emb, "vec_id", "embedding", 10000))
+    # round 15 (guide §2.6): materialize each shared frame EAGERLY and in
+    # the BACKGROUND, submitted the moment the frame is defined. persist()
+    # alone does not coordinate in-flight computation — the union job's
+    # two consumer branches per frame raced and computed every "shared"
+    # pipeline twice (measured: lazy 5.80 s vs eager 5.18 s min,
+    # same-session). Submitting the count() futures during construction
+    # additionally overlaps the ~0.9 s of materialization with the ~1 s
+    # of remaining py4j plan building (4.25/4.60 -> 3.52/3.57 min/median,
+    # same-session interleaved); the futures are awaited before returning
+    # so no consumer can start against a half-populated cache.
+    pool = ThreadPoolExecutor(max_workers=3)
+    futs = []
     bf = (
         S.ann_bruteforce_topk(emb, queries, k=3)
         .select("query_id", "neighbor_id")
         .transform(scratch_persist)  # consumed twice: hits join + total
     )
+    futs.append(pool.submit(bf.count))
     # round 14 optimization (guide §2.4): ann_pq_adc and ann_pq_rerank
     # share ONE flat-PQ pipeline — the ADC ranking at topk=shortlist(10)
     # is computed once and persisted; its rank<=3 prefix IS the ADC
@@ -3313,6 +3326,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, m=4, k=16, iters=2, scale=10000, topk=10,
         fit_sample=256, cache_key=key,
     ).select("query_id", "neighbor_id", "rank").transform(scratch_persist)
+    futs.append(pool.submit(adc10.count))
     # the grid-IVF corpus index (assignment under the cached coarse
     # quantizer) is built and persisted ONCE and feeds both ann_ivf
     # (scoring join) and ann_ivfpq (residuals = x − centroid[cell], the
@@ -3322,16 +3336,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         cache_key=key,
     )
     index = scratch_persist(index)
-    # round 15 (guide §2.6): materialize the three shared frames EAGERLY,
-    # as three overlapped jobs, before the final union action. persist()
-    # alone does not coordinate in-flight computation — the union job runs
-    # each frame's two consumer branches as concurrent stages, and both
-    # raced to compute the "shared" pipeline before either could cache it
-    # (measured: audit min 5.80 s lazy vs 5.18 s eager, same session).
-    # count() on a persisted frame populates the cache full-width; the
-    # thread pool overlaps the three independent jobs (guide §2.6).
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        list(pool.map(lambda d: d.count(), [bf, adc10, index]))
+    futs.append(pool.submit(index.count))
     # round 14 (VERDICT r13 #2): ann_ivf and ann_lsh — the approximate
     # methods a user reaches for first — join the audit via their
     # deterministic twins (grid-IVF shares ann_ivfpq's cached coarse
@@ -3374,7 +3379,7 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = bf.agg(F.count(F.lit(1)).alias("total"))
     h = F.coalesce(F.col("hits"), F.lit(0)).cast("bigint")
-    return (
+    out = (
         names.join(hits, "method", "left")
         .crossJoin(tot)  # 1-row scalar — broadcast-NL by construction
         .select(
@@ -3387,6 +3392,12 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+    try:
+        for f in futs:  # caches fully populated before any consumer runs
+            f.result()
+    finally:
+        pool.shutdown(wait=False)
+    return out
 
 
 def ann_recall_audit_sql() -> str:
